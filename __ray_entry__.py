@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship web-pages pipeline on /root/testdata/sf0.001 —
+  geotagged documents point-in-polygon joined to synthetic world zones,
+  per-zone aggregates with a byte-identity sha digest per zone.
+- ``queries()``: one callable per implemented pipeline (SURVEY.md §2
+  inventory + training-data ops). SQL-expressible ones have a DuckDB
+  oracle in ``oracle_sql()``; the rest are rows-only checks.
 """
 
 from __future__ import annotations
@@ -18,27 +16,175 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from python_rasterstats_ray.pipelines.webpages import flagship_pipeline
+
+    _, zone_stats = flagship_pipeline(SF_SMOKE)
+    return zone_stats
+
+
+# --------------------------------------------------- rows-only pipelines
+
+
+def _q_zonal_synthetic_tiled(sf_dir: str):
+    """Full tiled cell-join zonal pipeline over deterministic synthetic
+    raster+zones (sf-independent; correctness gated by pytest differential
+    tests against the sequential oracle)."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata = generate_raster((512, 512), kind="holes", seed=7)
+    zones = generate_zones(64, extent=(-20.0, -30.0, 530.0, 520.0), seed=11, mega_every=17)
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=256)
+    return zonal_stats_tiled(
+        ray.data.from_arrow(zones),
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats="count min max mean sum std median nodata percentile_90",
+        tile_size=256,
+    )
+
+
+def _q_zonal_synthetic_broadcast(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata = generate_raster((512, 512), kind="continuous", seed=3)
+    zones = generate_zones(64, extent=(0.0, 0.0, 512.0, 512.0), seed=9)
+    return zonal_stats_broadcast(
+        ray.data.from_arrow(zones), (arr, affine, nodata), stats="count mean min max"
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import minhash_lsh_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds)
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import SimHashKernel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        SimHashKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import embedding_neardup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_neardup_pairs(ds, threshold=0.9)
+
+
+def _q_knn_ivf(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import knn_ivf, train_centroids
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.slice(0, 3)
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    cents = train_centroids(ds, n_centroids=8)
+    return knn_ivf(ds, (qids, qmat), cents, k=10, nprobe=3)
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.text import LangIdKernel
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(
+        LangIdKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+def _q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.text import fingerprint_batch
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_flagship_zone_stats(sf_dir: str):
+    from python_rasterstats_ray.pipelines.webpages import flagship_pipeline
+
+    _, zone_stats = flagship_pipeline(sf_dir)
+    return zone_stats
+
+
+def _q_point_query_synthetic(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster
+    from python_rasterstats_ray.stages.point_dist import point_query_broadcast
+
+    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=21)
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    pts = rng.uniform(-10, 266, size=(500, 2))
+    import pyarrow as pa
+
+    tbl = pa.table(
+        {
+            "pt_id": pa.array(range(len(pts)), pa.int64()),
+            "x": pa.array(pts[:, 0], pa.float64()),
+            "y": pa.array(pts[:, 1], pa.float64()),
+        }
+    )
+    return point_query_broadcast(
+        ray.data.from_arrow(tbl), (arr, affine, nodata), interpolate="bilinear"
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from python_rasterstats_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = dict(QUERIES)
+    out.update(
+        {
+            "zonal_synthetic_tiled": _q_zonal_synthetic_tiled,
+            "zonal_synthetic_broadcast": _q_zonal_synthetic_broadcast,
+            "minhash_pairs": _q_minhash_pairs,
+            "simhash_signatures": _q_simhash,
+            "embedding_neardup": _q_embedding_neardup,
+            "knn_ivf": _q_knn_ivf,
+            "lang_id": _q_lang_id,
+            "doc_fingerprint": _q_fingerprint,
+            "flagship_zone_stats": _q_flagship_zone_stats,
+            "point_query_synthetic": _q_point_query_synthetic,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from python_rasterstats_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

@@ -1,0 +1,614 @@
+"""Driver-contract query pipelines over the testdata tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Ray Dataset / pandas
+DataFrame whose columns match the paired oracle SQL in ``ORACLE_SQL``
+exactly (the driver compares row counts, schema and order-insensitive
+value hashes).
+
+Design rules applied throughout (see repo SURVEY.md section 7):
+- reads prune columns at the source (``read_parquet(columns=[...])``)
+- aggregations are partial-per-batch (vectorized pandas/numpy) followed by
+  a tiny groupby-of-partials — the full rows never enter the shuffle
+- small join sides are broadcast (driver-side pyarrow read + ray.put),
+  never shuffled
+- per-batch kernels are Arrow/numpy vectorized
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
+    return pq.read_table(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _partial_final_groupby(ds, partial_fn, keys: list[str], final_fn):
+    """Pre-aggregate inside map_batches, then groupby the tiny partials."""
+    partials = ds.map_batches(partial_fn, batch_format="pandas")
+    return partials.groupby(keys).map_groups(final_fn, batch_format="pandas")
+
+
+# ------------------------------------------------------------------ TPC-H
+
+
+def q_tpch_q1(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+    cutoff = pd.Timestamp("1998-09-02")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] <= cutoff]
+        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        row = {
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "l_linestatus": [g["l_linestatus"].iloc[0]],
+            "sum_qty": [g["sum_qty"].sum()],
+            "sum_base_price": [g["sum_base_price"].sum()],
+            "sum_disc_price": [g["sum_disc_price"].sum()],
+            "avg_qty": [g["sum_qty"].sum() / g["count_order"].sum()],
+            "avg_disc": [g["sum_disc"].sum() / g["count_order"].sum()],
+            "count_order": [int(g["count_order"].sum())],
+        }
+        return pd.DataFrame(row)
+
+    return _partial_final_groupby(ds, partial, ["l_returnflag", "l_linestatus"], final)
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       sum(l_extendedprice) AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       sum(l_quantity) / count(*) AS avg_qty,
+       sum(l_discount) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_orders_by_nation(sf_dir: str):
+    import ray
+
+    cust = _small_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _small_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
+    )
+    cust_to_nation = {
+        ck: nmap[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_to_nation)
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class Lookup:
+        def __init__(self):
+            import ray as _r
+
+            self.map = _r.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_name = df["o_custkey"].map(self.map)
+            out = pd.DataFrame({"n_name": n_name, "o_totalprice": df["o_totalprice"]})
+            return out.groupby("n_name", as_index=False).agg(
+                n_orders=("o_totalprice", "size"), total_revenue=("o_totalprice", "sum")
+            )
+
+    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "n_name": [g["n_name"].iloc[0]],
+                "n_orders": [int(g["n_orders"].sum())],
+                "total_revenue": [g["total_revenue"].sum()],
+            }
+        )
+
+    return partials.groupby("n_name").map_groups(final, batch_format="pandas")
+
+
+SQL_ORDERS_BY_NATION = """
+SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_parts_by_brand(sf_dir: str):
+    import ray
+
+    part = _small_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    pmap = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(pmap)
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+
+    class Lookup:
+        def __init__(self):
+            import ray as _r
+
+            self.map = _r.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            rev = df["l_extendedprice"] * (1 - df["l_discount"])
+            out = pd.DataFrame({"p_brand": df["l_partkey"].map(self.map), "rev": rev})
+            return out.groupby("p_brand", as_index=False).agg(
+                n_items=("rev", "size"), revenue=("rev", "sum")
+            )
+
+    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "p_brand": [g["p_brand"].iloc[0]],
+                "n_items": [int(g["n_items"].sum())],
+                "revenue": [g["revenue"].sum()],
+            }
+        )
+
+    return partials.groupby("p_brand").map_groups(final, batch_format="pandas")
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, count(*) AS n_items,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_top_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_customer_segments(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["c_acctbal"] > 0]
+        return df.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("c_acctbal", "size"), total_bal=("c_acctbal", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
+                "n_customers": [int(g["n_customers"].sum())],
+                "total_bal": [g["total_bal"].sum()],
+            }
+        )
+
+    return _partial_final_groupby(ds, partial, ["c_mktsegment"], final)
+
+
+SQL_CUSTOMER_SEGMENTS = """
+SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
+"""
+
+
+# ----------------------------------------------------------------- events
+
+
+def q_events_by_type(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("value", "size"),
+            total_value=("value", "sum"),
+            min_value=("value", "min"),
+            max_value=("value", "max"),
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "total_value": [g["total_value"].sum()],
+                "min_value": [g["min_value"].min()],
+                "max_value": [g["max_value"].max()],
+            }
+        )
+
+    return _partial_final_groupby(ds, partial, ["event_type"], final)
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+       min(value) AS min_value, max(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Per-user session count: a new session starts after a >30 min gap.
+    Windowed (sorted) per-group aggregate via groupby(user).map_groups."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("int64").to_numpy()
+        gaps = np.diff(ts)
+        n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONIZE = """
+SELECT user_id, count(*) AS n_events,
+       1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+FROM (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events) t
+GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------- documents
+
+
+def q_docs_exact_dedup(sf_dir: str):
+    from ..stages.dedup import exact_dedup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_groups(ds)
+
+
+SQL_DOCS_EXACT_DEDUP = """
+SELECT md5(text) AS text_md5, min(doc_id) AS rep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_docs_token_stats(sf_dir: str):
+    from ..stages.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = token_count_batch(batch)
+        df = pd.DataFrame(
+            {
+                "lang": b["lang"].to_pandas(),
+                "n_tokens": b["n_tokens"].to_pandas(),
+                "n_chars": b["n_chars"].to_pandas(),
+            }
+        )
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_tokens", "size"),
+            total_tokens=("n_tokens", "sum"),
+            total_chars=("n_chars", "sum"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [int(g["n_docs"].sum())],
+                "total_tokens": [int(g["total_tokens"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+
+
+SQL_DOCS_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
+       sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_docs_quality(sf_dir: str):
+    from ..stages.text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        b = quality_batch(batch)
+        n_space = pc.cast(pc.count_substring_regex(batch["text"], r"\s"), pa.int64())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_calc": b["n_chars_calc"],
+                "n_tokens": b["n_tokens"],
+                "n_alpha": pc.cast(
+                    pc.utf8_length(
+                        pc.replace_substring_regex(batch["text"], "[^A-Za-z]", "")
+                    ),
+                    pa.int64(),
+                ),
+                "n_space": n_space,
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_QUALITY = """
+SELECT doc_id,
+       length(text) AS n_chars_calc,
+       len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+       len(regexp_extract_all(text, '\\s')) AS n_space
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ embeddings
+
+
+def q_embeddings_knn(sf_dir: str, k: int = 10, n_queries: int = 5):
+    from ..stages.similarity import knn_embeddings
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    mask = pc.less(qt["vec_id"], n_queries)
+    qt = qt.filter(mask)
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_embeddings(ds, (qids, qmat), k=k)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "neighbor_id", "knn_rank"]) if "knn_rank" in batch.column_names else pa.table(
+            {
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "knn_rank": batch["rank"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EMBEDDINGS_KNN = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5
+)
+SELECT query_id, neighbor_id, knn_rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS knn_rank
+  FROM q CROSS JOIN embeddings e
+) t
+WHERE knn_rank <= 10
+"""
+
+
+# ------------------------------------------------------- geospatial / docs
+
+
+def _doc_points(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic lon/lat per doc_id; formula mirrored verbatim in the
+    oracle SQL (same IEEE op order -> identical doubles)."""
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    lon = ((ids * 2654435761) % 360000) / 1000.0 - 180.0
+    lat = ((ids * 40503) % 120000) / 1000.0 - 60.0
+    return lon, lat
+
+
+def q_docs_geocells(sf_dir: str):
+    """Synthetic geotag -> engine grid-cell assignment -> per-cell zonal
+    aggregation of n_chars (the cell-index operator with a SQL oracle)."""
+    from ..functions.affine import Affine
+
+    affine = Affine(10.0, 0.0, -180.0, 0.0, -10.0, 60.0)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        lon, lat = _doc_points(df)
+        # vectorized rowcol (functions/affine.py parity): floor((y-f)/e), floor((x-c)/a)
+        cell_row = np.floor((lat - affine.f) / affine.e).astype(np.int64)
+        cell_col = np.floor((lon - affine.c) / affine.a).astype(np.int64)
+        out = pd.DataFrame(
+            {"cell_row": cell_row, "cell_col": cell_col, "n_chars": df["n_chars"]}
+        )
+        return out.groupby(["cell_row", "cell_col"], as_index=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell_row": [int(g["cell_row"].iloc[0])],
+                "cell_col": [int(g["cell_col"].iloc[0])],
+                "n_docs": [int(g["n_docs"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    return _partial_final_groupby(ds, partial, ["cell_row", "cell_col"], final)
+
+
+SQL_DOCS_GEOCELLS = """
+WITH pts AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+)
+SELECT CAST(floor((lat - 60.0) / -10.0) AS BIGINT) AS cell_row,
+       CAST(floor((lon - (-180.0)) / 10.0) AS BIGINT) AS cell_col,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM pts GROUP BY cell_row, cell_col
+"""
+
+
+# Rectangular zones with boundary offsets no geotag can hit (coords are
+# multiples of 1e-3; bounds end in .0007/.0003).
+_RECT_ZONES = [
+    (0, -180.0007, -60.0007, -90.0003, 0.0003),
+    (1, -90.0003, -60.0007, -0.0007, 0.0003),
+    (2, -0.0007, -60.0007, 90.0003, 0.0003),
+    (3, 90.0003, -60.0007, 180.0007, 0.0003),
+    (4, -180.0007, 0.0003, -0.0007, 60.0007),
+    (5, -0.0007, 0.0003, 180.0007, 60.0007),
+]
+
+
+def q_docs_pip_zones(sf_dir: str):
+    """Point-in-polygon join of geotagged docs against literal rectangle
+    zones, using the engine's even-odd PIP kernel (functions/pip.py)."""
+    import ray
+
+    from ..functions.geometry import from_wkb, make_box, to_wkb
+    from ..functions.pip import points_in_geom
+
+    zone_wkbs = [(zid, to_wkb(make_box(w, s, e, n))) for zid, w, s, e, n in _RECT_ZONES]
+    ref = ray.put(zone_wkbs)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    class PIPKernel:
+        def __init__(self):
+            import ray as _r
+
+            self.zones = [(zid, from_wkb(w)) for zid, w in _r.get(ref)]
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lon, lat = _doc_points(df)
+            chars = df["n_chars"].to_numpy()
+            rows = []
+            for zid, geom in self.zones:
+                inside = points_in_geom(lon, lat, geom)
+                if inside.any():
+                    rows.append(
+                        {
+                            "zone_id": zid,
+                            "n_docs": int(inside.sum()),
+                            "total_chars": int(chars[inside].sum()),
+                        }
+                    )
+            return pd.DataFrame(rows, columns=["zone_id", "n_docs", "total_chars"])
+
+    partials = ds.map_batches(PIPKernel, batch_format="pandas", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone_id": [int(g["zone_id"].iloc[0])],
+                "n_docs": [int(g["n_docs"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    return partials.groupby("zone_id").map_groups(final, batch_format="pandas")
+
+
+SQL_DOCS_PIP_ZONES = """
+WITH zones(zone_id, xmin, ymin, xmax, ymax) AS (VALUES
+  (0, -180.0007, -60.0007, -90.0003, 0.0003),
+  (1, -90.0003, -60.0007, -0.0007, 0.0003),
+  (2, -0.0007, -60.0007, 90.0003, 0.0003),
+  (3, 90.0003, -60.0007, 180.0007, 0.0003),
+  (4, -180.0007, 0.0003, -0.0007, 60.0007),
+  (5, -0.0007, 0.0003, 180.0007, 60.0007)
+),
+pts AS (
+  SELECT doc_id, n_chars,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+)
+SELECT zone_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM zones JOIN pts
+  ON lon > xmin AND lon < xmax AND lat > ymin AND lat < ymax
+GROUP BY zone_id
+"""
+
+
+ORACLE_SQL = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "orders_by_nation": SQL_ORDERS_BY_NATION,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
+    "top_orders": SQL_TOP_ORDERS,
+    "customer_segments": SQL_CUSTOMER_SEGMENTS,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
+    "docs_token_stats": SQL_DOCS_TOKEN_STATS,
+    "docs_quality": SQL_DOCS_QUALITY,
+    "embeddings_knn": SQL_EMBEDDINGS_KNN,
+    "docs_geocells": SQL_DOCS_GEOCELLS,
+    "docs_pip_zones": SQL_DOCS_PIP_ZONES,
+}
+
+QUERIES = {
+    "tpch_q1": q_tpch_q1,
+    "orders_by_nation": q_orders_by_nation,
+    "parts_by_brand": q_parts_by_brand,
+    "top_orders": q_top_orders,
+    "customer_segments": q_customer_segments,
+    "events_by_type": q_events_by_type,
+    "events_sessionize": q_events_sessionize,
+    "docs_exact_dedup": q_docs_exact_dedup,
+    "docs_token_stats": q_docs_token_stats,
+    "docs_quality": q_docs_quality,
+    "embeddings_knn": q_embeddings_knn,
+    "docs_geocells": q_docs_geocells,
+    "docs_pip_zones": q_docs_pip_zones,
+}

@@ -1,0 +1,194 @@
+"""Flagship pipeline: Common-Crawl-style pages -> geotag -> polygon-zone
+spatial join -> per-zone aggregation, preserving byte-identical text per
+url/doc through every stage (BASELINE.json north_star invariant).
+
+Shape (all streaming, no driver materialization of payload):
+
+  read_parquet(columns pruned)
+    -> map_batches: sha256(text), quality metrics, deterministic geotag,
+       grid cell id                         [stateless, Arrow-vectorized]
+    -> map_batches(PIPZoneKernel):          [actor pool; zones grid index
+       zone_id per point                     built once per actor from a
+                                             ray.put broadcast]
+    -> partial per-batch aggregates -> groupby(zone).map_groups merge
+
+The only shuffle is over tiny (zone, partial) rows. Payload text never
+crosses a wire except at the optional checkpointed parquet sink; identity
+is evidenced by an order-insensitive xor-of-sha256 digest computed at
+source and at sink (pipelines/checkpoint.py writes it into per-partition
+lineage records).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.geometry import from_wkb
+from ..functions.pip import points_in_geom
+from ..sources.synthetic import generate_zones
+
+
+def sha256_hex(texts: list[str]) -> list[str]:
+    return [hashlib.sha256(t.encode("utf-8")).hexdigest() for t in texts]
+
+
+def xor_digest(hex_hashes) -> str:
+    """Order-insensitive 256-bit xor aggregate of hex digests."""
+    acc = 0
+    for h in hex_hashes:
+        acc ^= int(h, 16)
+    return f"{acc:064x}"
+
+
+def doc_geotag(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(ids, dtype=np.int64)
+    lon = ((ids * 2654435761) % 360000) / 1000.0 - 180.0
+    lat = ((ids * 40503) % 120000) / 1000.0 - 60.0
+    return lon, lat
+
+
+def default_world_zones(n_zones: int = 24, seed: int = 42) -> pa.Table:
+    return generate_zones(n_zones, extent=(-180.0, -60.0, 180.0, 60.0), seed=seed)
+
+
+class PIPZoneKernel:
+    """Actor-pool kernel: assign zone_id to each geotagged row.
+
+    A coarse lon/lat grid index over the zone polygons is built once per
+    actor (__init__): each grid cell lists the zones whose bbox overlaps
+    it, so the per-point candidate set is tiny. Points matching no zone
+    get zone_id -1."""
+
+    def __init__(self, zones_ref, grid: float = 10.0):
+        import ray
+
+        zones_tbl = ray.get(zones_ref)
+        self.zone_ids = zones_tbl["zone_id"].to_numpy(zero_copy_only=False)
+        self.geoms = [from_wkb(w) for w in zones_tbl["geom_wkb"].to_pylist()]
+        self.grid = grid
+        self.index: dict[tuple[int, int], list[int]] = {}
+        for i, g in enumerate(self.geoms):
+            w, s, e, n = g.bounds
+            for gx in range(int(np.floor(w / grid)), int(np.floor(e / grid)) + 1):
+                for gy in range(int(np.floor(s / grid)), int(np.floor(n / grid)) + 1):
+                    self.index.setdefault((gx, gy), []).append(i)
+
+    def assign(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        out = np.full(len(lon), -1, dtype=np.int64)
+        gx = np.floor(lon / self.grid).astype(np.int64)
+        gy = np.floor(lat / self.grid).astype(np.int64)
+        keys = gx * 100000 + gy
+        order = np.argsort(keys, kind="stable")
+        sorted_keys = keys[order]
+        starts = np.searchsorted(sorted_keys, np.unique(sorted_keys))
+        bounds = np.append(starts, len(sorted_keys))
+        for b in range(len(starts)):
+            idxs = order[bounds[b] : bounds[b + 1]]
+            cell = (int(gx[idxs[0]]), int(gy[idxs[0]]))
+            cands = self.index.get(cell, ())
+            for zi in cands:
+                remaining = idxs[out[idxs] < 0]
+                if not len(remaining):
+                    break
+                inside = points_in_geom(lon[remaining], lat[remaining], self.geoms[zi])
+                out[remaining[inside]] = self.zone_ids[zi]
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        return batch.append_column("zone_id", pa.array(self.assign(lon, lat), pa.int64()))
+
+
+def enrich_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """Stateless stage A: hash + geotag + token count."""
+    import pyarrow.compute as pc
+
+    texts = batch[text_col].to_pylist()
+    shas = sha256_hex(texts)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    lon, lat = doc_geotag(ids)
+    n_tokens = pc.cast(pc.count_substring_regex(batch[text_col], r"\S+"), pa.int64())
+    out = batch
+    out = out.append_column("text_sha", pa.array(shas, pa.string()))
+    out = out.append_column("lon", pa.array(lon, pa.float64()))
+    out = out.append_column("lat", pa.array(lat, pa.float64()))
+    out = out.append_column("n_tokens", n_tokens)
+    return out
+
+
+def flagship_pipeline(
+    sf_dir: str,
+    n_zones: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    concurrency=(1, 8),
+):
+    """documents table as the page corpus -> enriched + zone-joined rows.
+
+    Returns (enriched_ds, zone_stats_ds):
+    - enriched_ds: pages + text_sha + geotag + zone_id (payload intact)
+    - zone_stats_ds: per-zone aggregate (n_pages, total_tokens,
+      total_chars, sha_xor) — sha_xor is the per-zone byte-identity digest.
+    """
+    import ray
+    import ray.data
+
+    zones_ref = ray.put(default_world_zones(n_zones))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=[id_col, text_col, "lang", "n_chars"]
+    )
+    enriched = ds.map_batches(
+        enrich_batch,
+        fn_kwargs=dict(id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        PIPZoneKernel,
+        fn_constructor_kwargs=dict(zones_ref=zones_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "zone_id": batch["zone_id"].to_numpy(zero_copy_only=False),
+                "n_tokens": batch["n_tokens"].to_numpy(zero_copy_only=False),
+                "n_chars": batch["n_chars"].to_numpy(zero_copy_only=False),
+                "text_sha": batch["text_sha"].to_pylist(),
+            }
+        )
+        g = (
+            df.groupby("zone_id")
+            .agg(
+                n_pages=("n_tokens", "size"),
+                total_tokens=("n_tokens", "sum"),
+                total_chars=("n_chars", "sum"),
+                sha_xor=("text_sha", xor_digest),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone_id": [int(g["zone_id"].iloc[0])],
+                "n_pages": [int(g["n_pages"].sum())],
+                "total_tokens": [int(g["total_tokens"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+                "sha_xor": [xor_digest(g["sha_xor"])],
+            }
+        )
+
+    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+    return enriched, zone_stats

@@ -1,0 +1,281 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design: every variant is hash-partitioned — the only all-to-all
+moves are groupbys on a small key column (hash / band bucket / simhash
+prefix), never the document payload. Candidate verification happens inside
+the bucket group (map_groups), bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .text import md5_batch
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Hash-partitioned exact dedup: md5(text) groupby -> one row per
+    distinct text with representative (min id) and duplicate count.
+
+    Only (text_md5, id) cross the shuffle — payload stays columnar in the
+    upstream blocks.
+    """
+
+    def hash_project(batch: pa.Table) -> pa.Table:
+        b = md5_batch(batch, text_col=text_col)
+        return b.select([id_col, "text_md5"])
+
+    hashed = docs_ds.map_batches(hash_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def reduce_group(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_md5": pa.array([group["text_md5"][0].as_py()], pa.string()),
+                "rep_doc_id": pa.array([pc.min(group[id_col]).as_py()], pa.int64()),
+                "dup_count": pa.array([len(group)], pa.int64()),
+            }
+        )
+
+    return hashed.groupby("text_md5").map_groups(reduce_group, batch_format="pyarrow")
+
+
+def exact_dedup_keep_first(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Dataset of surviving ids (min id per distinct text)."""
+    groups = exact_dedup_groups(docs_ds, text_col, id_col)
+    return groups.select_columns(["rep_doc_id"])
+
+
+# ------------------------------------------------------- shingle/minhash
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling 64-bit hashes of character k-shingles (vectorized)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=32)
+    n = len(data) - k + 1
+    # polynomial rolling hash via cumulative powers (vectorized)
+    base = np.uint64(1000003)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * base  # mod-2^64 wraparound intended
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    return (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+
+
+class MinHashKernel:
+    """Actor-pool kernel: per-doc MinHash signature + LSH band keys.
+
+    ``num_perm`` universal-hash parameters are drawn once per actor in
+    ``__init__`` from a fixed seed (identical across actors)."""
+
+    def __init__(
+        self,
+        num_perm: int = 64,
+        bands: int = 16,
+        shingle_k: int = 5,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        seed: int = 1234,
+    ):
+        assert num_perm % bands == 0
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.k = shingle_k
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = np.unique(_shingle_hashes(text, self.k))
+        # (num_perm, n_shingles) universal hashing, min over shingles
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        texts = batch[self.text_col].to_pylist()
+        sigs = np.stack([self.signature(t) for t in texts])
+        # band key: hash of the band's signature rows, salted by band index
+        out_id, out_band, out_key = [], [], []
+        for bi in range(self.bands):
+            seg = sigs[:, bi * self.rows_per_band : (bi + 1) * self.rows_per_band]
+            key = (
+                seg * np.uint64(1000003) ** np.arange(self.rows_per_band, dtype=np.uint64)
+            ).sum(axis=1, dtype=np.uint64)
+            key = key ^ np.uint64((bi * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF)
+            out_id.extend(ids.tolist())
+            out_band.extend([bi] * len(ids))
+            out_key.extend(key.astype(np.int64).tolist())
+        return pa.table(
+            {
+                self.id_col: pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+            }
+        )
+
+
+def minhash_lsh_pairs(
+    docs_ds,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+):
+    """Candidate near-duplicate pairs via MinHash LSH banding: docs whose
+    band signature collides in any band. Returns distinct (id_a, id_b),
+    id_a < id_b."""
+    banded = docs_ds.map_batches(
+        MinHashKernel,
+        fn_constructor_kwargs=dict(
+            num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
+        )
+
+    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    # distinct (id_a, id_b): same pair may collide in several bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+
+
+def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact character-k-gram Jaccard similarity (the verifier for LSH
+    candidates)."""
+    a = set(np.unique(_shingle_hashes(text_a, k)).tolist())
+    b = set(np.unique(_shingle_hashes(text_b, k)).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / len(a | b)
+
+
+# ---------------------------------------------------------------- simhash
+
+
+class SimHashKernel:
+    """64-bit SimHash over token hashes; near-dups share hamming-close
+    signatures. Emits the signature + 4 x 16-bit blocks as bucket keys
+    (hamming distance <= 3 guarantees one identical block)."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
+        self.text_col = text_col
+        self.id_col = id_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        from .text import _fnv1a_bytes
+
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = _fnv1a_bytes(tok.encode("utf-8"))
+            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            acc += np.where(bits.astype(bool), 1, -1)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sigs = np.array(
+            [self.simhash64(t) for t in batch[self.text_col].to_pylist()],
+            dtype=np.uint64,
+        )
+        out = {
+            self.id_col: pa.array(ids, pa.int64()),
+            "simhash": pa.array(sigs.astype(np.int64), pa.int64()),
+        }
+        for blk in range(4):
+            key = (sigs >> np.uint64(16 * blk)) & np.uint64(0xFFFF)
+            out[f"block{blk}"] = pa.array(key.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(
+    emb_ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 7,
+):
+    """Cosine near-duplicate pairs via random-hyperplane LSH bucketing +
+    exact in-bucket verification. Buckets = sign pattern of ``n_planes``
+    projections; exact cosine computed inside each bucket only."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+        dim = embs.shape[1]
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        signs = (embs @ planes) > 0
+        keys = (signs * (1 << np.arange(n_planes))).sum(axis=1)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(keys.astype(np.int64), pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    bucketed = emb_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        embs = np.stack(group[emb_col].to_pylist()).astype(np.float64)
+        norms = np.linalg.norm(embs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = embs / norms
+        sim = unit @ unit.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        mask = sim[ia, ib] >= threshold
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(sim[ia[mask], ib[mask]], pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")

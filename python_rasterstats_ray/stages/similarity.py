@@ -1,0 +1,208 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the query matrix is broadcast once via
+  ``ray.put``; each batch does one numpy matmul against it and emits its
+  local top-k; a final small merge keeps the global top-k per query.
+  Data-side rows stream — nothing but (query, candidate id, score) partials
+  cross the wire.
+- IVF variant: k-means-lite centroids (sampled, fixed seed), rows
+  partitioned by nearest centroid; queries probe only the closest
+  ``nprobe`` partitions. Scale path: turns the scan into a targeted read.
+"""
+
+from __future__ import annotations
+
+
+import numpy as np
+import pyarrow as pa
+
+
+def _unit_rows(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class TopKKernel:
+    """map_batches kernel: batch embeddings x broadcast queries -> local
+    per-query top-k (query_id, id, cosine) rows."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, emb_col: str):
+        import ray
+
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        self.qmat = _unit_rows(qmat.astype(np.float64)).T  # (dim, nq)
+        self.k = k
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        embs = _unit_rows(np.stack(batch[self.emb_col].to_pylist()).astype(np.float64))
+        sims = embs @ self.qmat  # (n, nq)
+        k = min(self.k, len(ids))
+        out_q, out_id, out_sim = [], [], []
+        for j, qid in enumerate(self.qids):
+            col = sims[:, j]
+            top = np.argpartition(-col, k - 1)[:k]
+            out_q.extend([int(qid)] * k)
+            out_id.extend(ids[top].tolist())
+            out_sim.extend(col[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def knn_embeddings(
+    emb_ds,
+    queries: tuple[np.ndarray, np.ndarray],
+    k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    concurrency=(1, 8),
+):
+    """Global cosine top-k per query. ``queries`` = (query_ids, query_matrix).
+    Returns Dataset (query_id, neighbor_id, cosine, rank) with rank 1..k by
+    descending cosine (ties broken by neighbor_id ascending)."""
+    import ray
+
+    queries_ref = ray.put(queries)
+    partials = emb_ds.map_batches(
+        TopKKernel,
+        fn_constructor_kwargs=dict(
+            queries_ref=queries_ref, k=k, id_col=id_col, emb_col=emb_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["cosine"].to_numpy(zero_copy_only=False)
+        ids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "cosine": pa.array(sims[order], pa.float64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------- IVF
+
+
+def train_centroids(emb_ds, n_centroids: int, emb_col: str = "embedding",
+                    sample_rows: int = 2048, iters: int = 8, seed: int = 5):
+    """k-means-lite on a driver-side sample (small, bounded); returns the
+    (n_centroids, dim) float64 centroid matrix."""
+    sample = emb_ds.limit(sample_rows).to_pandas()
+    x = _unit_rows(np.stack(sample[emb_col].to_numpy()).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cents[c] = v / n
+    return cents
+
+
+def ivf_assign(emb_ds, centroids: np.ndarray, id_col: str = "vec_id",
+               emb_col: str = "embedding"):
+    """Append nearest-centroid partition id to each row (broadcast
+    centroids; one matmul per batch)."""
+    import ray
+
+    cref = ray.put(centroids)
+
+    class AssignKernel:
+        def __init__(self):
+            self.cents = ray.get(cref).T
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            embs = _unit_rows(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+            part = np.argmax(embs @ self.cents, axis=1)
+            return batch.append_column("ivf_list", pa.array(part.astype(np.int64)))
+
+    return emb_ds.map_batches(
+        AssignKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+
+def knn_ivf(emb_ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
+            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Approximate top-k: search only rows whose IVF list is among each
+    query's ``nprobe`` closest centroids."""
+    qids, qmat = queries
+    qunit = _unit_rows(qmat.astype(np.float64))
+    probes = np.argsort(-(qunit @ centroids.T), axis=1)[:, :nprobe]
+    assigned = ivf_assign(emb_ds, centroids, id_col, emb_col)
+    probe_sets = {int(q): set(int(p) for p in probes[i]) for i, q in enumerate(qids)}
+
+    import ray
+
+    pref = ray.put((qids, qunit, probe_sets))
+
+    class ProbeKernel:
+        def __init__(self):
+            self.qids, self.qunit, self.probe_sets = ray.get(pref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False)
+            lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+            embs = _unit_rows(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+            out_q, out_id, out_sim = [], [], []
+            for i, qid in enumerate(self.qids):
+                mask = np.isin(lists, list(self.probe_sets[int(qid)]))
+                if not mask.any():
+                    continue
+                col = embs[mask] @ self.qunit[i]
+                sel_ids = ids[mask]
+                kk = min(self.k, len(sel_ids))
+                top = np.argpartition(-col, kk - 1)[:kk]
+                out_q.extend([int(qid)] * kk)
+                out_id.extend(sel_ids[top].tolist())
+                out_sim.extend(col[top].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "neighbor_id": pa.array(out_id, pa.int64()),
+                    "cosine": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    partials = assigned.map_batches(
+        ProbeKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        sims = group["cosine"].to_numpy(zero_copy_only=False)
+        ids_ = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids_, -sims))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(ids_[order], pa.int64()),
+                "cosine": pa.array(sims[order], pa.float64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -1,0 +1,116 @@
+"""Local mimic of the driver's correctness gate: run every queries() entry
+at a given sf and compare against oracle_sql() via DuckDB (row count,
+column names, order-insensitive values).
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def to_df(result) -> pd.DataFrame:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> list[str]:
+    problems = []
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        problems.append(f"columns differ: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
+        return problems
+    if len(ray_df) != len(sql_df):
+        problems.append(f"row count differ: ray={len(ray_df)} sql={len(sql_df)}")
+        return problems
+    a, b = canon(ray_df), canon(sql_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+            av = av.astype(np.float64)
+            bv = bv.astype(np.float64)
+            both_nan = np.isnan(av) & np.isnan(bv)
+            close = np.isclose(av, bv, rtol=1e-9, atol=1e-12) | both_nan
+            if not close.all():
+                i = int(np.nonzero(~close)[0][0])
+                problems.append(f"col {c} differs at row {i}: {av[i]!r} vs {bv[i]!r}")
+        else:
+            if not (av == bv).all():
+                i = int(np.nonzero(av != bv)[0][0])
+                problems.append(f"col {c} differs at row {i}: {av[i]!r} vs {bv[i]!r}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            result = to_df(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name in oracles:
+            sql_df = con.execute(oracles[name]).df()
+            problems = compare(result, sql_df, name)
+            if problems:
+                n_fail += 1
+                print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems[:3]))
+            else:
+                print(f"OK   {name} ({dt:.1f}s): {len(result)} rows match oracle")
+        else:
+            print(f"OK?  {name} ({dt:.1f}s): rows-only, {len(result)} rows")
+    print("failures:", n_fail)
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
