@@ -51,7 +51,9 @@ def _fill_polygon_evenodd(rings_px: list[np.ndarray], h: int, w: int) -> np.ndar
     horizontal line y = r + 0.5 at x <= c + 0.5 is odd (half-open interval
     semantics: entering edge inclusive, exiting edge exclusive).
     """
-    acc = np.zeros((h, w + 1), dtype=np.int32)
+    # int8 with wraparound: crossing parity is preserved mod 256, and the
+    # narrow dtype quarters the scanline accumulator's memory traffic
+    acc = np.zeros((h, w + 1), dtype=np.int8)
     yc = np.arange(h, dtype=np.float64) + 0.5
     for ring in rings_px:
         ring = _close_ring(ring)
@@ -157,6 +159,42 @@ def _burn_all_touched(paths_px: list[np.ndarray], out: np.ndarray) -> None:
             cy = int(np.floor(path[0, 1]))
             if 0 <= cx < w and 0 <= cy < h:
                 out[cy, cx] = True
+
+
+def rect_geom_state(geom: Geom, window, affine: Affine) -> str:
+    """Classify a pixel-window rect against a polygonal geometry without
+    rasterizing: 'full' (every pixel center inside), 'empty' (none), or
+    'partial' (boundary may cross -> needs the real rasterizer).
+
+    Sound shortcut for interior tiles of mega-polygons: if no ring-edge
+    bounding box intersects the rect, no boundary crosses it, so coverage
+    is uniform and one center-point test decides it. Conservative: any
+    bbox overlap falls back to 'partial'.
+    """
+    if geom.polys is None:
+        return "partial"
+    (r0, r1), (c0, c1) = window
+    inv = ~affine
+    for rings in geom.polys:
+        for ring in rings:
+            x = inv.a * ring[:, 0] + inv.b * ring[:, 1] + inv.c
+            y = inv.d * ring[:, 0] + inv.e * ring[:, 1] + inv.f
+            ex_lo = np.minimum(x[:-1], x[1:])
+            ex_hi = np.maximum(x[:-1], x[1:])
+            ey_lo = np.minimum(y[:-1], y[1:])
+            ey_hi = np.maximum(y[:-1], y[1:])
+            hit = (ex_hi >= c0) & (ex_lo <= c1) & (ey_hi >= r0) & (ey_lo <= r1)
+            if hit.any():
+                return "partial"
+    # uniform: test the rect's central pixel center
+    cx = (c0 + c1) / 2.0
+    cy = (r0 + r1) / 2.0
+    wx = affine.a * cx + affine.b * cy + affine.c
+    wy = affine.d * cx + affine.e * cy + affine.f
+    from .pip import points_in_geom
+
+    inside = points_in_geom(np.array([wx]), np.array([wy]), geom)[0]
+    return "full" if inside else "empty"
 
 
 def rasterize_geom(

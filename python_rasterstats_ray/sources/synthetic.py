@@ -36,11 +36,13 @@ def generate_raster(
     h, w = shape
     if affine is None:
         affine = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
-    rows, cols = np.mgrid[0:h, 0:w].astype(np.float64)
+    rows = np.arange(h, dtype=np.float32).reshape(h, 1)
+    cols = np.arange(w, dtype=np.float32).reshape(1, w)
     base = (
-        50.0
-        + 40.0 * np.sin(cols / 17.0 + seed) * np.cos(rows / 23.0)
-        + 10.0 * np.sin((rows + cols) / 41.0)
+        np.float32(50.0)
+        + np.float32(40.0) * np.sin(cols / 17.0 + seed, dtype=np.float32)
+        * np.cos(rows / 23.0, dtype=np.float32)
+        + np.float32(10.0) * np.sin((rows + cols) / 41.0, dtype=np.float32)
     )
     if kind == "continuous":
         arr = base.astype(np.float32)
@@ -63,22 +65,27 @@ def generate_zones(
     seed: int = 42,
     with_holes: bool = False,
     mega_every: int | None = None,
+    n_vertices: int = 4,
+    layout_positions: int | None = None,
 ) -> pa.Table:
     """Deterministic polygon zones covering ``extent`` -> Arrow table
     (zone_id:int64, geom_wkb:binary, zcat:int64).
 
-    Zones are jittered quadrilaterals laid out on a grid; every
-    ``mega_every``-th zone is inflated to span a large fraction of the
-    extent (skew / mega-polygon test case).
+    Zones are jittered quadrilaterals (or ``n_vertices``-gon radial
+    polygons) laid out on a grid; every ``mega_every``-th zone is inflated
+    to span a large fraction of the extent (skew / mega-polygon test case).
     """
     rng = np.random.default_rng(seed)
     w0, s0, e0, n0 = extent
-    side = int(np.ceil(np.sqrt(n_zones)))
+    # layout_positions < n_zones makes zones overlap while keeping their
+    # size constant (grid density decoupled from zone count)
+    n_pos = layout_positions or n_zones
+    side = int(np.ceil(np.sqrt(n_pos)))
     dx = (e0 - w0) / side
     dy = (n0 - s0) / side
     rows = []
     for zid in range(n_zones):
-        gy, gx = divmod(zid, side)
+        gy, gx = divmod(zid % n_pos, side)
         cx = w0 + (gx + 0.5) * dx
         cy = s0 + (gy + 0.5) * dy
         hx, hy = 0.45 * dx, 0.45 * dy
@@ -86,15 +93,24 @@ def generate_zones(
             hx, hy = 0.35 * (e0 - w0), 0.35 * (n0 - s0)
             cx = (w0 + e0) / 2 + float(rng.uniform(-0.1, 0.1)) * (e0 - w0)
             cy = (s0 + n0) / 2 + float(rng.uniform(-0.1, 0.1)) * (n0 - s0)
-        jit = rng.uniform(-0.25, 0.25, size=8)
-        ring = np.array(
-            [
-                [cx - hx * (1 + jit[0]), cy - hy * (1 + jit[1])],
-                [cx + hx * (1 + jit[2]), cy - hy * (1 + jit[3])],
-                [cx + hx * (1 + jit[4]), cy + hy * (1 + jit[5])],
-                [cx - hx * (1 + jit[6]), cy + hy * (1 + jit[7])],
-            ]
-        )
+        if n_vertices > 4:
+            # star-jittered radial polygon (complex boundary, CPU-heavy
+            # rasterization relative to its pixel count)
+            theta = np.linspace(0.0, 2 * np.pi, n_vertices, endpoint=False)
+            rad = 1.0 + rng.uniform(-0.35, 0.35, size=n_vertices)
+            ring = np.column_stack(
+                [cx + hx * rad * np.cos(theta), cy + hy * rad * np.sin(theta)]
+            )
+        else:
+            jit = rng.uniform(-0.25, 0.25, size=8)
+            ring = np.array(
+                [
+                    [cx - hx * (1 + jit[0]), cy - hy * (1 + jit[1])],
+                    [cx + hx * (1 + jit[2]), cy - hy * (1 + jit[3])],
+                    [cx + hx * (1 + jit[4]), cy + hy * (1 + jit[5])],
+                    [cx - hx * (1 + jit[6]), cy + hy * (1 + jit[7])],
+                ]
+            )
         ring = np.vstack([ring, ring[:1]])
         rings = [ring]
         if with_holes and zid % 7 == 3:

@@ -37,8 +37,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.affine import Affine
+from ..functions.faststats import finalize_stats, window_view, zone_accumulators
 from ..functions.geometry import Geom, from_wkb
-from ..functions.rasterize import rasterize_geom
+from ..functions.rasterize import rasterize_geom, rect_geom_state
 from ..functions.stats import boxify_points, check_stats, get_percentile, key_assoc_val
 from ..functions.windows import boundless_array, bounds_window, window_affine
 from ..functions.zonal import compute_feature_stats
@@ -117,10 +118,39 @@ class BroadcastZonalKernel:
         geom = from_wkb(wkb)
         if geom.is_point_type:
             geom = boxify_points(geom, self.rast.affine)
+        win = bounds_window(geom.bounds, self.rast.affine)
+        nodata = self.rast.nodata if self.rast.nodata is not None else -999
+        aff = window_affine(win, self.rast.affine)
+        (r0, r1), (c0, c1) = win
+        shape = (r1 - r0, c1 - c0)
+        rv_array = rasterize_geom(geom, shape=shape, affine=aff, all_touched=self.all_touched)
+
+        if self.zone_func is None and self.add_stats is None:
+            # fast path: plain-numpy accumulators on the extracted values
+            # (zero-copy window view when fully in-extent)
+            block = window_view(self.rast.array, win, nodata)
+            acc = zone_accumulators(block, rv_array, nodata)
+            out, pixel_count = finalize_stats(
+                self.stats,
+                self.run_count or self.categorical,
+                count=acc["count"],
+                sum_f=acc["sum_f"],
+                sum_i=acc["sum_i"],
+                sumsq=acc["sumsq"],
+                vmin=acc["min"],
+                vmax=acc["max"],
+                nodata_count=acc["nodata"],
+                nan_count=acc["nan_cnt"],
+                has_nan=acc["has_nan"],
+                is_int=acc["is_int"],
+                vals=acc["vals"],
+            )
+            if self.categorical and pixel_count:
+                out["_pixel_count"] = pixel_count
+            return out
+
+        # oracle path (zone_func / add_stats need the assembled MaskedArray)
         fsrc = self.rast.read(bounds=geom.bounds, boundless=True)
-        rv_array = rasterize_geom(
-            geom, shape=fsrc.shape, affine=fsrc.affine, all_touched=self.all_touched
-        )
         isnodata = fsrc.array == fsrc.nodata
         has_nan = np.issubdtype(fsrc.array.dtype, np.floating) and np.isnan(
             fsrc.array.min()
@@ -245,46 +275,45 @@ def assign_zones_to_cells(
             out_cell.extend(int(c) for c in cells)
             out_zone.extend([int(zid)] * len(cells))
             out_wkb.extend([wkb] * len(cells))
+    cell_arr = np.array([c if c is not None else 0 for c in out_cell], dtype=np.int64)
+    mixed = _mix64(cell_arr)
+    # bijective splitmix64 mix of the cell id: Ray's groupby range-
+    # partitions on sorted keys, and raw cell ids cluster mega-zone
+    # hotspots spatially -> skewed reducers. The mixed key spreads hot
+    # neighborhoods uniformly while preserving group identity. Null cells
+    # (degenerate windows) keep a null key so they can't collide.
+    cell_h = pa.array(
+        [int(m) if c is not None else None for m, c in zip(mixed, out_cell)],
+        pa.int64(),
+    )
     return pa.table(
         {
             "cell": pa.array(out_cell, pa.int64()),
+            "cell_h": cell_h,
             "zone_id": pa.array(out_zone, pa.int64()),
             "geom_wkb": pa.array(out_wkb, pa.binary()),
-            "kind": pa.array(np.ones(len(out_cell), dtype=np.int8)),
-            "row_off": pa.nulls(len(out_cell), pa.int32()),
-            "col_off": pa.nulls(len(out_cell), pa.int32()),
-            "height": pa.nulls(len(out_cell), pa.int32()),
-            "width": pa.nulls(len(out_cell), pa.int32()),
-            "dtype": pa.nulls(len(out_cell), pa.string()),
-            "pixels": pa.nulls(len(out_cell), pa.binary()),
         }
     )
 
 
-def tag_tiles(batch: pa.Table) -> pa.Table:
-    n = len(batch)
-    return pa.table(
-        {
-            "cell": batch["cell"],
-            "zone_id": pa.nulls(n, pa.int64()),
-            "geom_wkb": pa.nulls(n, pa.binary()),
-            "kind": pa.array(np.zeros(n, dtype=np.int8)),
-            "row_off": batch["row_off"],
-            "col_off": batch["col_off"],
-            "height": batch["height"],
-            "width": batch["width"],
-            "dtype": batch["dtype"],
-            "pixels": batch["pixels"],
-        }
-    )
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """Bijective splitmix64 finalizer (uint64 wraparound intended)."""
+    x = x.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x.astype(np.int64)
 
 
 class CellKernel:
-    """Per-cell group kernel: one optional tile row + N zone rows ->
-    per-(zone, cell) partial accumulator rows."""
+    """Per-cell group kernel: N zone rows -> per-(zone, cell) partial
+    accumulator rows. The cell's raster tile is fetched zero-copy from the
+    object store through the broadcast refmap (build_tile_refmap); cells
+    with no tile (beyond the raster extent) are boundless nodata fill."""
 
     def __init__(
         self,
+        refmap_ref,
         affine: Affine,
         nodata,
         tile_size: int,
@@ -292,6 +321,7 @@ class CellKernel:
         all_touched: bool = False,
         need_vals: bool = False,
     ):
+        self.refmap_ref = refmap_ref
         self.affine = affine
         self.nodata = -999.0 if nodata is None else nodata
         self.tile_size = tile_size
@@ -300,29 +330,22 @@ class CellKernel:
         self.need_vals = need_vals
 
     def __call__(self, group: pa.Table) -> pa.Table:
-        kinds = group["kind"].to_numpy(zero_copy_only=False)
-        tile_idx = np.nonzero(kinds == 0)[0]
-        zone_idx = np.nonzero(kinds == 1)[0]
-        if len(zone_idx) == 0:
-            return _empty_partials()
+        import ray
 
-        cell_val = group["cell"][int(zone_idx[0])].as_py()
+        if len(group) == 0:
+            return _empty_partials()
+        cell_val = group["cell"][0].as_py()
 
         tile_arr = None
         t_roff = t_coff = 0
-        if len(tile_idx) > 0:
-            i = int(tile_idx[0])
-            th = group["height"][i].as_py()
-            tw = group["width"][i].as_py()
-            dt = np.dtype(group["dtype"][i].as_py())
-            buf = group["pixels"][i].as_buffer()
-            tile_arr = np.frombuffer(buf, dtype=dt).reshape(th, tw)
-            t_roff = group["row_off"][i].as_py()
-            t_coff = group["col_off"][i].as_py()
-
         if cell_val is None:
             rect = None  # degenerate windows: emit zero partials
         else:
+            index, sb_refs = ray.get(self.refmap_ref)
+            ent = index.get(int(cell_val))
+            if ent is not None:
+                block_tbl = ray.get(sb_refs[ent[0]])
+                tile_arr, t_roff, t_coff = _decode_tile_row(block_tbl, ent[1])
             tr, tc = cell_decode(cell_val)
             rect = (
                 (tr * self.tile_size, (tr + 1) * self.tile_size),
@@ -332,7 +355,7 @@ class CellKernel:
         rows = []
         zids = group["zone_id"].to_numpy(zero_copy_only=False)
         wkbs = group["geom_wkb"].to_pylist()
-        for i in zone_idx:
+        for i in range(len(group)):
             zid = int(zids[i])
             geom = from_wkb(wkbs[i])
             rows.append(self._partial(zid, geom, rect, tile_arr, t_roff, t_coff))
@@ -349,8 +372,8 @@ class CellKernel:
             max=None,
             nodata=0,
             nan_cnt=0,
-            has_nan=False,
-            is_int=False,
+            has_nan=0,
+            is_int=0,
             vals=b"",
         )
         if rect is None:
@@ -363,39 +386,38 @@ class CellKernel:
         if r1 <= r0 or c1 <= c0:
             return p
         sub = ((r0, r1), (c0, c1))
+        # interior-tile fast path: uniform cover needs no rasterization
+        state = rect_geom_state(geom, sub, self.affine)
+        if state == "empty":
+            return p
+
         if tile_arr is not None:
             rel = ((r0 - t_roff, r1 - t_roff), (c0 - t_coff, c1 - t_coff))
-            block = boundless_array(tile_arr, rel, nodata=self.nodata)
+            block = window_view(tile_arr, rel, self.nodata)
         else:
             block = np.full((r1 - r0, c1 - c0), self.nodata, dtype=self.raster_dtype)
 
-        aff = window_affine(sub, self.affine)
-        rv = rasterize_geom(geom, block.shape, aff, self.all_touched)
+        if state == "full":
+            rv = None
+        else:
+            aff = window_affine(sub, self.affine)
+            rv = rasterize_geom(geom, block.shape, aff, self.all_touched)
 
-        isnodata = block == self.nodata
-        is_float = np.issubdtype(block.dtype, np.floating)
-        tile_has_nan = bool(is_float and np.isnan(block).any())
-        if tile_has_nan:
-            isnodata = isnodata | np.isnan(block)
-        valid = rv & ~isnodata
-        vals = block[valid]
-
-        p["count"] = int(valid.sum())
-        if p["count"]:
-            v64 = vals.astype(np.float64)
-            p["sum_f"] = float(v64.sum())
-            p["sumsq"] = float((v64 * v64).sum())
-            p["min"] = float(vals.min())
-            p["max"] = float(vals.max())
-            if not is_float:
-                p["sum_i"] = int(vals.astype(np.int64).sum())
-        p["is_int"] = not is_float
-        gm = block[rv]
-        p["nodata"] = int((gm == self.nodata).sum())
-        p["nan_cnt"] = int(np.isnan(gm).sum()) if is_float else 0
-        p["has_nan"] = tile_has_nan
-        if self.need_vals and p["count"]:
-            p["vals"] = vals.tobytes()
+        acc = zone_accumulators(block, rv, self.nodata)
+        p.update(
+            count=acc["count"],
+            sum_f=acc["sum_f"],
+            sum_i=acc["sum_i"],
+            sumsq=acc["sumsq"],
+            min=acc["min"],
+            max=acc["max"],
+            nodata=acc["nodata"],
+            nan_cnt=acc["nan_cnt"],
+            has_nan=int(acc["has_nan"]),
+            is_int=int(acc["is_int"]),
+        )
+        if self.need_vals and acc["count"]:
+            p["vals"] = acc["vals"].tobytes()
         return p
 
 
@@ -410,8 +432,8 @@ _PARTIAL_SCHEMA = pa.schema(
         ("max", pa.float64()),
         ("nodata", pa.int64()),
         ("nan_cnt", pa.int64()),
-        ("has_nan", pa.bool_()),
-        ("is_int", pa.bool_()),
+        ("has_nan", pa.int8()),
+        ("is_int", pa.int8()),
         ("vals", pa.binary()),
     ]
 )
@@ -507,7 +529,7 @@ class MergeKernel:
         if "nodata" in stats:
             out["nodata"] = float(pc.sum(group["nodata"]).as_py() or 0)
         if "nan" in stats:
-            has_nan = bool(pc.any(group["has_nan"]).as_py())
+            has_nan = (pc.max(group["has_nan"]).as_py() or 0) > 0
             out["nan"] = float(pc.sum(group["nan_cnt"]).as_py() or 0) if has_nan else 0.0
 
         cols: dict = {"zone_id": pa.array([zid], pa.int64())}
@@ -519,6 +541,50 @@ class MergeKernel:
             else:
                 cols[name] = pa.array([out.get(name)], typ)
         return pa.table(cols)
+
+
+def _decode_tile_row(block: pa.Table, row: int):
+    """Tile table row -> (numpy array view, row_off, col_off). The pixel
+    buffer is viewed zero-copy out of the Arrow binary column."""
+    th = block["height"][row].as_py()
+    tw = block["width"][row].as_py()
+    dt = np.dtype(block["dtype"][row].as_py())
+    buf = block["pixels"][row].as_buffer()
+    arr = np.frombuffer(buf, dtype=dt).reshape(th, tw)
+    return arr, block["row_off"][row].as_py(), block["col_off"][row].as_py()
+
+
+def build_tile_refmap(tiles_ds, superblock_tiles: int = 64):
+    """Pin the tile Dataset in the object store as a handful of coalesced
+    "superblocks" and return (index_ref, superblock_refs): the index maps
+    cell -> (superblock_idx, row).
+
+    Why superblocks: a refmap holding one ObjectRef per tile block makes
+    every downstream reduce task register hundreds of refs with the owner
+    (per-task RPCs that grow with parallelism — measured anti-scaling).
+    Coalescing to a few big objects means each task registers O(1) refs
+    and reads them zero-copy from local plasma. Payload never touches the
+    driver: concat + cell extraction run in remote tasks. At multi-node
+    scale, superblocks bound each node's fetch granularity; tasks touch
+    only the superblocks their cells live in."""
+    import ray
+
+    @ray.remote(num_cpus=0, num_returns=2)
+    def _coalesce(*blocks):
+        tbl = pa.concat_tables([b for b in blocks if len(b)])
+        return tbl, tbl["cell"].to_pylist()
+
+    block_refs = tiles_ds.to_arrow_refs()
+    futures = []
+    for i in range(0, len(block_refs), superblock_tiles):
+        futures.append(_coalesce.remote(*block_refs[i : i + superblock_tiles]))
+
+    sb_refs = [tbl_ref for tbl_ref, _ in futures]
+    index: dict[int, tuple[int, int]] = {}
+    for sbi, (_, cells_ref) in enumerate(futures):
+        for ri, cell in enumerate(ray.get(cells_ref)):
+            index[int(cell)] = (sbi, ri)
+    return ray.put((index, sb_refs)), sb_refs
 
 
 def zonal_stats_tiled(
@@ -534,13 +600,26 @@ def zonal_stats_tiled(
     category_map=None,
     tile_size: int = DEFAULT_TILE_SIZE,
     geom_col: str = "geom_wkb",
+    checkpoint_before_shuffle: bool = True,
 ):
     """Cell-key shuffle-join zonal stats: zones Dataset x tiles Dataset ->
-    per-zone stats Dataset sorted by zone_id."""
+    per-zone stats Dataset sorted by zone_id.
+
+    ``checkpoint_before_shuffle`` materializes the tagged union into the
+    object store before the groupby('cell') exchange. The sort-based
+    shuffle samples its input and then executes it again; without the
+    checkpoint the whole upstream (parquet read + tagging) runs twice.
+    The all-to-all materializes the data anyway, so this adds no peak
+    memory — it only removes the recompute.
+    """
     stats_list, run_count = check_stats(stats, categorical)
     need_vals = run_count or any(
         s.startswith("percentile_") or s == "median" for s in stats_list
     )
+
+    # Tiles: pinned in the object store, addressed by cell (no payload
+    # shuffle). Zones: only (cell, zone_id, wkb) rows enter the exchange.
+    refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
 
     zones_tagged = zones_ds.map_batches(
         assign_zones_to_cells,
@@ -548,13 +627,11 @@ def zonal_stats_tiled(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    tiles_tagged = tiles_ds.map_batches(
-        tag_tiles, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    unioned = zones_tagged.union(tiles_tagged)
+    if checkpoint_before_shuffle:
+        zones_tagged = zones_tagged.materialize()
 
     cell_kernel = CellKernel(
+        refmap_ref=refmap_ref,
         affine=affine,
         nodata=nodata,
         tile_size=tile_size,
@@ -575,10 +652,90 @@ def zonal_stats_tiled(
     def merge_partials(group: pa.Table) -> pa.Table:
         return merge_kernel(group)
 
-    partials = unioned.groupby("cell").map_groups(
+    partials = zones_tagged.groupby("cell_h").map_groups(
         cell_partials, batch_format="pyarrow"
     )
-    merged = partials.groupby("zone_id").map_groups(
-        merge_partials, batch_format="pyarrow"
-    )
+    if checkpoint_before_shuffle:
+        # next op is another all-to-all; pin the small accumulator rows
+        partials = partials.materialize()
+
+    if need_vals:
+        # holistic stats: per-zone value multisets must meet -> map_groups
+        merged = partials.groupby("zone_id").map_groups(
+            merge_partials, batch_format="pyarrow"
+        )
+    else:
+        # algebraic-only: Ray-native vectorized hash aggregation of the
+        # combinable accumulators, then a vectorized finalize map_batches
+        # (no per-group Python call, no 1-row blocks)
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg = partials.groupby("zone_id").aggregate(
+            Sum("count"),
+            Sum("sum_f"),
+            Sum("sum_i"),
+            Sum("sumsq"),
+            Min("min"),
+            Max("max"),
+            Sum("nodata"),
+            Sum("nan_cnt"),
+            Max("has_nan"),
+            Max("is_int"),
+        )
+        stats_list_f = stats_list
+
+        def finalize_vec(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            count = batch["sum(count)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            sum_f = batch["sum(sum_f)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sum_i = batch["sum(sum_i)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sumsq = batch["sum(sumsq)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            vmin = batch["min(min)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            vmax = batch["max(max)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            nodata_c = batch["sum(nodata)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            nan_c = batch["sum(nan_cnt)"].to_numpy(zero_copy_only=False).astype(np.float64)
+            has_nan = batch["max(has_nan)"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+            is_int = batch["max(is_int)"].to_numpy(zero_copy_only=False).astype(np.int64) > 0
+            empty = count == 0
+            safe = np.maximum(count, 1).astype(np.float64)
+            mean = np.where(is_int, sum_i / safe, sum_f / safe)
+            var = np.maximum(sumsq / safe - mean * mean, 0.0)
+
+            def fcol(vals):
+                return pa.array(
+                    np.where(empty, np.nan, vals), pa.float64(), from_pandas=True
+                )
+
+            cols: dict = {"zone_id": batch["zone_id"]}
+            for s in stats_list_f:
+                if s == "count":
+                    cols[s] = pa.array(count, pa.int64())
+                elif s == "min":
+                    cols[s] = fcol(vmin)
+                elif s == "max":
+                    cols[s] = fcol(vmax)
+                elif s == "mean":
+                    cols[s] = fcol(mean)
+                elif s == "sum":
+                    cols[s] = fcol(np.where(is_int, sum_i, sum_f))
+                elif s == "std":
+                    cols[s] = fcol(np.sqrt(var))
+                elif s == "range":
+                    cols[s] = fcol(vmax - vmin)
+                elif s == "nodata":
+                    cols[s] = pa.array(nodata_c, pa.float64())
+                elif s == "nan":
+                    cols[s] = pa.array(
+                        np.where(has_nan, nan_c, 0.0), pa.float64()
+                    )
+                else:  # pragma: no cover - guarded by need_vals
+                    raise ValueError(s)
+            return pa.table(cols)
+
+        merged = agg.map_batches(finalize_vec, batch_format="pyarrow", zero_copy_batch=True)
+
+    if checkpoint_before_shuffle:
+        # the final sort samples + re-executes a lazy input; pin the (small,
+        # one-row-per-zone) merge output first
+        merged = merged.materialize()
     return merged.sort("zone_id")

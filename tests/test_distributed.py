@@ -66,16 +66,17 @@ def test_broadcast_matches_oracle(ray_session, fixture_inputs):
     )
     df = out.to_pandas().sort_values("zone_id").reset_index(drop=True)
     oracle = _oracle_rows(arr, affine, nodata, zones)
-    # broadcast path runs the oracle kernel itself -> everything exact
+    # fast path accumulates float mean/sum/std in float64 (documented
+    # divergence ~1e-6 rel); every holistic/integer stat stays exact
     _compare(
         df,
         oracle,
         exact_keys=[
-            "count", "min", "max", "mean", "sum", "std", "median", "majority",
+            "count", "min", "max", "median", "majority",
             "minority", "unique", "range", "nodata", "nan", "percentile_25",
             "percentile_90",
         ],
-        approx_keys=[],
+        approx_keys=["mean", "sum", "std"],
     )
     # passthrough of input columns
     assert "zcat" in df.columns
