@@ -163,6 +163,31 @@ def _q_point_query_synthetic(sf_dir: str):
     )
 
 
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.multimodal import (
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    return media_feature_pipeline(ray.data.from_arrow(synth_media_table(200)))
+
+
+def _q_flagship_checkpointed(sf_dir: str):
+    import tempfile
+
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.checkpoint import checkpointed_flagship
+
+    out_dir = tempfile.mkdtemp(prefix="prsr_ckpt_", dir="/tmp")
+    checkpointed_flagship(sf_dir, out_dir, n_parts=2)
+    return ray.data.read_parquet(out_dir).select_columns(
+        ["doc_id", "zone_id", "text_sha", "n_tokens"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from python_rasterstats_ray.pipelines.queries import QUERIES
 
@@ -179,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_fingerprint": _q_fingerprint,
             "flagship_zone_stats": _q_flagship_zone_stats,
             "point_query_synthetic": _q_point_query_synthetic,
+            "media_features": _q_media_features,
+            "flagship_checkpointed": _q_flagship_checkpointed,
         }
     )
     return out

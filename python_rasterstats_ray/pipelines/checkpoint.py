@@ -1,0 +1,194 @@
+"""Checkpointed, resumable partitioned execution with per-partition lineage.
+
+North-rule requirement (BASELINE.json): a killed run restarts from the last
+completed partition. Output layout::
+
+    out_dir/
+      part=<name>/ *.parquet     (the partition's rows)
+      _lineage/<name>.json       (inputs, row count, byte-identity digest,
+                                  kernel version, wall time)
+      _SUCCESS.<name>            (commit marker, written last)
+
+A partition is the unit of both scheduling and recovery: ``run_partitioned``
+skips every partition whose commit marker exists, so re-running after a kill
+only executes the remainder. Each partition executes as its own bounded
+streaming Dataset job (read -> transforms -> write_parquet), which also
+bounds worst-case recompute at one partition.
+
+Byte identity: the lineage record stores an order-insensitive xor of
+sha256(text) over the partition at the source; after the parquet write the
+sink is re-read and re-hashed — the two digests must match or the partition
+fails (never commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+
+from .. import __version__
+from .webpages import xor_digest
+
+
+def _lineage_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, "_lineage", f"{name}.json")
+
+
+def _marker_path(out_dir: str, name: str) -> str:
+    return os.path.join(out_dir, f"_SUCCESS.{name}")
+
+
+def partition_done(out_dir: str, name: str) -> bool:
+    return os.path.exists(_marker_path(out_dir, name))
+
+
+def completed_partitions(out_dir: str) -> list[str]:
+    if not os.path.isdir(out_dir):
+        return []
+    return sorted(
+        f[len("_SUCCESS.") :] for f in os.listdir(out_dir) if f.startswith("_SUCCESS.")
+    )
+
+
+def text_digest_of(ds, text_col: str) -> tuple[str, int]:
+    """Order-insensitive xor-of-sha256 digest + row count of a Dataset's
+    text column, computed distributed (per-batch partial xor)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = 0
+        for t in batch[text_col].to_pylist():
+            acc ^= int.from_bytes(hashlib.sha256(t.encode("utf-8")).digest(), "big")
+        return pa.table(
+            {"xor": pa.array([f"{acc:064x}"]), "n": pa.array([len(batch)])}
+        )
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return xor_digest(p["xor"] for p in parts), sum(p["n"] for p in parts)
+
+
+def run_partitioned(
+    partitions: list[tuple[str, dict]],
+    build: Callable[[dict], "object"],
+    out_dir: str,
+    *,
+    text_col: str | None = "text",
+    max_partitions: int | None = None,
+) -> dict:
+    """Execute ``build(spec) -> Dataset`` per partition with skip-completed
+    resume semantics. Returns a summary dict.
+
+    ``max_partitions`` bounds how many incomplete partitions run this call
+    (used by the kill/resume tests to simulate a mid-run crash).
+    """
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    ran, skipped = [], []
+    for name, spec in partitions:
+        if partition_done(out_dir, name):
+            skipped.append(name)
+            continue
+        if max_partitions is not None and len(ran) >= max_partitions:
+            break
+        t0 = time.time()
+        ds = build(spec)
+
+        part_dir = os.path.join(out_dir, f"part={name}")
+        src_digest = None
+        if text_col is not None:
+            src_digest, _ = text_digest_of(ds, text_col)
+        ds.write_parquet(part_dir)
+
+        import ray.data
+
+        written = ray.data.read_parquet(part_dir)
+        n_rows = written.count()
+        sink_digest = None
+        if text_col is not None:
+            sink_digest, sink_rows = text_digest_of(written, text_col)
+            if sink_digest != src_digest or sink_rows != n_rows:
+                raise RuntimeError(
+                    f"byte-identity violated in partition {name}: "
+                    f"{src_digest} != {sink_digest}"
+                )
+
+        lineage = {
+            "partition": name,
+            "input": spec,
+            "rows": n_rows,
+            "text_sha_xor": sink_digest,
+            "byte_identity_verified": text_col is not None,
+            "engine_version": __version__,
+            "wall_sec": round(time.time() - t0, 3),
+            "completed_unix": int(time.time()),
+        }
+        with open(_lineage_path(out_dir, name), "w") as f:
+            json.dump(lineage, f, indent=2)
+        # commit marker LAST: a kill before this line leaves the partition
+        # uncommitted and it will re-run wholesale on resume
+        with open(_marker_path(out_dir, name), "w") as f:
+            f.write("ok")
+        ran.append(name)
+    return {
+        "ran": ran,
+        "skipped": skipped,
+        "remaining": [n for n, _ in partitions if not partition_done(out_dir, n)],
+    }
+
+
+# ------------------------------------------------- flagship, checkpointed
+
+
+def checkpointed_flagship(
+    sf_dir: str,
+    out_dir: str,
+    n_parts: int = 4,
+    max_partitions: int | None = None,
+) -> dict:
+    """The flagship pages pipeline (enrich + geotag + PIP zone join) written
+    as ``n_parts`` doc_id-range partitions with lineage + resume."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+
+    from .webpages import PIPZoneKernel, default_world_zones, enrich_batch
+
+    meta = pq.read_metadata(f"{sf_dir}/documents.parquet")
+    n = meta.num_rows
+    step = (n + n_parts - 1) // n_parts
+    partitions = [
+        (f"{i:04d}", {"lo": i * step, "hi": min((i + 1) * step, n)})
+        for i in range(n_parts)
+    ]
+
+    zones_ref = ray.put(default_world_zones())
+
+    def build(spec: dict):
+        flt = (pads.field("doc_id") >= spec["lo"]) & (pads.field("doc_id") < spec["hi"])
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text", "lang", "n_chars"],
+            filter=flt,
+        )
+        return ds.map_batches(
+            enrich_batch,
+            fn_kwargs=dict(id_col="doc_id", text_col="text"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).map_batches(
+            PIPZoneKernel,
+            fn_constructor_kwargs=dict(zones_ref=zones_ref),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            zero_copy_batch=True,
+        )
+
+    return run_partitioned(
+        partitions, build, out_dir, text_col="text", max_partitions=max_partitions
+    )

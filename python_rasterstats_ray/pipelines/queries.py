@@ -581,7 +581,62 @@ GROUP BY zone_id
 """
 
 
+def q_knn_points_geo(sf_dir: str, k: int = 5, n_queries: int = 100):
+    """Grid-index kNN of the first ``n_queries`` geotagged docs against all
+    docs (per-cell grid index actor stage, functions/state/grid_index.py).
+    Ordering = (squared euclidean distance, doc_id) — reproduced verbatim
+    by the SQL oracle."""
+    import ray.data
+
+    from ..stages.knn_points import knn_points
+
+    full = _small_table(sf_dir, "documents", columns=["doc_id"])
+    ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+    df = pd.DataFrame({"doc_id": ids})
+    lon, lat = _doc_points(df)
+
+    qmask = ids < n_queries
+    queries = pa.table(
+        {
+            "pt_id": pa.array(ids[qmask], pa.int64()),
+            "x": pa.array(lon[qmask], pa.float64()),
+            "y": pa.array(lat[qmask], pa.float64()),
+        }
+    )
+    out = knn_points(
+        ray.data.from_arrow(queries), lon, lat, ids, k=k
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "neighbor_id", "knn_rank"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_KNN_POINTS_GEO = """
+WITH pts AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+),
+q AS (SELECT * FROM pts WHERE doc_id < 100)
+SELECT query_id, neighbor_id, knn_rank FROM (
+  SELECT q.doc_id AS query_id, p.doc_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.doc_id
+           ORDER BY (q.lon - p.lon) * (q.lon - p.lon)
+                    + (q.lat - p.lat) * (q.lat - p.lat),
+                    p.doc_id
+         ) AS knn_rank
+  FROM q CROSS JOIN pts p
+) t
+WHERE knn_rank <= 5
+"""
+
+
 ORACLE_SQL = {
+    "knn_points_geo": SQL_KNN_POINTS_GEO,
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
@@ -598,6 +653,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "knn_points_geo": q_knn_points_geo,
     "tpch_q1": q_tpch_q1,
     "orders_by_nation": q_orders_by_nation,
     "parts_by_brand": q_parts_by_brand,

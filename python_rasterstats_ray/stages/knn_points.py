@@ -1,0 +1,77 @@
+"""Distributed k-nearest-neighbour point lookup against a reference point
+set (the 'kNN point query' requirement in BASELINE.json north_star).
+
+Reference points are broadcast once (ray.put); each actor builds a
+GridIndex in ``__init__`` (stateful stage) and answers per-batch queries.
+Scales in the query dimension (the streaming axis); a reference set too
+large for one index would be hash-bucketed by cell with a groupby join —
+documented partitioning assumption: reference side fits a node's memory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..state.grid_index import GridIndex
+
+
+class KnnPointKernel:
+    def __init__(self, ref_points, k: int, cell: float,
+                 x_col: str = "x", y_col: str = "y", id_col: str = "pt_id"):
+        import ray
+
+        xs, ys, ids = ray.get(ref_points)
+        self.index = GridIndex(xs, ys, ids, cell=cell)
+        self.k = k
+        self.x_col = x_col
+        self.y_col = y_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xs = batch[self.x_col].to_numpy(zero_copy_only=False)
+        ys = batch[self.y_col].to_numpy(zero_copy_only=False)
+        qids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_d, out_rank = [], [], [], []
+        for qid, x, y in zip(qids, xs, ys):
+            nids, dists = self.index.knn(float(x), float(y), self.k)
+            out_q.extend([int(qid)] * len(nids))
+            out_n.extend(nids.tolist())
+            out_d.extend(dists.tolist())
+            out_rank.extend(range(1, len(nids) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "distance_sq": pa.array(out_d, pa.float64()),
+                "knn_rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+
+def knn_points(
+    queries_ds,
+    ref_xs: np.ndarray,
+    ref_ys: np.ndarray,
+    ref_ids: np.ndarray,
+    k: int = 5,
+    cell: float | None = None,
+    concurrency=(1, 8),
+    **cols,
+):
+    """Queries Dataset (pt_id, x, y) x reference points -> top-k rows
+    (query_id, neighbor_id, distance_sq, knn_rank)."""
+    import ray
+
+    if cell is None:
+        # ~1 point per grid bucket on average
+        span = max(ref_xs.max() - ref_xs.min(), ref_ys.max() - ref_ys.min())
+        cell = float(span / max(1.0, np.sqrt(len(ref_xs))))
+    ref = ray.put((np.asarray(ref_xs), np.asarray(ref_ys), np.asarray(ref_ids)))
+    return queries_ds.map_batches(
+        KnnPointKernel,
+        fn_constructor_kwargs=dict(ref_points=ref, k=k, cell=cell, **cols),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,142 @@
+"""Multimodal (image/audio/video) columns as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the DECODE step is a
+deterministic fake behind the same interface a real libjpeg/ffmpeg-backed
+kernel would have (clearly marked below); everything Ray-side — schema,
+actor-pool signatures, batch sizing for large binary payloads, output
+layout — is real and tested.
+
+Media row schema: (media_id:int64, kind:string, payload:binary,
+width:int32, height:int32, sample_rate:int32, n_frames:int32).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+        ("n_frames", pa.int32()),
+    ]
+)
+
+
+def synth_media_table(n: int, kind: str = "image", seed: int = 42,
+                      payload_bytes: int = 4096) -> pa.Table:
+    """Deterministic fake media rows (payload = seeded bytes)."""
+    rng = np.random.default_rng(seed)
+    rows = {
+        "media_id": pa.array(np.arange(n), pa.int64()),
+        "kind": pa.array([kind] * n, pa.string()),
+        "payload": pa.array(
+            [rng.integers(0, 256, payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)],
+            pa.binary(),
+        ),
+        "width": pa.array(np.full(n, 64, dtype=np.int32)),
+        "height": pa.array(np.full(n, 48, dtype=np.int32)),
+        "sample_rate": pa.array(np.full(n, 16000, dtype=np.int32)),
+        "n_frames": pa.array(np.full(n, 16, dtype=np.int32)),
+    }
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB DECODER — deterministic fake standing in for libjpeg/PIL.
+    A real deployment replaces ONLY this function (same ndarray contract:
+    HxWx3 uint8)."""
+    h = hashlib.blake2b(payload, digest_size=8).digest()
+    seed = int.from_bytes(h, "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+class DecodeImageKernel:
+    """Actor-pool kernel: payload binary -> decoded pixels + basic features.
+
+    Keep ``batch_size`` small for large payloads (batch x concurrency must
+    fit worker heap); the decoded pixels column is emitted as fixed-shape
+    binary so downstream stages can zero-copy view it."""
+
+    def __init__(self, target_size: tuple[int, int] | None = None):
+        self.target_size = target_size
+
+    @staticmethod
+    def _resize_nearest(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+        sh, sw = img.shape[:2]
+        ri = (np.arange(th) * sh // th).astype(np.int64)
+        ci = (np.arange(tw) * sw // tw).astype(np.int64)
+        return img[ri][:, ci]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        out_pixels, out_w, out_h, mean_lum = [], [], [], []
+        for p, w, h in zip(payloads, widths, heights):
+            img = _fake_decode(p, int(w), int(h))
+            if self.target_size:
+                img = self._resize_nearest(img, *self.target_size)
+            out_pixels.append(np.ascontiguousarray(img).tobytes())
+            out_h.append(img.shape[0])
+            out_w.append(img.shape[1])
+            mean_lum.append(float(img.mean()))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "pixels": pa.array(out_pixels, pa.binary()),
+                "out_width": pa.array(out_w, pa.int32()),
+                "out_height": pa.array(out_h, pa.int32()),
+                "mean_luminance": pa.array(mean_lum, pa.float64()),
+            }
+        )
+
+
+class FrameSampleKernel:
+    """'Video' payloads -> every ``stride``-th frame chunk (flat_map-style:
+    one output row per sampled frame)."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_id, out_frame, out_chunk = [], [], []
+        for mid, payload, n_frames in zip(
+            batch["media_id"].to_pylist(),
+            batch["payload"].to_pylist(),
+            batch["n_frames"].to_pylist(),
+        ):
+            size = max(1, len(payload) // max(1, n_frames))
+            for fi in range(0, n_frames, self.stride):
+                out_id.append(mid)
+                out_frame.append(fi)
+                out_chunk.append(payload[fi * size : (fi + 1) * size])
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "frame": pa.array(out_frame, pa.int32()),
+                "chunk": pa.array(out_chunk, pa.binary()),
+            }
+        )
+
+
+def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=(1, 4),
+                           batch_size: int = 32):
+    """read -> actor-pool decode/resize -> per-item features. batch_size is
+    deliberately small: payload x batch x concurrency bounds worker heap."""
+    return media_ds.map_batches(
+        DecodeImageKernel,
+        fn_constructor_kwargs=dict(target_size=target_size),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,94 @@
+"""CLI golden-output tests (reference tests/test_cli.py analog, argparse
+instead of click)."""
+
+import json
+
+import pytest
+
+from python_rasterstats_ray.cli import main
+
+from conftest import REF_DATA
+
+
+def run_cli(capsys, argv):
+    rc = main(argv)
+    out = capsys.readouterr().out
+    return rc, out
+
+
+def test_zonalstats_collection(capsys):
+    rc, out = run_cli(
+        capsys,
+        ["zonalstats", f"{REF_DATA}/featurecollection.geojson", f"{REF_DATA}/slope.tif"],
+    )
+    assert rc == 0
+    fc = json.loads(out)
+    assert fc["type"] == "FeatureCollection"
+    assert [f["properties"]["count"] for f in fc["features"]] == [75, 50]
+    assert round(fc["features"][0]["properties"]["mean"], 2) == 14.66
+
+
+def test_zonalstats_sequence_rs(capsys):
+    rc, out = run_cli(
+        capsys,
+        [
+            "zonalstats",
+            f"{REF_DATA}/featurecollection.geojson",
+            f"{REF_DATA}/slope.tif",
+            "--sequence",
+            "--rs",
+            "--stats",
+            "count",
+            "--prefix",
+            "z_",
+        ],
+    )
+    assert rc == 0
+    records = [r for r in out.split("\x1e") if r.strip()]
+    assert len(records) == 2
+    assert json.loads(records[0])["properties"]["z_count"] == 75
+
+
+def test_zonalstats_all_stats(capsys):
+    rc, out = run_cli(
+        capsys,
+        [
+            "zonalstats",
+            f"{REF_DATA}/feature.geojson",
+            f"{REF_DATA}/slope.tif",
+            "--stats",
+            "all",
+        ],
+    )
+    props = json.loads(out)["features"][0]["properties"]
+    for key in ("count", "median", "majority", "nodata"):
+        assert key in props
+
+
+def test_pointquery(capsys):
+    rc, out = run_cli(
+        capsys,
+        ["pointquery", "POINT(245309 1000064)", f"{REF_DATA}/slope.tif"],
+    )
+    assert rc == 0
+    fc = json.loads(out)
+    assert fc["features"][0]["properties"]["value"] == pytest.approx(74.0981759)
+
+
+def test_pointquery_nearest_property(capsys):
+    rc, out = run_cli(
+        capsys,
+        [
+            "pointquery",
+            f"{REF_DATA}/points.shp",
+            f"{REF_DATA}/slope.tif",
+            "--interpolate",
+            "nearest",
+            "--property-name",
+            "elev",
+            "--sequence",
+        ],
+    )
+    lines = [ln for ln in out.splitlines() if ln.strip()]
+    assert len(lines) == 3
+    assert "elev" in json.loads(lines[0])["properties"]

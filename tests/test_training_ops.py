@@ -1,0 +1,246 @@
+"""Training-data operator tests: dedup, text analysis, similarity search,
+point kNN, multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different content about ray data pipelines and arrow",
+        "a third document with its own unique words and tokens here",
+    ]
+    texts, ids = [], []
+    for i in range(60):
+        t = base[i % 3] + f" filler {i % 5}"
+        texts.append(t)
+        ids.append(i)
+    # exact duplicates: 60..69 duplicate ids 0..9's text
+    for i in range(10):
+        texts.append(texts[i])
+        ids.append(60 + i)
+    # near duplicate of doc 1 (one word changed)
+    texts.append(texts[0].replace("again", "againn"))
+    ids.append(70)
+    return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+
+def test_exact_dedup(ray_session, docs_with_dups):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(ray.data.from_arrow(docs_with_dups)).to_pandas()
+    # 15 distinct texts (3 bases x 5 fillers) + 1 near-dup variant
+    assert len(out) == 16
+    assert out["dup_count"].sum() == 71
+    # representative = min doc_id: dup of doc 0 keeps 0, not 60
+    dups = out[out["dup_count"] > 1]
+    assert (dups["rep_doc_id"] < 60).all()
+
+
+def test_minhash_finds_near_dup(ray_session, docs_with_dups):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    pairs = minhash_lsh_pairs(
+        ray.data.from_arrow(docs_with_dups)
+    ).to_pandas()
+    pair_set = set(zip(pairs["id_a"], pairs["id_b"]))
+    # exact dup pair must collide in every band
+    assert (0, 60) in pair_set
+    # near-dup (one token changed) should collide in some band
+    assert (0, 70) in pair_set or (70, 0) in pair_set
+    # verification: jaccard of the near-dup is high, cross-base is low
+    texts = docs_with_dups["text"].to_pylist()
+    assert ngram_jaccard(texts[0], texts[70]) > 0.7
+    assert ngram_jaccard(texts[0], texts[1]) < 0.3
+
+
+def test_simhash_hamming(ray_session, docs_with_dups):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import SimHashKernel
+
+    out = (
+        ray.data.from_arrow(docs_with_dups)
+        .map_batches(SimHashKernel, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    h = lambda a, b: bin(
+        (int(out.loc[a, "simhash"]) & 0xFFFFFFFFFFFFFFFF)
+        ^ (int(out.loc[b, "simhash"]) & 0xFFFFFFFFFFFFFFFF)
+    ).count("1")
+    assert h(0, 60) == 0  # identical docs -> identical simhash
+    assert h(0, 70) <= 12  # near dup -> hamming-close
+    assert h(0, 1) > h(0, 70)  # unrelated docs further apart
+
+
+def test_embedding_neardup_planted(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((50, 16))
+    vecs[40] = vecs[7] + 0.001 * rng.standard_normal(16)  # planted near-dup
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    out = embedding_neardup_pairs(
+        ray.data.from_arrow(tbl), threshold=0.99
+    ).to_pandas()
+    assert {(7, 40)} == set(zip(out["id_a"], out["id_b"]))
+
+
+def test_knn_embeddings_matches_bruteforce(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import knn_embeddings
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 12))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    qids = np.array([3, 17], dtype=np.int64)
+    out = (
+        knn_embeddings(ray.data.from_arrow(tbl), (qids, vecs[qids]), k=5)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+    unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for qid in qids:
+        sims = unit @ unit[qid]
+        expect = np.lexsort((np.arange(200), -sims))[:5]
+        got = out[out["query_id"] == qid]["neighbor_id"].to_numpy()
+        assert list(got) == list(expect)
+        assert got[0] == qid  # self is rank 1
+
+
+def test_knn_ivf_recall(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import knn_embeddings, knn_ivf, train_centroids
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((400, 16))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    qids = np.array([0, 1, 2], dtype=np.int64)
+    cents = train_centroids(ds, n_centroids=8)
+    exact = knn_embeddings(ds, (qids, vecs[qids]), k=10).to_pandas()
+    approx = knn_ivf(ds, (qids, vecs[qids]), cents, k=10, nprobe=4).to_pandas()
+    # recall@10 of the IVF path vs brute force
+    recalls = []
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["neighbor_id"])
+        a = set(approx[approx["query_id"] == qid]["neighbor_id"])
+        recalls.append(len(e & a) / 10)
+    assert np.mean(recalls) >= 0.6
+
+
+def test_knn_points_grid_matches_bruteforce(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.knn_points import knn_points
+
+    rng = np.random.default_rng(11)
+    ref = rng.uniform(0, 100, size=(300, 2))
+    ids = np.arange(300, dtype=np.int64)
+    q = rng.uniform(0, 100, size=(40, 2))
+    queries = pa.table(
+        {
+            "pt_id": pa.array(np.arange(40), pa.int64()),
+            "x": pa.array(q[:, 0]),
+            "y": pa.array(q[:, 1]),
+        }
+    )
+    out = (
+        knn_points(ray.data.from_arrow(queries), ref[:, 0], ref[:, 1], ids, k=3)
+        .to_pandas()
+        .sort_values(["query_id", "knn_rank"])
+    )
+    for qi in range(40):
+        dx = ref[:, 0] - q[qi, 0]
+        dy = ref[:, 1] - q[qi, 1]
+        expect = np.lexsort((ids, dx * dx + dy * dy))[:3]
+        got = out[out["query_id"] == qi]["neighbor_id"].to_numpy()
+        assert list(got) == list(expect), qi
+
+
+def test_text_stages(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.text import LangIdKernel, quality_batch, fingerprint_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "The quick brown fox, of course, jumps over the lazy dog!",
+                    "Der Wanderer ging durch einen schoenen Wald und ich sah ihn",
+                    "UPPER case SHOUTING text HERE",
+                ]
+            ),
+        }
+    )
+    q = quality_batch(tbl).to_pandas()
+    assert q.loc[0, "n_tokens"] == 11
+    assert 0 < q.loc[0, "alpha_ratio"] < 1
+    assert q.loc[2, "upper_ratio"] > q.loc[0, "upper_ratio"]
+
+    ds = ray.data.from_arrow(tbl)
+    lang = ds.map_batches(LangIdKernel, batch_format="pyarrow", concurrency=(1, 2)).to_pandas()
+    assert lang.loc[lang["doc_id"] == 0, "lang_guess"].iloc[0] == "en"
+    assert lang.loc[lang["doc_id"] == 1, "lang_guess"].iloc[0] == "de"
+
+    fp1 = fingerprint_batch(tbl).to_pandas()
+    fp2 = fingerprint_batch(tbl).to_pandas()
+    assert (fp1["fingerprint"] == fp2["fingerprint"]).all()  # deterministic
+    assert fp1["fingerprint"].nunique() == 3
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.multimodal import (
+        FrameSampleKernel,
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    media = synth_media_table(24)
+    out = media_feature_pipeline(ray.data.from_arrow(media)).to_pandas()
+    assert len(out) == 24
+    assert (out["out_width"] == 16).all() and (out["out_height"] == 12).all()
+    # pixels payload has the exact decoded size and is deterministic
+    assert all(len(p) == 16 * 12 * 3 for p in out["pixels"])
+    out2 = media_feature_pipeline(ray.data.from_arrow(media)).to_pandas()
+    assert (out["mean_luminance"].to_numpy() == out2["mean_luminance"].to_numpy()).all()
+
+    frames = (
+        ray.data.from_arrow(synth_media_table(5, kind="video"))
+        .map_batches(FrameSampleKernel, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+    )
+    assert len(frames) == 5 * 4  # 16 frames, stride 4
+    assert set(frames["frame"]) == {0, 4, 8, 12}
