@@ -163,6 +163,75 @@ def _q_point_query_synthetic(sf_dir: str):
     )
 
 
+def _q_zonal_categorical(sf_dir: str):
+    """Tiled zonal with categorical histograms + holistic stats (exercises
+    the value-multiset merge path)."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata = generate_raster((384, 384), kind="classes", seed=5)
+    zones = generate_zones(32, extent=(0.0, 0.0, 384.0, 384.0), seed=6)
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    return zonal_stats_tiled(
+        ray.data.from_arrow(zones),
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats="count majority minority unique median",
+        categorical=True,
+        tile_size=128,
+    )
+
+
+def _q_zonal_all_touched(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata = generate_raster((384, 384), kind="continuous", seed=15)
+    zones = generate_zones(32, extent=(-10.0, -10.0, 394.0, 394.0), seed=16)
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    return zonal_stats_tiled(
+        ray.data.from_arrow(zones),
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats="count min max nodata",
+        all_touched=True,
+        tile_size=128,
+    )
+
+
+def _q_point_query_nearest(sf_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster
+    from python_rasterstats_ray.stages.point_dist import point_query_broadcast
+
+    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=21)
+    rng = np.random.default_rng(9)
+    pts = rng.uniform(-10, 266, size=(500, 2))
+    tbl = pa.table(
+        {
+            "pt_id": pa.array(range(len(pts)), pa.int64()),
+            "x": pa.array(pts[:, 0], pa.float64()),
+            "y": pa.array(pts[:, 1], pa.float64()),
+        }
+    )
+    return point_query_broadcast(
+        ray.data.from_arrow(tbl), (arr, affine, nodata), interpolate="nearest"
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -206,6 +275,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "point_query_synthetic": _q_point_query_synthetic,
             "media_features": _q_media_features,
             "flagship_checkpointed": _q_flagship_checkpointed,
+            "zonal_categorical": _q_zonal_categorical,
+            "zonal_all_touched": _q_zonal_all_touched,
+            "point_query_nearest": _q_point_query_nearest,
         }
     )
     return out

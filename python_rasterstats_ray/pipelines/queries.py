@@ -581,6 +581,63 @@ GROUP BY zone_id
 """
 
 
+def q_orders_by_region(sf_dir: str):
+    """4-table broadcast join: orders -> customer -> nation -> region."""
+    import ray
+
+    cust = _small_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    nation = _small_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _small_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
+    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    nmap = dict(
+        zip(nation["n_nationkey"].to_pylist(),
+            (rmap[rk] for rk in nation["n_regionkey"].to_pylist()))
+    )
+    cmap = {
+        ck: nmap[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cmap)
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    class Lookup:
+        def __init__(self):
+            import ray as _r
+
+            self.map = _r.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {"r_name": df["o_custkey"].map(self.map), "o_totalprice": df["o_totalprice"]}
+            )
+            return out.groupby("r_name", as_index=False).agg(
+                n_orders=("o_totalprice", "size"), total_revenue=("o_totalprice", "sum")
+            )
+
+    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "r_name": [g["r_name"].iloc[0]],
+                "n_orders": [int(g["n_orders"].sum())],
+                "total_revenue": [g["total_revenue"].sum()],
+            }
+        )
+
+    return partials.groupby("r_name").map_groups(final, batch_format="pandas")
+
+
+SQL_ORDERS_BY_REGION = """
+SELECT r_name, count(*) AS n_orders, sum(o_totalprice) AS total_revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 def q_knn_points_geo(sf_dir: str, k: int = 5, n_queries: int = 100):
     """Grid-index kNN of the first ``n_queries`` geotagged docs against all
     docs (per-cell grid index actor stage, functions/state/grid_index.py).
@@ -637,6 +694,7 @@ WHERE knn_rank <= 5
 
 ORACLE_SQL = {
     "knn_points_geo": SQL_KNN_POINTS_GEO,
+    "orders_by_region": SQL_ORDERS_BY_REGION,
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
@@ -654,6 +712,7 @@ ORACLE_SQL = {
 
 QUERIES = {
     "knn_points_geo": q_knn_points_geo,
+    "orders_by_region": q_orders_by_region,
     "tpch_q1": q_tpch_q1,
     "orders_by_nation": q_orders_by_nation,
     "parts_by_brand": q_parts_by_brand,

@@ -74,6 +74,26 @@ def test_categorical_and_map(polygons):
     assert mapped[1] == {"low": 1, 2.0: 9, "high": 40}
 
 
+def test_points_categorical():
+    stats = zonal_stats(f"{REF_DATA}/points.shp", f"{REF_DATA}/slope_classes.tif", categorical=True)
+    assert len(stats) == 3
+    assert "mean" not in stats[0]
+    assert stats[0][1.0] == 1
+    assert stats[1][2.0] == 1
+
+
+def test_nodata_override_categorical(polygons):
+    # nodata=1.0 masks the majority class entirely (tests/test_zonal.py:192-204)
+    stats = zonal_stats(
+        polygons, f"{REF_DATA}/slope_classes.tif", stats="*", categorical=True, nodata=1.0
+    )
+    assert stats[0]["majority"] is None
+    assert stats[0]["count"] == 0
+    assert stats[1]["minority"] == 2.0
+    assert stats[1]["count"] == 49
+    assert "1.0" not in stats[0]
+
+
 def test_nodata_and_all_nodata(polygons):
     stats = zonal_stats(polygons, f"{REF_DATA}/slope_nodata.tif", stats="nodata count")
     assert [(s["nodata"], s["count"]) for s in stats] == [(36, 39), (19, 31)]
