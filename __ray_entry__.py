@@ -232,6 +232,31 @@ def _q_point_query_nearest(sf_dir: str):
     )
 
 
+def _q_pages_pipeline(sf_dir: str):
+    """North-rule pipeline over the exact input-hint schema (url, warc_ts,
+    html, text, lang) with per-zone byte-identity verification."""
+    from python_rasterstats_ray.pipelines.webpages import pages_pipeline
+
+    _, zone_stats = pages_pipeline(n_pages=10_000, n_zones=24)
+    return zone_stats
+
+
+def _q_zonal_auto(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_auto
+
+    arr, affine, nodata = generate_raster((384, 384), kind="holes", seed=19)
+    zones = generate_zones(40, extent=(0.0, 0.0, 384.0, 384.0), seed=20, mega_every=13)
+    return zonal_stats_auto(
+        ray.data.from_arrow(zones),
+        (arr, affine, nodata),
+        stats="count mean nodata",
+        window_px_budget=20_000,
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -278,6 +303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zonal_categorical": _q_zonal_categorical,
             "zonal_all_touched": _q_zonal_all_touched,
             "point_query_nearest": _q_point_query_nearest,
+            "pages_pipeline": _q_pages_pipeline,
+            "zonal_auto": _q_zonal_auto,
         }
     )
     return out

@@ -581,6 +581,42 @@ GROUP BY zone_id
 """
 
 
+def q_docs_dedup_filtered(sf_dir: str):
+    """Dedup applied as a filter: keep only each text's min-doc_id
+    representative, return the surviving rows (id, lang, n_chars).
+    Two-pass: tiny (hash -> rep id) mapping computed distributed, then
+    broadcast back as a survivor-id set filter (no payload shuffle)."""
+    import ray
+
+    from ..stages.dedup import exact_dedup_groups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    reps = exact_dedup_groups(ds).select_columns(["rep_doc_id"]).to_pandas()
+    survivors = ray.put(set(int(v) for v in reps["rep_doc_id"]))
+
+    full = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    class Filter:
+        def __init__(self):
+            import ray as _r
+
+            self.keep = _r.get(survivors)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["doc_id"].isin(self.keep)]
+
+    return full.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))
+
+
+SQL_DOCS_DEDUP_FILTERED = """
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+JOIN (
+  SELECT md5(text) AS h, min(doc_id) AS m FROM documents GROUP BY md5(text)
+) k ON md5(d.text) = k.h AND d.doc_id = k.m
+"""
+
+
 def q_orders_by_region(sf_dir: str):
     """4-table broadcast join: orders -> customer -> nation -> region."""
     import ray
@@ -695,6 +731,7 @@ WHERE knn_rank <= 5
 ORACLE_SQL = {
     "knn_points_geo": SQL_KNN_POINTS_GEO,
     "orders_by_region": SQL_ORDERS_BY_REGION,
+    "docs_dedup_filtered": SQL_DOCS_DEDUP_FILTERED,
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
@@ -713,6 +750,7 @@ ORACLE_SQL = {
 QUERIES = {
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
+    "docs_dedup_filtered": q_docs_dedup_filtered,
     "tpch_q1": q_tpch_q1,
     "orders_by_nation": q_orders_by_nation,
     "parts_by_brand": q_parts_by_brand,

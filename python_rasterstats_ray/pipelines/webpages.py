@@ -121,6 +121,101 @@ def enrich_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     return out
 
 
+def pages_pipeline(
+    n_pages: int = 20_000,
+    n_zones: int = 24,
+    seed: int = 42,
+    concurrency=(1, 8),
+):
+    """The north-rule pipeline over the exact input-hint schema
+    (url:string, warc_ts:timestamp, html:binary, text:string, lang:string):
+
+    synthetic pages (lazy, generated in parallel blocks — never
+    materialized on the driver) -> geotag from url hash -> PIP zone join
+    -> per-zone aggregates. ``text`` is a pure function of ``url``
+    (sources/synthetic.page_text_for_url), so byte identity is checkable
+    by RE-DERIVATION at any stage, not just by digest comparison; the
+    final stage verifies it per batch and counts violations (must be 0).
+
+    Returns (enriched_ds, zone_stats_ds); zone_stats carries
+    n_identity_violations per zone.
+    """
+    import ray
+    import ray.data
+    import pyarrow.compute as pc_
+
+    from ..sources.synthetic import page_geotag, page_text_for_url, pages_dataset
+
+    zones_ref = ray.put(default_world_zones(n_zones, seed=seed))
+    ds = pages_dataset(n_pages, seed=seed)
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        lon, lat = page_geotag(urls)
+        shas = sha256_hex(batch["text"].to_pylist())
+        n_tokens = pc_.cast(pc_.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        html_bytes = pc_.cast(pc_.binary_length(batch["html"]), pa.int64())
+        out = batch
+        out = out.append_column("lon", pa.array(lon, pa.float64()))
+        out = out.append_column("lat", pa.array(lat, pa.float64()))
+        out = out.append_column("text_sha", pa.array(shas, pa.string()))
+        out = out.append_column("n_tokens", n_tokens)
+        out = out.append_column("html_bytes", html_bytes)
+        return out
+
+    enriched = ds.map_batches(
+        enrich, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        PIPZoneKernel,
+        fn_constructor_kwargs=dict(zones_ref=zones_ref),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        violations = sum(1 for u, t in zip(urls, texts) if page_text_for_url(u) != t)
+        df = pd.DataFrame(
+            {
+                "zone_id": batch["zone_id"].to_numpy(zero_copy_only=False),
+                "n_tokens": batch["n_tokens"].to_numpy(zero_copy_only=False),
+                "html_bytes": batch["html_bytes"].to_numpy(zero_copy_only=False),
+                "text_sha": batch["text_sha"].to_pylist(),
+            }
+        )
+        g = (
+            df.groupby("zone_id")
+            .agg(
+                n_pages=("n_tokens", "size"),
+                total_tokens=("n_tokens", "sum"),
+                total_html_bytes=("html_bytes", "sum"),
+                sha_xor=("text_sha", xor_digest),
+            )
+            .reset_index()
+        )
+        g["n_identity_violations"] = violations
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone_id": [int(g["zone_id"].iloc[0])],
+                "n_pages": [int(g["n_pages"].sum())],
+                "total_tokens": [int(g["total_tokens"].sum())],
+                "total_html_bytes": [int(g["total_html_bytes"].sum())],
+                "sha_xor": [xor_digest(g["sha_xor"])],
+                "n_identity_violations": [int(g["n_identity_violations"].sum())],
+            }
+        )
+
+    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+    return enriched, zone_stats
+
+
 def flagship_pipeline(
     sf_dir: str,
     n_zones: int = 24,

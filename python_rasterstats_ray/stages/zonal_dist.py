@@ -587,6 +587,114 @@ def build_tile_refmap(tiles_ds, superblock_tiles: int = 64):
     return ray.put((index, sb_refs)), sb_refs
 
 
+def attach_zone_columns(stats_ds, zones_ds, columns: list[str], zone_col: str = "zone_id"):
+    """Re-attach zone attribute columns (the geojson_out equivalent for
+    distributed outputs): broadcast a small zone_id -> attributes mapping
+    and map it onto the stats rows — no shuffle join."""
+    import ray
+
+    zmap_tbl = zones_ds.select_columns([zone_col] + columns).to_pandas()
+    lookup = {int(r[zone_col]): tuple(r[c] for c in columns) for _, r in zmap_tbl.iterrows()}
+    ref = ray.put(lookup)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        m = _r.get(ref)
+        zids = batch[zone_col].to_numpy(zero_copy_only=False)
+        out = batch
+        for ci, cname in enumerate(columns):
+            vals = [m.get(int(z), (None,) * len(columns))[ci] for z in zids]
+            out = out.append_column(cname, pa.array(vals))
+        return out
+
+    return stats_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def zonal_stats_auto(
+    zones_ds,
+    raster,
+    affine=None,
+    nodata=None,
+    *,
+    stats=None,
+    all_touched: bool = False,
+    window_px_budget: int = 4_000_000,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    geom_col: str = "geom_wkb",
+    concurrency=(1, 8),
+):
+    """Hybrid physical plan: zones whose snapped window exceeds
+    ``window_px_budget`` pixels (mega-polygons — whole-window stragglers on
+    the broadcast path) route through the split-by-tile cell join; everybody
+    else takes the shuffle-free broadcast path. Results union, sorted by
+    zone_id. This is the skew rule of the north star applied as a planner
+    decision."""
+    import ray
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+
+    if isinstance(raster, tuple):
+        arr, affine, nodata = raster
+    else:
+        arr = raster
+
+    def classify(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        px = _np.empty(len(batch), dtype=_np.int64)
+        for i, wkb in enumerate(batch[geom_col].to_pylist()):
+            g = from_wkb(wkb)
+            if g.is_point_type:
+                g = boxify_points(g, affine)
+            (r0, r1), (c0, c1) = bounds_window(g.bounds, affine)
+            px[i] = max(0, r1 - r0) * max(0, c1 - c0)
+        return batch.append_column("_window_px", pa.array(px))
+
+    classified = zones_ds.map_batches(
+        classify, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def keep_small(batch: pa.Table) -> pa.Table:
+        mask = pc.less_equal(batch["_window_px"], window_px_budget)
+        return batch.filter(mask).drop_columns(["_window_px"])
+
+    def keep_big(batch: pa.Table) -> pa.Table:
+        mask = pc.greater(batch["_window_px"], window_px_budget)
+        return batch.filter(mask).drop_columns(["_window_px"])
+
+    small = classified.map_batches(keep_small, batch_format="pyarrow", zero_copy_batch=True)
+    big = classified.map_batches(keep_big, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    stats_list, _ = check_stats(stats, False)
+    out_cols = ["zone_id"] + stats_list
+
+    bc = zonal_stats_broadcast(
+        small, (arr, affine, nodata), stats=stats, all_touched=all_touched,
+        geom_col=geom_col, concurrency=concurrency,
+    ).map_batches(
+        lambda b: b.select([c for c in out_cols if c in b.column_names]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    if big.count() > 0:
+        tiles = ray.data.from_arrow(raster_to_tiles_table(arr, affine, nodata, tile_size))
+        td = zonal_stats_tiled(
+            big, tiles, affine, nodata, raster_dtype=str(arr.dtype),
+            stats=stats, all_touched=all_touched, tile_size=tile_size, geom_col=geom_col,
+        ).map_batches(
+            lambda b: b.select([c for c in out_cols if c in b.column_names]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        combined = bc.union(td).materialize()
+    else:
+        combined = bc.materialize()
+    return combined.sort("zone_id")
+
+
 def zonal_stats_tiled(
     zones_ds,
     tiles_ds,
