@@ -257,6 +257,28 @@ def _q_zonal_auto(sf_dir: str):
     )
 
 
+def _q_point_query_features(sf_dir: str):
+    """Per-feature vertex point query (gen_point_query parity) over
+    synthetic polygon features."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.stages.point_dist import point_query_features
+
+    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=23)
+    zones = generate_zones(50, extent=(0.0, 0.0, 256.0, 256.0), seed=24)
+    out = point_query_features(
+        ray.data.from_arrow(zones).select_columns(["zone_id", "geom_wkb"]),
+        (arr, affine, nodata),
+    )
+    import pyarrow as pa
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["zone_id", "values", "values_scalar"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -305,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "point_query_nearest": _q_point_query_nearest,
             "pages_pipeline": _q_pages_pipeline,
             "zonal_auto": _q_zonal_auto,
+            "point_query_features": _q_point_query_features,
         }
     )
     return out

@@ -94,6 +94,74 @@ class PointQueryKernel:
         return batch.append_column(self.value_col, arr)
 
 
+class FeaturePointQueryKernel(PointQueryKernel):
+    """Per-feature vertex query (gen_point_query parity, point.py:101-207):
+    each input row carries a WKB geometry; output is the per-vertex value
+    list (nulls where masked), flattened to a scalar column for
+    single-vertex geometries alongside the list column."""
+
+    def __init__(self, raster_ref, interpolate: str = "bilinear",
+                 geom_col: str = "geom_wkb", value_col: str = "values"):
+        super().__init__(raster_ref, interpolate=interpolate, value_col=value_col)
+        self.geom_col = geom_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        from ..functions.geometry import from_wkb
+
+        wkbs = batch[self.geom_col].to_pylist()
+        offsets = [0]
+        xs, ys = [], []
+        for wkb in wkbs:
+            v = from_wkb(wkb).vertex_array()
+            xs.append(v[:, 0])
+            ys.append(v[:, 1])
+            offsets.append(offsets[-1] + len(v))
+        flat_x = np.concatenate(xs) if xs else np.empty(0)
+        flat_y = np.concatenate(ys) if ys else np.empty(0)
+        vals = self._values(flat_x, flat_y)
+        lists = [
+            [None if np.isnan(v) else float(v) for v in vals[offsets[i] : offsets[i + 1]]]
+            for i in range(len(wkbs))
+        ]
+        scalars = [lst[0] if len(lst) == 1 else None for lst in lists]
+        out = batch.append_column(self.value_col, pa.array(lists, pa.list_(pa.float64())))
+        out = out.append_column(
+            f"{self.value_col}_scalar", pa.array(scalars, pa.float64())
+        )
+        return out
+
+
+def point_query_features(
+    features_ds,
+    raster,
+    affine=None,
+    nodata=None,
+    *,
+    interpolate: str = "bilinear",
+    geom_col: str = "geom_wkb",
+    concurrency=(1, 8),
+    batch_size: int = 1024,
+):
+    """Features Dataset (with WKB geometry) -> per-vertex value lists."""
+    import ray
+
+    if isinstance(raster, tuple):
+        arr, affine, nodata = raster
+    else:
+        arr = raster
+    raster_ref = ray.put((arr, affine, nodata))
+    return features_ds.map_batches(
+        FeaturePointQueryKernel,
+        fn_constructor_kwargs=dict(
+            raster_ref=raster_ref, interpolate=interpolate, geom_col=geom_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
 def point_query_broadcast(
     points_ds,
     raster,
