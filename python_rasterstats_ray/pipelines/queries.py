@@ -581,6 +581,66 @@ GROUP BY zone_id
 """
 
 
+def q_events_windowed(sf_dir: str, window_us: int = 3_600_000_000):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+    from ..stages.temporal import tumbling_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return tumbling_window_agg(ds, window_us)
+
+
+SQL_EVENTS_WINDOWED = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+       event_type, count(*) AS n_events, sum(value) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_asof_orders(sf_dir: str):
+    """As-of join: each event picks the user's latest order at or before
+    the event time (ties: greatest orderkey). Unmatched events dropped to
+    mirror the SQL inner join."""
+    import pyarrow.compute as pc_
+
+    from ..stages.temporal import asof_join
+
+    build = _small_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"]
+    ).to_pandas()
+    probe = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    out = asof_join(
+        probe,
+        build,
+        key_col="user_id",
+        build_key_col="o_custkey",
+        probe_ts_col="ts",
+        build_ts_col="o_orderdate",
+        build_id_col="o_orderkey",
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        mask = pc_.is_valid(batch["asof_id"])
+        b = batch.filter(mask)
+        return pa.table(
+            {"event_id": b["event_id"], "asof_orderkey": b["asof_id"]}
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+SELECT event_id, asof_orderkey FROM (
+  SELECT e.event_id, o.o_orderkey AS asof_orderkey,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) t WHERE rn = 1
+"""
+
+
 def q_docs_dedup_filtered(sf_dir: str):
     """Dedup applied as a filter: keep only each text's min-doc_id
     representative, return the surviving rows (id, lang, n_chars).
@@ -732,6 +792,8 @@ ORACLE_SQL = {
     "knn_points_geo": SQL_KNN_POINTS_GEO,
     "orders_by_region": SQL_ORDERS_BY_REGION,
     "docs_dedup_filtered": SQL_DOCS_DEDUP_FILTERED,
+    "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
@@ -751,6 +813,8 @@ QUERIES = {
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,
+    "events_windowed": q_events_windowed,
+    "events_asof_orders": q_events_asof_orders,
     "tpch_q1": q_tpch_q1,
     "orders_by_nation": q_orders_by_nation,
     "parts_by_brand": q_parts_by_brand,

@@ -1,0 +1,131 @@
+"""Temporal operators Ray Data lacks natively: tumbling-window aggregates
+and as-of joins (SURVEY.md section 2 'custom operators' note).
+
+Both are expressed as compositions the streaming executor can pipeline:
+- tumbling window: bucket key derived per batch (vectorized) + the usual
+  partial-then-final groupby — no watermark state needed for bounded
+  (batch) inputs.
+- as-of join: the build side (small) is broadcast as per-key sorted arrays;
+  each probe batch does one np.searchsorted per key group. Partitioning
+  assumption (documented): the build side fits in worker memory; beyond
+  that, co-partition both sides by key hash and run the same searchsorted
+  inside groupby groups.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def tumbling_window_agg(
+    events_ds,
+    window_us: int,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Per (window_start, key) count + sum over tumbling windows of
+    ``window_us`` microseconds (epoch-aligned)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].astype("int64").to_numpy()
+        win = (ts // window_us) * window_us
+        out = pd.DataFrame(
+            {"window_start": win, key_col: df[key_col], "v": df[value_col]}
+        )
+        return out.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=("v", "size"), total_value=("v", "sum")
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "window_start": [int(g["window_start"].iloc[0])],
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "total_value": [g["total_value"].sum()],
+            }
+        )
+
+    return partials.groupby(["window_start", key_col]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+class AsofJoinKernel:
+    """Probe-side kernel: for each probe row (key, ts), attach the build
+    row with the greatest build_ts <= ts (ties broken by greatest build id,
+    matching ORDER BY ts DESC, id DESC LIMIT 1). Probe rows with no match
+    get nulls."""
+
+    def __init__(self, build_ref, key_col: str, ts_col: str):
+        import ray
+
+        # build: dict key -> (sorted build_ts int64 array, build ids array)
+        self.build = ray.get(build_ref)
+        self.key_col = key_col
+        self.ts_col = ts_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key_col].to_numpy(zero_copy_only=False)
+        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        out_id = np.full(len(batch), -1, dtype=np.int64)
+        for key in np.unique(keys):
+            ent = self.build.get(int(key))
+            if ent is None:
+                continue
+            bts, bids = ent
+            mask = keys == key
+            pos = np.searchsorted(bts, ts[mask], side="right") - 1
+            ok = pos >= 0
+            vals = np.full(int(mask.sum()), -1, dtype=np.int64)
+            vals[ok] = bids[pos[ok]]
+            out_id[mask] = vals
+        matched = out_id >= 0
+        col = pa.array(
+            np.where(matched, out_id, 0), pa.int64(), mask=~matched
+        )
+        return batch.append_column("asof_id", col)
+
+
+def asof_join(
+    probe_ds,
+    build_df: pd.DataFrame,
+    *,
+    key_col: str,
+    probe_ts_col: str,
+    build_ts_col: str,
+    build_id_col: str,
+    build_key_col: str | None = None,
+    concurrency=(1, 4),
+):
+    """Probe Dataset x small build table -> probe rows + ``asof_id``.
+
+    ``build_key_col`` defaults to ``key_col`` (use it when the two sides
+    name the key differently). For ties on build_ts, the larger build id
+    wins (deterministic and SQL-reproducible via ORDER BY ts DESC, id
+    DESC)."""
+    import ray
+
+    bkey = build_key_col or key_col
+    build: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    df = build_df.sort_values([bkey, build_ts_col, build_id_col])
+    for key, g in df.groupby(bkey):
+        bts = g[build_ts_col].astype("int64").to_numpy()
+        bids = g[build_id_col].astype("int64").to_numpy()
+        # for duplicate ts keep the max id at each position: since sorted by
+        # (ts, id), searchsorted 'right' - 1 lands on the last (max id) row
+        build[int(key)] = (bts, bids)
+    ref = ray.put(build)
+    return probe_ds.map_batches(
+        AsofJoinKernel,
+        fn_constructor_kwargs=dict(build_ref=ref, key_col=key_col, ts_col=probe_ts_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

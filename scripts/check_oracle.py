@@ -32,11 +32,20 @@ def to_df(result) -> pd.DataFrame:
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
+    sort_cols = []
     for c in df.columns:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
-    df = df.sort_values(list(df.columns)).reset_index(drop=True)
-    return df
+        if np.issubdtype(df[c].dtype, np.floating):
+            # floats are compared with isclose later; round the SORT key so
+            # sub-epsilon sum differences can't reorder otherwise-equal rows
+            key = f"__sort_{c}"
+            df[key] = df[c].round(6)
+            sort_cols.append(key)
+        else:
+            sort_cols.append(c)
+    df = df.sort_values(sort_cols).reset_index(drop=True)
+    return df.drop(columns=[c for c in df.columns if c.startswith("__sort_")])
 
 
 def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> list[str]:
