@@ -42,6 +42,13 @@ def _partial_final_groupby(ds, partial_fn, keys: list[str], final_fn):
 # ------------------------------------------------------------------ TPC-H
 
 
+def _cents(col) -> np.ndarray:
+    """Exact 2-decimal money column -> int64 hundredths. Makes distributed
+    sums order-independent (bit-exact vs a DuckDB DECIMAL(.,2) sum cast to
+    DOUBLE — verified identical on all testdata money columns)."""
+    return np.round(np.asarray(col, dtype=np.float64) * 100.0).astype(np.int64)
+
+
 def q_tpch_q1(sf_dir: str):
     ds = _read(
         sf_dir,
@@ -59,26 +66,39 @@ def q_tpch_q1(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] <= cutoff]
-        df = df.assign(disc_price=df["l_extendedprice"] * (1 - df["l_discount"]))
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
-            sum_disc=("l_discount", "sum"),
-            count_order=("l_quantity", "size"),
+        price100 = _cents(df["l_extendedprice"])
+        disc100 = _cents(df["l_discount"])
+        g = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].to_numpy(),
+                "l_linestatus": df["l_linestatus"].to_numpy(),
+                "qty": df["l_quantity"].to_numpy(),
+                "price100": price100,
+                # price (2dp) x (1 - disc) (2dp) is an exact 4dp value:
+                # accumulate in units of 1e-4 as int64
+                "disc_price4": price100 * (100 - disc100),
+                "disc100": disc100,
+            }
         )
-        return g
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"),
+            sum_price100=("price100", "sum"),
+            sum_disc_price4=("disc_price4", "sum"),
+            sum_disc100=("disc100", "sum"),
+            count_order=("qty", "size"),
+        )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        n = int(g["count_order"].sum())
         row = {
             "l_returnflag": [g["l_returnflag"].iloc[0]],
             "l_linestatus": [g["l_linestatus"].iloc[0]],
             "sum_qty": [g["sum_qty"].sum()],
-            "sum_base_price": [g["sum_base_price"].sum()],
-            "sum_disc_price": [g["sum_disc_price"].sum()],
-            "avg_qty": [g["sum_qty"].sum() / g["count_order"].sum()],
-            "avg_disc": [g["sum_disc"].sum() / g["count_order"].sum()],
-            "count_order": [int(g["count_order"].sum())],
+            "sum_base_price": [g["sum_price100"].sum() / 100.0],
+            "sum_disc_price": [g["sum_disc_price4"].sum() / 10000.0],
+            "avg_qty": [g["sum_qty"].sum() / n],
+            "avg_disc": [(g["sum_disc100"].sum() / 100.0) / n],
+            "count_order": [n],
         }
         return pd.DataFrame(row)
 
@@ -88,10 +108,10 @@ def q_tpch_q1(sf_dir: str):
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
        sum(l_quantity) AS sum_qty,
-       sum(l_extendedprice) AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
        sum(l_quantity) / count(*) AS avg_qty,
-       sum(l_discount) / count(*) AS avg_disc,
+       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -123,9 +143,9 @@ def q_orders_by_nation(sf_dir: str):
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             n_name = df["o_custkey"].map(self.map)
-            out = pd.DataFrame({"n_name": n_name, "o_totalprice": df["o_totalprice"]})
+            out = pd.DataFrame({"n_name": n_name, "rev100": _cents(df["o_totalprice"])})
             return out.groupby("n_name", as_index=False).agg(
-                n_orders=("o_totalprice", "size"), total_revenue=("o_totalprice", "sum")
+                n_orders=("rev100", "size"), rev100=("rev100", "sum")
             )
 
     partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
@@ -135,7 +155,7 @@ def q_orders_by_nation(sf_dir: str):
             {
                 "n_name": [g["n_name"].iloc[0]],
                 "n_orders": [int(g["n_orders"].sum())],
-                "total_revenue": [g["total_revenue"].sum()],
+                "total_revenue": [g["rev100"].sum() / 100.0],
             }
         )
 
@@ -143,7 +163,8 @@ def q_orders_by_nation(sf_dir: str):
 
 
 SQL_ORDERS_BY_NATION = """
-SELECT n_name, count(*) AS n_orders, sum(o_totalprice) AS total_revenue
+SELECT n_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -166,10 +187,10 @@ def q_parts_by_brand(sf_dir: str):
             self.map = _r.get(ref)
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rev = df["l_extendedprice"] * (1 - df["l_discount"])
-            out = pd.DataFrame({"p_brand": df["l_partkey"].map(self.map), "rev": rev})
+            rev4 = _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
+            out = pd.DataFrame({"p_brand": df["l_partkey"].map(self.map), "rev4": rev4})
             return out.groupby("p_brand", as_index=False).agg(
-                n_items=("rev", "size"), revenue=("rev", "sum")
+                n_items=("rev4", "size"), rev4=("rev4", "sum")
             )
 
     partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
@@ -179,7 +200,7 @@ def q_parts_by_brand(sf_dir: str):
             {
                 "p_brand": [g["p_brand"].iloc[0]],
                 "n_items": [int(g["n_items"].sum())],
-                "revenue": [g["revenue"].sum()],
+                "revenue": [g["rev4"].sum() / 10000.0],
             }
         )
 
@@ -188,7 +209,7 @@ def q_parts_by_brand(sf_dir: str):
 
 SQL_PARTS_BY_BRAND = """
 SELECT p_brand, count(*) AS n_items,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 """
@@ -210,8 +231,11 @@ def q_customer_segments(sf_dir: str):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["c_acctbal"] > 0]
-        return df.groupby("c_mktsegment", as_index=False).agg(
-            n_customers=("c_acctbal", "size"), total_bal=("c_acctbal", "sum")
+        out = pd.DataFrame(
+            {"c_mktsegment": df["c_mktsegment"].to_numpy(), "bal100": _cents(df["c_acctbal"])}
+        )
+        return out.groupby("c_mktsegment", as_index=False).agg(
+            n_customers=("bal100", "size"), bal100=("bal100", "sum")
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -219,7 +243,7 @@ def q_customer_segments(sf_dir: str):
             {
                 "c_mktsegment": [g["c_mktsegment"].iloc[0]],
                 "n_customers": [int(g["n_customers"].sum())],
-                "total_bal": [g["total_bal"].sum()],
+                "total_bal": [g["bal100"].sum() / 100.0],
             }
         )
 
@@ -227,7 +251,8 @@ def q_customer_segments(sf_dir: str):
 
 
 SQL_CUSTOMER_SEGMENTS = """
-SELECT c_mktsegment, count(*) AS n_customers, sum(c_acctbal) AS total_bal
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
 FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
 """
 
@@ -239,9 +264,16 @@ def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("event_type", as_index=False).agg(
-            n_events=("value", "size"),
-            total_value=("value", "sum"),
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].to_numpy(),
+                "v100": _cents(df["value"]),
+                "value": df["value"].to_numpy(),
+            }
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("v100", "size"),
+            v100=("v100", "sum"),
             min_value=("value", "min"),
             max_value=("value", "max"),
         )
@@ -251,7 +283,7 @@ def q_events_by_type(sf_dir: str):
             {
                 "event_type": [g["event_type"].iloc[0]],
                 "n_events": [int(g["n_events"].sum())],
-                "total_value": [g["total_value"].sum()],
+                "total_value": [g["v100"].sum() / 100.0],
                 "min_value": [g["min_value"].min()],
                 "max_value": [g["max_value"].max()],
             }
@@ -261,7 +293,8 @@ def q_events_by_type(sf_dir: str):
 
 
 SQL_EVENTS_BY_TYPE = """
-SELECT event_type, count(*) AS n_events, sum(value) AS total_value,
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
        min(value) AS min_value, max(value) AS max_value
 FROM events GROUP BY event_type
 """
@@ -274,7 +307,7 @@ def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].astype("int64").to_numpy()
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
         gaps = np.diff(ts)
         n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
         return pd.DataFrame(
@@ -290,7 +323,7 @@ def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
 
 SQL_EVENTS_SESSIONIZE = """
 SELECT user_id, count(*) AS n_events,
-       1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + sum(CASE WHEN gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
 FROM (
   SELECT user_id,
          epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
@@ -353,8 +386,8 @@ def q_docs_token_stats(sf_dir: str):
 
 SQL_DOCS_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS total_tokens,
-       sum(n_chars) AS total_chars
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -493,7 +526,7 @@ WITH pts AS (
 )
 SELECT CAST(floor((lat - 60.0) / -10.0) AS BIGINT) AS cell_row,
        CAST(floor((lon - (-180.0)) / 10.0) AS BIGINT) AS cell_col,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM pts GROUP BY cell_row, cell_col
 """
 
@@ -574,7 +607,8 @@ pts AS (
          ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
   FROM documents
 )
-SELECT zone_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT CAST(zone_id AS BIGINT) AS zone_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM zones JOIN pts
   ON lon > xmin AND lon < xmax AND lat > ymin AND lat < ymax
 GROUP BY zone_id
@@ -586,12 +620,13 @@ def q_events_windowed(sf_dir: str, window_us: int = 3_600_000_000):
     from ..stages.temporal import tumbling_window_agg
 
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
-    return tumbling_window_agg(ds, window_us)
+    return tumbling_window_agg(ds, window_us, value_scale=100)
 
 
 SQL_EVENTS_WINDOWED = """
 SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
-       event_type, count(*) AS n_events, sum(value) AS total_value
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """
 
@@ -704,10 +739,10 @@ def q_orders_by_region(sf_dir: str):
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(
-                {"r_name": df["o_custkey"].map(self.map), "o_totalprice": df["o_totalprice"]}
+                {"r_name": df["o_custkey"].map(self.map), "rev100": _cents(df["o_totalprice"])}
             )
             return out.groupby("r_name", as_index=False).agg(
-                n_orders=("o_totalprice", "size"), total_revenue=("o_totalprice", "sum")
+                n_orders=("rev100", "size"), rev100=("rev100", "sum")
             )
 
     partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
@@ -717,7 +752,7 @@ def q_orders_by_region(sf_dir: str):
             {
                 "r_name": [g["r_name"].iloc[0]],
                 "n_orders": [int(g["n_orders"].sum())],
-                "total_revenue": [g["total_revenue"].sum()],
+                "total_revenue": [g["rev100"].sum() / 100.0],
             }
         )
 
@@ -725,7 +760,8 @@ def q_orders_by_region(sf_dir: str):
 
 
 SQL_ORDERS_BY_REGION = """
-SELECT r_name, count(*) AS n_orders, sum(o_totalprice) AS total_revenue
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey

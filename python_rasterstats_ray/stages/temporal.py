@@ -26,16 +26,24 @@ def tumbling_window_agg(
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
+    value_scale: int | None = None,
 ):
     """Per (window_start, key) count + sum over tumbling windows of
-    ``window_us`` microseconds (epoch-aligned)."""
+    ``window_us`` microseconds (epoch-aligned).
+
+    ``value_scale``: when the value column is an exact fixed-point decimal
+    (e.g. 2-decimal money -> scale 100), accumulate scaled int64 so the
+    distributed sum is order-independent (bit-exact across any partial
+    merge order); the emitted ``total_value`` is scaled back to double."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df[ts_col].astype("int64").to_numpy()
+        # pin to microseconds regardless of the datetime64 unit pandas chose
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
         win = (ts // window_us) * window_us
-        out = pd.DataFrame(
-            {"window_start": win, key_col: df[key_col], "v": df[value_col]}
-        )
+        v = df[value_col].to_numpy()
+        if value_scale is not None:
+            v = np.round(v * value_scale).astype(np.int64)
+        out = pd.DataFrame({"window_start": win, key_col: df[key_col].to_numpy(), "v": v})
         return out.groupby(["window_start", key_col], as_index=False).agg(
             n_events=("v", "size"), total_value=("v", "sum")
         )
@@ -43,12 +51,15 @@ def tumbling_window_agg(
     partials = events_ds.map_batches(partial, batch_format="pandas")
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
+        total = g["total_value"].sum()
+        if value_scale is not None:
+            total = total / float(value_scale)
         return pd.DataFrame(
             {
                 "window_start": [int(g["window_start"].iloc[0])],
                 key_col: [g[key_col].iloc[0]],
                 "n_events": [int(g["n_events"].sum())],
-                "total_value": [g["total_value"].sum()],
+                "total_value": [total],
             }
         )
 
@@ -73,7 +84,14 @@ class AsofJoinKernel:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch[self.key_col].to_numpy(zero_copy_only=False)
-        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # pin the epoch unit: cast through timestamp('us') so the int64 view
+        # is microseconds no matter what resolution the source column carries
+        ts = (
+            batch[self.ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         out_id = np.full(len(batch), -1, dtype=np.int64)
         for key in np.unique(keys):
             ent = self.build.get(int(key))
@@ -116,7 +134,9 @@ def asof_join(
     build: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     df = build_df.sort_values([bkey, build_ts_col, build_id_col])
     for key, g in df.groupby(bkey):
-        bts = g[build_ts_col].astype("int64").to_numpy()
+        # microseconds explicitly (pandas may hold ns or us depending on
+        # version/reader; the probe side is pinned to us the same way)
+        bts = g[build_ts_col].to_numpy(dtype="datetime64[us]").view("int64")
         bids = g[build_id_col].astype("int64").to_numpy()
         # for duplicate ts keep the max id at each position: since sorted by
         # (ts, id), searchsorted 'right' - 1 lands on the last (max id) row
