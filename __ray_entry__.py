@@ -29,10 +29,12 @@ def entry() -> Any:
 # --------------------------------------------------- rows-only pipelines
 
 
-def _q_zonal_synthetic_tiled(sf_dir: str):
+def _q_zonal_irregular_tiled(sf_dir: str):
     """Full tiled cell-join zonal pipeline over deterministic synthetic
-    raster+zones (sf-independent; correctness gated by pytest differential
-    tests against the sequential oracle)."""
+    raster + IRREGULAR polygon zones (jittered quads incl. mega-zones).
+    Rows-only for the driver: the complex-polygon rasterizer is gated by
+    pytest differential tests; the SQL-exact driver coverage of the same
+    distributed path is zonal_synthetic_tiled (rect zones, zonal_queries)."""
     import ray.data
 
     from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
@@ -53,7 +55,7 @@ def _q_zonal_synthetic_tiled(sf_dir: str):
     )
 
 
-def _q_zonal_synthetic_broadcast(sf_dir: str):
+def _q_zonal_irregular_broadcast(sf_dir: str):
     import ray.data
 
     from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
@@ -138,100 +140,6 @@ def _q_flagship_zone_stats(sf_dir: str):
     return zone_stats
 
 
-def _q_point_query_synthetic(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster
-    from python_rasterstats_ray.stages.point_dist import point_query_broadcast
-
-    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=21)
-    import numpy as np
-
-    rng = np.random.default_rng(2)
-    pts = rng.uniform(-10, 266, size=(500, 2))
-    import pyarrow as pa
-
-    tbl = pa.table(
-        {
-            "pt_id": pa.array(range(len(pts)), pa.int64()),
-            "x": pa.array(pts[:, 0], pa.float64()),
-            "y": pa.array(pts[:, 1], pa.float64()),
-        }
-    )
-    return point_query_broadcast(
-        ray.data.from_arrow(tbl), (arr, affine, nodata), interpolate="bilinear"
-    )
-
-
-def _q_zonal_categorical(sf_dir: str):
-    """Tiled zonal with categorical histograms + holistic stats (exercises
-    the value-multiset merge path)."""
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
-    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
-
-    arr, affine, nodata = generate_raster((384, 384), kind="classes", seed=5)
-    zones = generate_zones(32, extent=(0.0, 0.0, 384.0, 384.0), seed=6)
-    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
-    return zonal_stats_tiled(
-        ray.data.from_arrow(zones),
-        ray.data.from_arrow(tiles),
-        affine,
-        nodata,
-        raster_dtype=str(arr.dtype),
-        stats="count majority minority unique median",
-        categorical=True,
-        tile_size=128,
-    )
-
-
-def _q_zonal_all_touched(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
-    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
-
-    arr, affine, nodata = generate_raster((384, 384), kind="continuous", seed=15)
-    zones = generate_zones(32, extent=(-10.0, -10.0, 394.0, 394.0), seed=16)
-    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
-    return zonal_stats_tiled(
-        ray.data.from_arrow(zones),
-        ray.data.from_arrow(tiles),
-        affine,
-        nodata,
-        raster_dtype=str(arr.dtype),
-        stats="count min max nodata",
-        all_touched=True,
-        tile_size=128,
-    )
-
-
-def _q_point_query_nearest(sf_dir: str):
-    import numpy as np
-    import pyarrow as pa
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster
-    from python_rasterstats_ray.stages.point_dist import point_query_broadcast
-
-    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=21)
-    rng = np.random.default_rng(9)
-    pts = rng.uniform(-10, 266, size=(500, 2))
-    tbl = pa.table(
-        {
-            "pt_id": pa.array(range(len(pts)), pa.int64()),
-            "x": pa.array(pts[:, 0], pa.float64()),
-            "y": pa.array(pts[:, 1], pa.float64()),
-        }
-    )
-    return point_query_broadcast(
-        ray.data.from_arrow(tbl), (arr, affine, nodata), interpolate="nearest"
-    )
-
-
 def _q_pages_pipeline(sf_dir: str):
     """North-rule pipeline over the exact input-hint schema (url, warc_ts,
     html, text, lang) with per-zone byte-identity verification."""
@@ -239,44 +147,6 @@ def _q_pages_pipeline(sf_dir: str):
 
     _, zone_stats = pages_pipeline(n_pages=10_000, n_zones=24)
     return zone_stats
-
-
-def _q_zonal_auto(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_auto
-
-    arr, affine, nodata = generate_raster((384, 384), kind="holes", seed=19)
-    zones = generate_zones(40, extent=(0.0, 0.0, 384.0, 384.0), seed=20, mega_every=13)
-    return zonal_stats_auto(
-        ray.data.from_arrow(zones),
-        (arr, affine, nodata),
-        stats="count mean nodata",
-        window_px_budget=20_000,
-    )
-
-
-def _q_point_query_features(sf_dir: str):
-    """Per-feature vertex point query (gen_point_query parity) over
-    synthetic polygon features."""
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.stages.point_dist import point_query_features
-
-    arr, affine, nodata = generate_raster((256, 256), kind="holes", seed=23)
-    zones = generate_zones(50, extent=(0.0, 0.0, 256.0, 256.0), seed=24)
-    out = point_query_features(
-        ray.data.from_arrow(zones).select_columns(["zone_id", "geom_wkb"]),
-        (arr, affine, nodata),
-    )
-    import pyarrow as pa
-
-    def project(batch: pa.Table) -> pa.Table:
-        return batch.select(["zone_id", "values", "values_scalar"])
-
-    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_media_features(sf_dir: str):
@@ -307,11 +177,13 @@ def _q_flagship_checkpointed(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     from python_rasterstats_ray.pipelines.queries import QUERIES
 
+    from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_QUERIES
+
     out = dict(QUERIES)
     out.update(
         {
-            "zonal_synthetic_tiled": _q_zonal_synthetic_tiled,
-            "zonal_synthetic_broadcast": _q_zonal_synthetic_broadcast,
+            "zonal_irregular_tiled": _q_zonal_irregular_tiled,
+            "zonal_irregular_broadcast": _q_zonal_irregular_broadcast,
             "minhash_pairs": _q_minhash_pairs,
             "simhash_signatures": _q_simhash,
             "embedding_neardup": _q_embedding_neardup,
@@ -319,21 +191,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "lang_id": _q_lang_id,
             "doc_fingerprint": _q_fingerprint,
             "flagship_zone_stats": _q_flagship_zone_stats,
-            "point_query_synthetic": _q_point_query_synthetic,
             "media_features": _q_media_features,
             "flagship_checkpointed": _q_flagship_checkpointed,
-            "zonal_categorical": _q_zonal_categorical,
-            "zonal_all_touched": _q_zonal_all_touched,
-            "point_query_nearest": _q_point_query_nearest,
             "pages_pipeline": _q_pages_pipeline,
-            "zonal_auto": _q_zonal_auto,
-            "point_query_features": _q_point_query_features,
         }
     )
+    # SQL-exact zonal / point-query family (rect zones + exploded pixel
+    # oracle; replaces the old rows-only synthetic variants by name)
+    out.update(ZONAL_QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from python_rasterstats_ray.pipelines.queries import ORACLE_SQL
+    from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_ORACLE_SQL
+    from python_rasterstats_ray.sources.oracle_fixtures import ensure_fixtures
 
-    return dict(ORACLE_SQL)
+    ensure_fixtures()  # the zonal oracles read exploded-pixel parquet
+    out = dict(ORACLE_SQL)
+    out.update(ZONAL_ORACLE_SQL)
+    return out

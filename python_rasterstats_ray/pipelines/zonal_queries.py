@@ -1,0 +1,433 @@
+"""Driver-checkable zonal / point-query pipelines with exact DuckDB oracles.
+
+Each query runs a REAL distributed engine path (tiled cell-join shuffle,
+broadcast actor pool, hybrid auto router, vectorized point kernels) over
+deterministic rectangle zones + integer-valued rasters from
+``sources/oracle_fixtures.py``; the paired SQL recomputes the same result
+from the exploded pixel parquet with closed-form floor arithmetic — the
+engine's rasterizer / tiling / shuffle / merge code is never in the oracle
+loop. See oracle_fixtures module docstring for the bit-exactness argument.
+
+Reference semantics mirrored in SQL: center rule (utils.py:33-55),
+all_touched, masking + stat formulas (main.py:196-302), point query
+nearest/bilinear incl. banker's-rounding window centering and
+masked->nearest->None fallback (point.py:8-65).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.oracle_fixtures import (
+    ORACLE_DIR,
+    ensure_fixtures,
+    oracle_raster,
+    query_points,
+    rect_zone_table,
+)
+
+HOLES_H = 512
+CLASSES_H = 384
+
+
+# ----------------------------------------------------------- engine side
+
+
+def _zones_ds(zset: str):
+    import ray.data
+
+    ensure_fixtures()
+    return ray.data.from_arrow(rect_zone_table(zset))
+
+
+def _tiled(zset: str, raster_name: str, stats: str, **kw):
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata = oracle_raster(raster_name)
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    return zonal_stats_tiled(
+        _zones_ds(zset),
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats=stats,
+        tile_size=128,
+        **kw,
+    )
+
+
+def _broadcast(zset: str, raster_name: str, stats: str, **kw):
+    from ..stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata = oracle_raster(raster_name)
+    return zonal_stats_broadcast(_zones_ds(zset), (arr, affine, nodata), stats=stats, **kw)
+
+
+def q_zonal_tiled(sf_dir: str):
+    return _tiled("main", "holes", "count min max mean sum std median nodata")
+
+
+def q_zonal_broadcast(sf_dir: str):
+    return _broadcast("main", "holes", "count min max mean sum std median nodata range")
+
+
+def q_zonal_all_touched(sf_dir: str):
+    return _tiled("main", "holes", "count min max nodata", all_touched=True)
+
+
+def q_zonal_categorical(sf_dir: str):
+    out = _tiled("cat", "classes", "count majority minority unique median", categorical=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["zone_id", "count", "majority", "minority", "unique", "median"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_zonal_histogram(sf_dir: str):
+    out = _tiled("cat", "classes", "count", categorical=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        zids, vals, cnts = [], [], []
+        zcol = batch["zone_id"].to_pylist()
+        vlists = batch["cat_values"].to_pylist()
+        clists = batch["cat_counts"].to_pylist()
+        for z, vs, cs in zip(zcol, vlists, clists):
+            for v, c in zip(vs, cs):
+                zids.append(z)
+                vals.append(v)
+                cnts.append(c)
+        return pa.table(
+            {
+                "zone_id": pa.array(zids, pa.int64()),
+                "val": pa.array(vals, pa.float64()),
+                "cnt": pa.array(cnts, pa.int64()),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_zonal_auto(sf_dir: str):
+    from ..stages.zonal_dist import zonal_stats_auto
+
+    arr, affine, nodata = oracle_raster("holes")
+    return zonal_stats_auto(
+        _zones_ds("auto"),
+        (arr, affine, nodata),
+        stats="count mean sum nodata",
+        window_px_budget=20_000,
+    )
+
+
+def q_zonal_edge(sf_dir: str):
+    out = _broadcast("edge", "holes", "count min max mean sum")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["zone_id", "count", "min", "max", "mean", "sum"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _points_ds():
+    import ray.data
+
+    ensure_fixtures()
+    x, y = query_points()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "pt_id": pa.array(np.arange(len(x), dtype=np.int64), pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+    )
+
+
+def _point_query(interpolate: str):
+    from ..stages.point_dist import point_query_broadcast
+
+    arr, affine, nodata = oracle_raster("holes")
+    out = point_query_broadcast(_points_ds(), (arr, affine, nodata), interpolate=interpolate)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["pt_id", "value"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_point_query_bilinear(sf_dir: str):
+    return _point_query("bilinear")
+
+
+def q_point_query_nearest(sf_dir: str):
+    return _point_query("nearest")
+
+
+def q_point_query_features(sf_dir: str):
+    """Per-feature vertex bilinear query over the 'main' rect WKB rings,
+    exploded to (zone_id, vertex_idx, value) rows for SQL comparison."""
+    from ..stages.point_dist import point_query_features
+
+    arr, affine, nodata = oracle_raster("holes")
+    out = point_query_features(_zones_ds("main"), (arr, affine, nodata))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        zids, idxs, vals = [], [], []
+        for z, lst in zip(batch["zone_id"].to_pylist(), batch["values"].to_pylist()):
+            for i, v in enumerate(lst):
+                zids.append(z)
+                idxs.append(i)
+                vals.append(v)
+        return pa.table(
+            {
+                "zone_id": pa.array(zids, pa.int64()),
+                "vertex_idx": pa.array(idxs, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------- SQL side
+
+
+def _px(name: str) -> str:
+    return f"read_parquet('{ORACLE_DIR}/pixels_{name}.parquet')"
+
+
+def _zsql(zset: str) -> str:
+    return (
+        f"(SELECT zone_id, xmin, ymin, xmax, ymax FROM "
+        f"read_parquet('{ORACLE_DIR}/rect_zones.parquet') WHERE zset = '{zset}')"
+    )
+
+
+def _center_join(zset: str, raster: str, h: int) -> str:
+    """LEFT JOIN zones to pixels whose center lies inside the rectangle."""
+    return f"""
+j AS (
+  SELECT z.zone_id, p.val, p.is_nodata
+  FROM {_zsql(zset)} z
+  LEFT JOIN {_px(raster)} p
+    ON (p.col + 0.5) > z.xmin AND (p.col + 0.5) < z.xmax
+   AND ({h} - p.row - 0.5) > z.ymin AND ({h} - p.row - 0.5) < z.ymax
+)"""
+
+
+_AGG = """
+agg AS (
+  SELECT zone_id,
+         count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+         sum(CASE WHEN NOT is_nodata THEN val END) AS s,
+         sum(CASE WHEN NOT is_nodata THEN val * val END) AS sq,
+         min(CASE WHEN NOT is_nodata THEN val END) AS mn,
+         max(CASE WHEN NOT is_nodata THEN val END) AS mx,
+         median(CASE WHEN NOT is_nodata THEN val END) AS med,
+         coalesce(sum(CASE WHEN is_nodata THEN 1 END), 0) AS nod
+  FROM j GROUP BY zone_id
+)"""
+
+
+SQL_ZONAL_TILED = f"""
+WITH {_center_join("main", "holes", HOLES_H)},
+{_AGG}
+SELECT zone_id, cnt AS "count", mn AS "min", mx AS "max",
+       s / cnt AS mean, s AS "sum",
+       CASE WHEN cnt = 0 THEN NULL
+            ELSE sqrt(greatest(sq / cnt - (s / cnt) * (s / cnt), 0.0)) END AS std,
+       med AS median,
+       CAST(nod AS DOUBLE) AS nodata
+FROM agg
+"""
+
+
+SQL_ZONAL_BROADCAST = f"""
+WITH {_center_join("main", "holes", HOLES_H)},
+{_AGG}
+SELECT zone_id, cnt AS "count", mn AS "min", mx AS "max",
+       s / cnt AS mean, s AS "sum",
+       CASE WHEN cnt = 0 THEN NULL
+            ELSE sqrt(greatest(sq / cnt - (s / cnt) * (s / cnt), 0.0)) END AS std,
+       med AS median,
+       CAST(nod AS DOUBLE) AS nodata,
+       mx - mn AS range
+FROM agg
+"""
+
+
+SQL_ZONAL_ALL_TOUCHED = f"""
+WITH j AS (
+  SELECT z.zone_id, p.val, p.is_nodata
+  FROM {_zsql("main")} z
+  LEFT JOIN {_px("holes")} p
+    ON (p.col + 1) > z.xmin AND p.col < z.xmax
+   AND ({HOLES_H} - p.row) > z.ymin AND ({HOLES_H} - p.row - 1) < z.ymax
+),
+{_AGG}
+SELECT zone_id, cnt AS "count", mn AS "min", mx AS "max",
+       CAST(nod AS DOUBLE) AS nodata
+FROM agg
+"""
+
+
+SQL_ZONAL_CATEGORICAL = f"""
+WITH {_center_join("cat", "classes", CLASSES_H)},
+vc AS (
+  SELECT zone_id, val, count(*) AS cnt FROM j
+  WHERE is_nodata = false GROUP BY zone_id, val
+),
+maj AS (
+  SELECT zone_id, val,
+         row_number() OVER (PARTITION BY zone_id ORDER BY cnt DESC, val ASC) AS rk
+  FROM vc
+),
+mnr AS (
+  SELECT zone_id, val,
+         row_number() OVER (PARTITION BY zone_id ORDER BY cnt ASC, val ASC) AS rk
+  FROM vc
+),
+uq AS (SELECT zone_id, CAST(count(*) AS BIGINT) AS u FROM vc GROUP BY zone_id),
+{_AGG}
+SELECT a.zone_id, a.cnt AS "count",
+       m1.val AS majority, m2.val AS minority,
+       uq.u AS "unique", a.med AS median
+FROM agg a
+LEFT JOIN (SELECT zone_id, val FROM maj WHERE rk = 1) m1 ON m1.zone_id = a.zone_id
+LEFT JOIN (SELECT zone_id, val FROM mnr WHERE rk = 1) m2 ON m2.zone_id = a.zone_id
+LEFT JOIN uq ON uq.zone_id = a.zone_id
+"""
+
+
+SQL_ZONAL_HISTOGRAM = f"""
+WITH {_center_join("cat", "classes", CLASSES_H)}
+SELECT zone_id, val, CAST(count(*) AS BIGINT) AS cnt
+FROM j WHERE is_nodata = false
+GROUP BY zone_id, val
+"""
+
+
+SQL_ZONAL_AUTO = f"""
+WITH {_center_join("auto", "holes", HOLES_H)},
+{_AGG}
+SELECT zone_id, cnt AS "count", s / cnt AS mean, s AS "sum",
+       CAST(nod AS DOUBLE) AS nodata
+FROM agg
+"""
+
+
+SQL_ZONAL_EDGE = f"""
+WITH {_center_join("edge", "holes", HOLES_H)},
+{_AGG}
+SELECT zone_id, cnt AS "count", mn AS "min", mx AS "max",
+       s / cnt AS mean, s AS "sum"
+FROM agg
+"""
+
+
+def _bilinear_sql(pts_cte: str, id_cols: str, h: int, raster: str) -> str:
+    """SQL mirror of stages/point_dist.PointQueryKernel bilinear semantics:
+    banker's-round window centering (fractional parts never .0/.5 by fixture
+    construction, so floor(v + 0.5) == np.round), identical IEEE blend term
+    order, masked -> nearest (round-half within unit square) -> NULL."""
+    return f"""
+WITH pts AS ({pts_cte}),
+w AS (
+  SELECT {id_cols}, x, y,
+         CAST(floor(x + 0.5) AS BIGINT) AS c,
+         CAST(floor(({h} - y) + 0.5) AS BIGINT) AS r,
+         0.5 - (CAST(floor(x + 0.5) AS BIGINT) - x) AS ux,
+         0.5 + (CAST(floor(({h} - y) + 0.5) AS BIGINT) - ({h} - y)) AS uy
+  FROM pts
+),
+g AS (
+  SELECT {', '.join('w.' + c for c in id_cols.split(', '))}, w.ux, w.uy,
+         ul.val AS ulv, (ul.val IS NULL OR ul.is_nodata) AS mul_,
+         ur.val AS urv, (ur.val IS NULL OR ur.is_nodata) AS mur_,
+         ll.val AS llv, (ll.val IS NULL OR ll.is_nodata) AS mll_,
+         lr.val AS lrv, (lr.val IS NULL OR lr.is_nodata) AS mlr_
+  FROM w
+  LEFT JOIN {_px(raster)} ul ON ul.row = w.r - 1 AND ul.col = w.c - 1
+  LEFT JOIN {_px(raster)} ur ON ur.row = w.r - 1 AND ur.col = w.c
+  LEFT JOIN {_px(raster)} ll ON ll.row = w.r AND ll.col = w.c - 1
+  LEFT JOIN {_px(raster)} lr ON lr.row = w.r AND lr.col = w.c
+)
+SELECT {id_cols},
+  CASE WHEN NOT (mul_ OR mur_ OR mll_ OR mlr_) THEN
+    llv * (1.0 - ux) * (1.0 - uy) + lrv * ux * (1.0 - uy)
+    + ulv * (1.0 - ux) * uy + urv * ux * uy
+  ELSE
+    CASE
+      WHEN CAST(floor(1.0 - uy + 0.5) AS BIGINT) = 0
+           AND CAST(floor(ux + 0.5) AS BIGINT) = 0
+        THEN CASE WHEN mul_ THEN NULL ELSE ulv END
+      WHEN CAST(floor(1.0 - uy + 0.5) AS BIGINT) = 0
+        THEN CASE WHEN mur_ THEN NULL ELSE urv END
+      WHEN CAST(floor(ux + 0.5) AS BIGINT) = 0
+        THEN CASE WHEN mll_ THEN NULL ELSE llv END
+      ELSE CASE WHEN mlr_ THEN NULL ELSE lrv END
+    END
+  END AS value
+FROM g
+"""
+
+
+SQL_POINT_BILINEAR = _bilinear_sql(
+    f"SELECT pt_id, x, y FROM read_parquet('{ORACLE_DIR}/query_points.parquet')",
+    "pt_id",
+    HOLES_H,
+    "holes",
+)
+
+
+SQL_POINT_NEAREST = f"""
+WITH pts AS (SELECT pt_id, x, y FROM read_parquet('{ORACLE_DIR}/query_points.parquet'))
+SELECT pt_id,
+       CASE WHEN p.val IS NULL OR p.is_nodata THEN NULL ELSE p.val END AS value
+FROM pts
+LEFT JOIN {_px("holes")} p
+  ON p.row = CAST(floor({HOLES_H} - y) AS BIGINT)
+ AND p.col = CAST(floor(x) AS BIGINT)
+"""
+
+
+SQL_POINT_FEATURES = _bilinear_sql(
+    f"SELECT zone_id, vertex_idx, x, y FROM read_parquet('{ORACLE_DIR}/rect_vertices.parquet')",
+    "zone_id, vertex_idx",
+    HOLES_H,
+    "holes",
+)
+
+
+ZONAL_QUERIES = {
+    "zonal_synthetic_tiled": q_zonal_tiled,
+    "zonal_synthetic_broadcast": q_zonal_broadcast,
+    "zonal_all_touched": q_zonal_all_touched,
+    "zonal_categorical": q_zonal_categorical,
+    "zonal_histogram": q_zonal_histogram,
+    "zonal_auto": q_zonal_auto,
+    "zonal_edge": q_zonal_edge,
+    "point_query_synthetic": q_point_query_bilinear,
+    "point_query_nearest": q_point_query_nearest,
+    "point_query_features": q_point_query_features,
+}
+
+ZONAL_ORACLE_SQL = {
+    "zonal_synthetic_tiled": SQL_ZONAL_TILED,
+    "zonal_synthetic_broadcast": SQL_ZONAL_BROADCAST,
+    "zonal_all_touched": SQL_ZONAL_ALL_TOUCHED,
+    "zonal_categorical": SQL_ZONAL_CATEGORICAL,
+    "zonal_histogram": SQL_ZONAL_HISTOGRAM,
+    "zonal_auto": SQL_ZONAL_AUTO,
+    "zonal_edge": SQL_ZONAL_EDGE,
+    "point_query_synthetic": SQL_POINT_BILINEAR,
+    "point_query_nearest": SQL_POINT_NEAREST,
+    "point_query_features": SQL_POINT_FEATURES,
+}
