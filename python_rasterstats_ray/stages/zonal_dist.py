@@ -36,6 +36,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import inspect
+import io
+
 from ..functions.affine import Affine
 from ..functions.faststats import finalize_stats, window_view, zone_accumulators
 from ..functions.geometry import Geom, from_wkb
@@ -49,7 +52,9 @@ from ..sources.tiles import DEFAULT_TILE_SIZE, cell_decode, window_cells
 # ------------------------------------------------------------------ schema
 
 
-def stat_fields(stats: list[str], categorical: bool) -> list[tuple[str, pa.DataType]]:
+def stat_fields(
+    stats: list[str], categorical: bool, category_map=None
+) -> list[tuple[str, pa.DataType]]:
     fields: list[tuple[str, pa.DataType]] = []
     for s in stats:
         if s in ("count", "unique"):
@@ -57,25 +62,110 @@ def stat_fields(stats: list[str], categorical: bool) -> list[tuple[str, pa.DataT
         else:
             fields.append((s, pa.float64()))
     if categorical:
-        fields.append(("cat_values", pa.list_(pa.float64())))
+        if category_map:
+            # remapped category labels may be strings -> string key column
+            fields.append(("cat_keys", pa.list_(pa.string())))
+        else:
+            fields.append(("cat_values", pa.list_(pa.float64())))
         fields.append(("cat_counts", pa.list_(pa.int64())))
     return fields
 
 
+def np_to_bytes(a: np.ndarray) -> bytes:
+    """npy-serialize an array (dtype+shape preserved, no pickle)."""
+    b = io.BytesIO()
+    np.save(b, a, allow_pickle=False)
+    return b.getvalue()
+
+
+def np_from_bytes(b: bytes) -> np.ndarray:
+    return np.load(io.BytesIO(b), allow_pickle=False)
+
+
+def unpack_mini_raster(row: dict):
+    """mini_raster_* columns -> (np.ma.MaskedArray, affine 6-tuple, nodata)
+    — the distributed equivalent of the oracle's raster_out payload
+    (reference main.py:318-321)."""
+    data = np_from_bytes(row["mini_raster_array"])
+    mask = np_from_bytes(row["mini_raster_mask"])
+    return (
+        np.ma.MaskedArray(data, mask=mask),
+        Affine(*row["mini_raster_affine"]),
+        row["mini_raster_nodata"],
+    )
+
+
+_MINI_FIELDS = [
+    ("mini_raster_array", pa.binary()),
+    ("mini_raster_mask", pa.binary()),
+    ("mini_raster_affine", pa.list_(pa.float64(), 6)),
+    ("mini_raster_nodata", pa.float64()),
+]
+
+
+def _mini_raster_values(masked: np.ma.MaskedArray | None, affine6, nodata):
+    if masked is None:
+        return None, None, None, None
+    return (
+        np_to_bytes(np.ma.getdata(masked)),
+        np_to_bytes(np.ma.getmaskarray(masked)),
+        [float(v) for v in affine6],
+        float(nodata),
+    )
+
+
+def _add_stats_arity(add_stats) -> dict[str, int]:
+    return {
+        name: len(inspect.signature(fn).parameters) for name, fn in (add_stats or {}).items()
+    }
+
+
+def _dispatch_add_stats(add_stats, arity, masked, properties, rv_array) -> dict:
+    """Arity-1/2/3 add_stats dispatch (reference main.py:304-316)."""
+    out = {}
+    for name, fn in add_stats.items():
+        n = arity[name]
+        if n == 3:
+            out[name] = fn(masked, properties, rv_array)
+        elif n == 2:
+            out[name] = fn(masked, properties)
+        else:
+            out[name] = fn(masked)
+    return out
+
+
+def _remapped_histogram(pixel_count: dict, category_map) -> tuple[list, list]:
+    """Reference remap semantics (utils.py:106-114 / functions/stats.py
+    remap_categories): unmapped raw values pass through; when two raw
+    values map to one label, the later raw key (ascending value order,
+    np.unique insertion order) OVERWRITES — counts are not summed."""
+    remapped: dict = {}
+    for k in sorted(pixel_count):
+        remapped[category_map.get(k, k)] = pixel_count[k]
+    return [str(k) for k in remapped], [int(v) for v in remapped.values()]
+
+
 def _stats_dict_to_columns(
-    rows: list[dict], stats: list[str], categorical: bool
+    rows: list[dict], stats: list[str], categorical: bool, category_map=None
 ) -> dict[str, list]:
     """rows carry stat values under string keys plus, when categorical, a
     '_pixel_count' dict of raw-pixel-value -> count."""
-    cols: dict[str, list] = {name: [] for name, _ in stat_fields(stats, categorical)}
+    cols: dict[str, list] = {
+        name: [] for name, _ in stat_fields(stats, categorical, category_map)
+    }
     for r in rows:
         for s in stats:
             cols[s].append(r.get(s))
         if categorical:
             pc_dict = r.get("_pixel_count") or {}
-            ks = sorted(pc_dict)
-            cols["cat_values"].append([float(k) for k in ks])
-            cols["cat_counts"].append([int(pc_dict[k]) for k in ks])
+            if category_map:
+                ks, cs = _remapped_histogram(pc_dict, category_map)
+                cols["cat_keys"].append(ks)
+                cols["cat_counts"].append(cs)
+            else:
+                ks = sorted(pc_dict)
+                cols["cat_values"].append([float(k) for k in ks])
+                cols["cat_counts"].append([int(pc_dict[k]) for k in ks])
     return cols
 
 
@@ -98,6 +188,7 @@ class BroadcastZonalKernel:
         category_map=None,
         zone_func=None,
         add_stats=None,
+        raster_out: bool = False,
         geom_col: str = "geom_wkb",
         passthrough: bool = True,
     ):
@@ -111,10 +202,12 @@ class BroadcastZonalKernel:
         self.category_map = category_map
         self.zone_func = zone_func
         self.add_stats = add_stats
+        self.add_arity = _add_stats_arity(add_stats)
+        self.raster_out = raster_out
         self.geom_col = geom_col
         self.passthrough = passthrough
 
-    def _zone_stats(self, wkb: bytes) -> dict:
+    def _zone_stats(self, wkb: bytes, properties: dict | None = None) -> dict:
         geom = from_wkb(wkb)
         if geom.is_point_type:
             geom = boxify_points(geom, self.rast.affine)
@@ -125,7 +218,7 @@ class BroadcastZonalKernel:
         shape = (r1 - r0, c1 - c0)
         rv_array = rasterize_geom(geom, shape=shape, affine=aff, all_touched=self.all_touched)
 
-        if self.zone_func is None and self.add_stats is None:
+        if self.zone_func is None and self.add_stats is None and not self.raster_out:
             # fast path: plain-numpy accumulators on the extracted values
             # (zero-copy window view when fully in-extent)
             block = window_view(self.rast.array, win, nodata)
@@ -177,14 +270,28 @@ class BroadcastZonalKernel:
             if "nan" in self.stats:
                 out["nan"] = float(np.isnan(featmasked).sum()) if has_nan else 0
         if self.add_stats:
-            for name, fn in self.add_stats.items():
-                out[name] = fn(masked)
+            out.update(
+                _dispatch_add_stats(
+                    self.add_stats, self.add_arity, masked, properties or {}, rv_array
+                )
+            )
+        if self.raster_out:
+            out["_mini"] = _mini_raster_values(masked, tuple(fsrc.affine), fsrc.nodata)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         wkbs = batch[self.geom_col].to_pylist()
-        rows = [self._zone_stats(w) for w in wkbs]
-        cols = _stats_dict_to_columns(rows, self.stats, self.categorical)
+        props_rows: list[dict | None] = [None] * len(wkbs)
+        if self.add_stats and max(self.add_arity.values(), default=1) >= 2:
+            # feature 'properties' for arity-2/3 add_stats = the passthrough
+            # input columns of the row (reference main.py:306-316)
+            prop_cols = [c for c in batch.column_names if c != self.geom_col]
+            pdata = {c: batch[c].to_pylist() for c in prop_cols}
+            props_rows = [
+                {c: pdata[c][i] for c in prop_cols} for i in range(len(wkbs))
+            ]
+        rows = [self._zone_stats(w, p) for w, p in zip(wkbs, props_rows)]
+        cols = _stats_dict_to_columns(rows, self.stats, self.categorical, self.category_map)
         if self.add_stats:
             for name in self.add_stats:
                 cols[name] = [r.get(name) for r in rows]
@@ -195,6 +302,10 @@ class BroadcastZonalKernel:
                     out[name] = batch[name]
         for name, vals in cols.items():
             out[name] = pa.array(vals)
+        if self.raster_out:
+            minis = [r["_mini"] for r in rows]
+            for i, (mname, mtyp) in enumerate(_MINI_FIELDS):
+                out[mname] = pa.array([m[i] for m in minis], mtyp)
         return pa.table(out)
 
 
@@ -210,6 +321,7 @@ def zonal_stats_broadcast(
     category_map=None,
     zone_func=None,
     add_stats=None,
+    raster_out: bool = False,
     geom_col: str = "geom_wkb",
     concurrency=(1, 8),
     batch_size: int = 64,
@@ -232,6 +344,7 @@ def zonal_stats_broadcast(
             category_map=category_map,
             zone_func=zone_func,
             add_stats=add_stats,
+            raster_out=raster_out,
             geom_col=geom_col,
         ),
         batch_size=batch_size,
@@ -320,6 +433,7 @@ class CellKernel:
         raster_dtype: str,
         all_touched: bool = False,
         need_vals: bool = False,
+        carry_px: bool = False,
     ):
         self.refmap_ref = refmap_ref
         self.affine = affine
@@ -328,6 +442,10 @@ class CellKernel:
         self.raster_dtype = np.dtype(raster_dtype)
         self.all_touched = all_touched
         self.need_vals = need_vals
+        # carry the sub-window pixel block + geometry mask in each partial
+        # so the merge stage can assemble the zone's mini-raster
+        # (distributed raster_out / add_stats, reference main.py:304-321)
+        self.carry_px = carry_px
 
     def __call__(self, group: pa.Table) -> pa.Table:
         import ray
@@ -362,6 +480,8 @@ class CellKernel:
         return _partials_table(rows)
 
     def _partial(self, zid, geom: Geom, rect, tile_arr, t_roff, t_coff) -> dict:
+        win = bounds_window(geom.bounds, self.affine)
+        (wr0, wr1), (wc0, wc1) = win
         p = dict(
             zone_id=zid,
             count=0,
@@ -375,11 +495,19 @@ class CellKernel:
             has_nan=0,
             is_int=0,
             vals=b"",
+            wr0=wr0,
+            wr1=wr1,
+            wc0=wc0,
+            wc1=wc1,
+            r0=0,
+            r1=0,
+            c0=0,
+            c1=0,
+            px=b"",
+            rv=b"",
         )
         if rect is None:
             return p
-        win = bounds_window(geom.bounds, self.affine)
-        (wr0, wr1), (wc0, wc1) = win
         (rr0, rr1), (rc0, rc1) = rect
         r0, r1 = max(wr0, rr0), min(wr1, rr1)
         c0, c1 = max(wc0, rc0), min(wc1, rc1)
@@ -418,6 +546,13 @@ class CellKernel:
         )
         if self.need_vals and acc["count"]:
             p["vals"] = acc["vals"].tobytes()
+        if self.carry_px:
+            rv_full = np.ones(block.shape, dtype=bool) if rv is None else rv
+            p.update(
+                r0=r0, r1=r1, c0=c0, c1=c1,
+                px=np.ascontiguousarray(block).tobytes(),
+                rv=np.packbits(rv_full).tobytes(),
+            )
         return p
 
 
@@ -435,6 +570,16 @@ _PARTIAL_SCHEMA = pa.schema(
         ("has_nan", pa.int8()),
         ("is_int", pa.int8()),
         ("vals", pa.binary()),
+        ("wr0", pa.int64()),
+        ("wr1", pa.int64()),
+        ("wc0", pa.int64()),
+        ("wc1", pa.int64()),
+        ("r0", pa.int64()),
+        ("r1", pa.int64()),
+        ("c0", pa.int64()),
+        ("c1", pa.int64()),
+        ("px", pa.binary()),
+        ("rv", pa.binary()),
     ]
 )
 
@@ -448,13 +593,79 @@ def _empty_partials() -> pa.Table:
 
 
 class MergeKernel:
-    """Per-zone group: partial accumulators -> final stat row."""
+    """Per-zone group: partial accumulators -> final stat row.
 
-    def __init__(self, stats, categorical, category_map, raster_dtype: str):
+    With ``raster_out``/``add_stats`` the partials carry their sub-window
+    pixel blocks + geometry masks; the kernel assembles the zone's full
+    boundless window (mini-raster) and runs the arity-dispatched UDFs on
+    it — the distributed equivalent of reference main.py:304-321."""
+
+    def __init__(
+        self,
+        stats,
+        categorical,
+        category_map,
+        raster_dtype: str,
+        *,
+        raster_out: bool = False,
+        add_stats=None,
+        affine: Affine | None = None,
+        nodata=None,
+        props_ref=None,
+    ):
         self.stats, self.run_count = check_stats(stats, categorical)
         self.categorical = categorical
         self.category_map = category_map
         self.raster_dtype = np.dtype(raster_dtype)
+        self.raster_out = raster_out
+        self.add_stats = add_stats
+        self.add_arity = _add_stats_arity(add_stats)
+        self.affine = affine
+        self.nodata = -999.0 if nodata is None else nodata
+        self.props_ref = props_ref
+        self._props = None
+
+    def _properties(self, zid: int) -> dict:
+        if self.props_ref is None:
+            return {}
+        if self._props is None:
+            import ray
+
+            self._props = ray.get(self.props_ref)
+        return self._props.get(zid, {})
+
+    def _assemble(self, group: pa.Table):
+        """Paste sub-window blocks into the zone's full boundless window;
+        returns (masked MaskedArray | None, rv mask, window affine)."""
+        wr0 = group["wr0"][0].as_py()
+        wr1 = group["wr1"][0].as_py()
+        wc0 = group["wc0"][0].as_py()
+        wc1 = group["wc1"][0].as_py()
+        h, w = wr1 - wr0, wc1 - wc0
+        if h <= 0 or w <= 0:
+            return None, None, None
+        data = np.full((h, w), self.nodata, dtype=self.raster_dtype)
+        rvm = np.zeros((h, w), dtype=bool)
+        for i in range(len(group)):
+            px = group["px"][i].as_py()
+            if not px:
+                continue
+            r0 = group["r0"][i].as_py() - wr0
+            r1 = group["r1"][i].as_py() - wr0
+            c0 = group["c0"][i].as_py() - wc0
+            c1 = group["c1"][i].as_py() - wc0
+            sh, sw = r1 - r0, c1 - c0
+            data[r0:r1, c0:c1] = np.frombuffer(px, dtype=self.raster_dtype).reshape(sh, sw)
+            bits = np.unpackbits(
+                np.frombuffer(group["rv"][i].as_py(), dtype=np.uint8), count=sh * sw
+            )
+            rvm[r0:r1, c0:c1] = bits.reshape(sh, sw).astype(bool)
+        isnod = data == self.nodata
+        if np.issubdtype(data.dtype, np.floating) and np.isnan(data.min()):
+            isnod = isnod | np.isnan(data)
+        masked = np.ma.MaskedArray(data, mask=(isnod | ~rvm))
+        aff = window_affine(((wr0, wr1), (wc0, wc1)), self.affine) if self.affine else None
+        return masked, rvm, aff
 
     def __call__(self, group: pa.Table) -> pa.Table:
         zid = group["zone_id"][0].as_py()
@@ -522,9 +733,14 @@ class MergeKernel:
 
             cat_values, cat_counts = [], []
             if self.categorical:
-                ks = sorted(pixel_count)
-                cat_values = [float(k) for k in ks]
-                cat_counts = [int(pixel_count[k]) for k in ks]
+                if self.category_map:
+                    cat_values, cat_counts = _remapped_histogram(
+                        pixel_count, self.category_map
+                    )
+                else:
+                    ks = sorted(pixel_count)
+                    cat_values = [float(k) for k in ks]
+                    cat_counts = [int(pixel_count[k]) for k in ks]
 
         if "nodata" in stats:
             out["nodata"] = float(pc.sum(group["nodata"]).as_py() or 0)
@@ -533,13 +749,32 @@ class MergeKernel:
             out["nan"] = float(pc.sum(group["nan_cnt"]).as_py() or 0) if has_nan else 0.0
 
         cols: dict = {"zone_id": pa.array([zid], pa.int64())}
-        for name, typ in stat_fields(stats, self.categorical):
-            if name == "cat_values":
+        for name, typ in stat_fields(stats, self.categorical, self.category_map):
+            if name in ("cat_values", "cat_keys"):
                 cols[name] = pa.array([cat_values], typ)
             elif name == "cat_counts":
                 cols[name] = pa.array([cat_counts], typ)
             else:
                 cols[name] = pa.array([out.get(name)], typ)
+
+        if self.raster_out or self.add_stats:
+            masked, rvm, aff = self._assemble(group)
+            if self.add_stats:
+                extra = (
+                    _dispatch_add_stats(
+                        self.add_stats, self.add_arity, masked, self._properties(zid), rvm
+                    )
+                    if masked is not None
+                    else {name: None for name in self.add_stats}
+                )
+                for name, v in extra.items():
+                    cols[name] = pa.array([v])
+            if self.raster_out:
+                mini = _mini_raster_values(
+                    masked, tuple(aff) if aff else (0.0,) * 6, self.nodata
+                )
+                for i, (mname, mtyp) in enumerate(_MINI_FIELDS):
+                    cols[mname] = pa.array([mini[i]], mtyp)
         return pa.table(cols)
 
 
@@ -706,6 +941,8 @@ def zonal_stats_tiled(
     all_touched: bool = False,
     categorical: bool = False,
     category_map=None,
+    add_stats=None,
+    raster_out: bool = False,
     tile_size: int = DEFAULT_TILE_SIZE,
     geom_col: str = "geom_wkb",
     checkpoint_before_shuffle: bool = True,
@@ -719,11 +956,31 @@ def zonal_stats_tiled(
     checkpoint the whole upstream (parquet read + tagging) runs twice.
     The all-to-all materializes the data anyway, so this adds no peak
     memory — it only removes the recompute.
+
+    ``add_stats`` (any arity) and ``raster_out`` route the partials through
+    a pixel-carrying merge: each (zone, tile) partial ships its sub-window
+    block + geometry mask, and the merge stage assembles the zone's full
+    mini-raster before running UDFs / emitting mini_raster_* columns.
     """
+    import ray
+
     stats_list, run_count = check_stats(stats, categorical)
+    carry_px = raster_out or add_stats is not None
     need_vals = run_count or any(
         s.startswith("percentile_") or s == "median" for s in stats_list
     )
+
+    props_ref = None
+    if add_stats and max(_add_stats_arity(add_stats).values(), default=1) >= 2:
+        # arity-2/3 UDFs receive feature properties: broadcast the (small)
+        # zone attribute columns once, keyed by zone_id
+        attr_tbl = zones_ds.drop_columns([geom_col]).to_pandas()
+        props_ref = ray.put(
+            {
+                int(r["zone_id"]): {k: v for k, v in r.items() if k != "zone_id"}
+                for r in attr_tbl.to_dict("records")
+            }
+        )
 
     # Tiles: pinned in the object store, addressed by cell (no payload
     # shuffle). Zones: only (cell, zone_id, wkb) rows enter the exchange.
@@ -746,12 +1003,18 @@ def zonal_stats_tiled(
         raster_dtype=raster_dtype,
         all_touched=all_touched,
         need_vals=need_vals,
+        carry_px=carry_px,
     )
     merge_kernel = MergeKernel(
         stats=stats,
         categorical=categorical,
         category_map=category_map,
         raster_dtype=raster_dtype,
+        raster_out=raster_out,
+        add_stats=add_stats,
+        affine=affine,
+        nodata=nodata,
+        props_ref=props_ref,
     )
 
     def cell_partials(group: pa.Table) -> pa.Table:
@@ -767,8 +1030,9 @@ def zonal_stats_tiled(
         # next op is another all-to-all; pin the small accumulator rows
         partials = partials.materialize()
 
-    if need_vals:
-        # holistic stats: per-zone value multisets must meet -> map_groups
+    if need_vals or carry_px:
+        # holistic stats / mini-raster assembly: per-zone partials must
+        # meet in one task -> map_groups
         merged = partials.groupby("zone_id").map_groups(
             merge_partials, batch_format="pyarrow"
         )

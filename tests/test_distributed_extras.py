@@ -1,0 +1,212 @@
+"""Differential tests for the distributed category_map / add_stats /
+raster_out paths vs the sequential oracle (reference main.py:250-253,
+304-321 semantics)."""
+
+import numpy as np
+import pytest
+
+from python_rasterstats_ray import zonal_stats
+from python_rasterstats_ray.functions.geometry import from_wkb
+from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+
+
+@pytest.fixture(scope="module")
+def class_inputs():
+    arr, affine, nodata = generate_raster((200, 200), kind="classes", seed=3)
+    zones = generate_zones(14, extent=(-15.0, -15.0, 215.0, 215.0), seed=5, mega_every=9)
+    return arr, affine, nodata, zones
+
+
+def _feats(zones):
+    return [
+        {
+            "type": "Feature",
+            "properties": {"zcat": int(z)},
+            "geometry": from_wkb(w).to_geojson(),
+        }
+        for w, z in zip(zones["geom_wkb"].to_pylist(), zones["zcat"].to_pylist())
+    ]
+
+
+CMAP = {1.0: "low", 2.0: "low-mid", 4.0: "high"}  # partial map: 3.0/5.0 pass through
+
+
+def _oracle_cat(arr, affine, nodata, zones):
+    rows = zonal_stats(
+        _feats(zones), arr, affine=affine, nodata=nodata,
+        stats="count majority", categorical=True, category_map=CMAP,
+    )
+    out = []
+    for r in rows:
+        hist = {str(k): v for k, v in r.items() if k not in ("count", "majority")}
+        out.append((hist, r["count"], r["majority"]))
+    return out
+
+
+def _check_cat(df, oracle):
+    for i, (hist, count, majority) in enumerate(oracle):
+        got = dict(zip(df.iloc[i]["cat_keys"], df.iloc[i]["cat_counts"]))
+        assert got == hist, (i, got, hist)
+        assert df.iloc[i]["count"] == count
+        m = df.iloc[i]["majority"]
+        if majority is None:
+            assert m is None or np.isnan(m)
+        else:
+            assert m == majority
+
+
+def test_category_map_broadcast(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata, zones = class_inputs
+    df = (
+        zonal_stats_broadcast(
+            ray.data.from_arrow(zones), (arr, affine, nodata),
+            stats="count majority", categorical=True, category_map=CMAP,
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    _check_cat(df, _oracle_cat(arr, affine, nodata, zones))
+
+
+def test_category_map_tiled(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    df = (
+        zonal_stats_tiled(
+            ray.data.from_arrow(zones), ray.data.from_arrow(tiles), affine, nodata,
+            raster_dtype=str(arr.dtype), stats="count majority",
+            categorical=True, category_map=CMAP, tile_size=64,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    _check_cat(df, _oracle_cat(arr, affine, nodata, zones))
+
+
+ADD_STATS = {
+    "mymean": lambda m: float(m.mean()) if m.count() else None,
+    "zcat_echo": lambda m, props: props["zcat"],
+    "mask_px": lambda m, props, rv: int(rv.sum()),
+}
+
+
+def _oracle_add(arr, affine, nodata, zones):
+    return zonal_stats(
+        _feats(zones), arr, affine=affine, nodata=nodata,
+        stats="count", add_stats=ADD_STATS,
+    )
+
+
+def _check_add(df, oracle):
+    for i, orow in enumerate(oracle):
+        for k in ("mymean", "zcat_echo", "mask_px"):
+            got, want = df.iloc[i][k], orow[k]
+            if want is None:
+                assert got is None or np.isnan(got), (i, k)
+            else:
+                assert got == pytest.approx(want, rel=1e-12), (i, k, got, want)
+
+
+def test_add_stats_arity_broadcast(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata, zones = class_inputs
+    df = (
+        zonal_stats_broadcast(
+            ray.data.from_arrow(zones), (arr, affine, nodata),
+            stats="count", add_stats=ADD_STATS,
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    _check_add(df, _oracle_add(arr, affine, nodata, zones))
+
+
+def test_add_stats_arity_tiled(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    df = (
+        zonal_stats_tiled(
+            ray.data.from_arrow(zones), ray.data.from_arrow(tiles), affine, nodata,
+            raster_dtype=str(arr.dtype), stats="count",
+            add_stats=ADD_STATS, tile_size=64,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    _check_add(df, _oracle_add(arr, affine, nodata, zones))
+
+
+def _oracle_mini(arr, affine, nodata, zones):
+    return zonal_stats(
+        _feats(zones), arr, affine=affine, nodata=nodata,
+        stats="count", raster_out=True,
+    )
+
+
+def _check_mini(df, oracle):
+    from python_rasterstats_ray.stages.zonal_dist import unpack_mini_raster
+
+    for i, orow in enumerate(oracle):
+        got, aff, nod = unpack_mini_raster(df.iloc[i])
+        want = orow["mini_raster_array"]
+        assert got.shape == want.shape, i
+        assert (np.ma.getmaskarray(got) == np.ma.getmaskarray(want)).all(), i
+        if got.count():
+            assert (got.compressed() == want.compressed()).all(), i
+        assert tuple(aff) == tuple(orow["mini_raster_affine"]), i
+        assert nod == orow["mini_raster_nodata"], i
+
+
+def test_raster_out_broadcast(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata, zones = class_inputs
+    df = (
+        zonal_stats_broadcast(
+            ray.data.from_arrow(zones), (arr, affine, nodata),
+            stats="count", raster_out=True,
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    _check_mini(df, _oracle_mini(arr, affine, nodata, zones))
+
+
+def test_raster_out_tiled(ray_session, class_inputs):
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    df = (
+        zonal_stats_tiled(
+            ray.data.from_arrow(zones), ray.data.from_arrow(tiles), affine, nodata,
+            raster_dtype=str(arr.dtype), stats="count",
+            raster_out=True, tile_size=64,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    _check_mini(df, _oracle_mini(arr, affine, nodata, zones))
