@@ -678,29 +678,14 @@ SELECT event_id, asof_orderkey FROM (
 
 def q_docs_dedup_filtered(sf_dir: str):
     """Dedup applied as a filter: keep only each text's min-doc_id
-    representative, return the surviving rows (id, lang, n_chars).
-    Two-pass: tiny (hash -> rep id) mapping computed distributed, then
-    broadcast back as a survivor-id set filter (no payload shuffle)."""
-    import ray
+    representative, returning the surviving rows (id, lang, n_chars).
+    Single pass, fully distributed: md5 computed per batch (payload
+    dropped immediately), one groupby(md5) picks the min-id row — nothing
+    is ever materialized on the driver or broadcast back."""
+    from ..stages.dedup import exact_dedup_filter
 
-    from ..stages.dedup import exact_dedup_groups
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    reps = exact_dedup_groups(ds).select_columns(["rep_doc_id"]).to_pandas()
-    survivors = ray.put(set(int(v) for v in reps["rep_doc_id"]))
-
-    full = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
-
-    class Filter:
-        def __init__(self):
-            import ray as _r
-
-            self.keep = _r.get(survivors)
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["doc_id"].isin(self.keep)]
-
-    return full.map_batches(Filter, batch_format="pandas", concurrency=(1, 4))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars", "text"])
+    return exact_dedup_filter(ds, keep_cols=["lang", "n_chars"])
 
 
 SQL_DOCS_DEDUP_FILTERED = """

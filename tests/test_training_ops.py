@@ -244,3 +244,36 @@ def test_multimodal_plumbing(ray_session):
     )
     assert len(frames) == 5 * 4  # 16 frames, stride 4
     assert set(frames["frame"]) == {0, 4, 8, 12}
+
+
+def test_minhash_hot_bucket_cap(ray_session, docs_with_dups):
+    """Oversized LSH buckets emit a sorted-consecutive chain instead of all
+    pairs: connected components survive, the O(n^2) explosion does not."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import minhash_lsh_pairs
+
+    # 20 identical docs -> every band bucket holds all 20 ids
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(20), pa.int64()),
+            "text": pa.array(["same exact boilerplate text repeated"] * 20),
+        }
+    )
+    pairs = minhash_lsh_pairs(ray.data.from_arrow(tbl), max_bucket_size=8).to_pandas()
+    # chain: exactly n-1 distinct consecutive edges, not n*(n-1)/2
+    assert len(pairs) == 19
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert got == {(i, i + 1) for i in range(19)}
+
+
+def test_exact_dedup_filter(ray_session, docs_with_dups):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import exact_dedup_filter
+
+    ds = ray.data.from_arrow(docs_with_dups)
+    kept = exact_dedup_filter(ds, keep_cols=[]).to_pandas()
+    # one survivor per distinct text, always the min doc_id
+    assert len(kept) == 16
+    assert set(kept["doc_id"]) == set(range(15)) | {70}
