@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 from collections.abc import Callable
 
@@ -99,6 +100,12 @@ def run_partitioned(
         ds = build(spec)
 
         part_dir = os.path.join(out_dir, f"part={name}")
+        # a kill between write_parquet and the commit marker leaves stale
+        # files; re-running would APPEND duplicates and the xor digest
+        # (which cancels on duplicated rows) would then mismatch forever.
+        # An uncommitted partition always restarts from a clean sink.
+        if os.path.exists(part_dir):
+            shutil.rmtree(part_dir)
         src_digest = None
         if text_col is not None:
             src_digest, _ = text_digest_of(ds, text_col)

@@ -82,3 +82,36 @@ def test_byte_identity_detects_corruption(ray_session, tmp_path):
 
     digest, _ = text_digest_of(ray.data.read_parquet(part_dir), "text")
     assert digest != recorded
+
+
+def test_stale_uncommitted_partition_is_cleaned(ray_session, tmp_path):
+    """A crash after write_parquet but before the commit marker must not
+    poison the resume: the re-run clears the stale files instead of
+    appending duplicates (which would break the xor digest forever)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.checkpoint import run_partitioned
+
+    out = str(tmp_path / "out")
+    parts = [("p0", {"n": 5})]
+
+    def build(spec):
+        return ray.data.from_arrow(
+            pa.table({"text": [f"doc-{i}" for i in range(spec["n"])]})
+        )
+
+    # simulate the crashed attempt: partition dir full of rows, no marker
+    os.makedirs(os.path.join(out, "part=p0"), exist_ok=True)
+    pq.write_table(
+        pa.table({"text": ["stale-a", "stale-b"]}),
+        os.path.join(out, "part=p0", "stale.parquet"),
+    )
+
+    summary = run_partitioned(parts, build, out, text_col="text")
+    assert summary["ran"] == ["p0"] and summary["remaining"] == []
+    got = ray.data.read_parquet(os.path.join(out, "part=p0")).to_pandas()
+    assert sorted(got["text"]) == [f"doc-{i}" for i in range(5)]

@@ -277,3 +277,38 @@ def test_exact_dedup_filter(ray_session, docs_with_dups):
     # one survivor per distinct text, always the min doc_id
     assert len(kept) == 16
     assert set(kept["doc_id"]) == set(range(15)) | {70}
+
+
+def test_grid_index_far_query_and_ties():
+    """Queries far outside the point cloud still return k neighbors, and a
+    boundary-distance tie resolves to the smaller id (ADVICE round 1)."""
+    import numpy as np
+
+    from python_rasterstats_ray.state.grid_index import GridIndex
+
+    rng = np.random.default_rng(8)
+    xs = rng.uniform(0, 10, 200)
+    ys = rng.uniform(0, 10, 200)
+    ids = np.arange(200, dtype=np.int64)
+    gi = GridIndex(xs, ys, ids, cell=1.0)
+
+    def brute(x, y, k):
+        d2 = (xs - x) ** 2 + (ys - y) ** 2
+        order = np.lexsort((ids, d2))[:k]
+        return ids[order].tolist(), d2[order].tolist()
+
+    # far outside the data span in every direction (old max_ring would
+    # exhaust before reaching any bucket)
+    for qx, qy in [(500.0, 500.0), (-300.0, 5.0), (5.0, -1000.0), (250.0, -250.0)]:
+        got_i, got_d = gi.knn(qx, qy, 5)
+        want_i, want_d = brute(qx, qy, 5)
+        assert got_i.tolist() == want_i and got_d.tolist() == want_d, (qx, qy)
+
+    # exact-tie at a ring boundary: query on a cell edge, two points at
+    # identical distance on opposite sides, smaller id in the OUTER ring
+    xs2 = np.array([1.0, 5.0])   # both exactly 2.0 from query x=3
+    ys2 = np.array([0.5, 0.5])
+    ids2 = np.array([1, 7], dtype=np.int64)
+    gi2 = GridIndex(xs2, ys2, ids2, cell=1.0)
+    got_i, got_d = gi2.knn(3.0, 0.5, 1)
+    assert got_i.tolist() == [1] and got_d[0] == 4.0
