@@ -59,11 +59,43 @@ def parse_feature(obj) -> dict:
     raise ValueError(f"Can't parse {obj} as a geojson Feature object")
 
 
+def list_layers(path: str) -> list[str]:
+    """Layer names of a datasource (reference: ``fiona.listlayers``).
+
+    A directory is a multi-layer datasource whose layers are its .shp
+    basenames (sorted for determinism); a single file is one layer named
+    after its basename."""
+    if os.path.isdir(path):
+        return sorted(
+            os.path.splitext(f)[0] for f in os.listdir(path) if f.lower().endswith(".shp")
+        )
+    return [os.path.splitext(os.path.basename(path))[0]]
+
+
+def _resolve_layer(path: str, layer) -> str:
+    """layer index-or-name -> concrete .shp path (reference io.py:94-101:
+    ``fiona.open(obj, layer=layer)`` accepts either form)."""
+    layers = list_layers(path)
+    if isinstance(layer, str):
+        if layer not in layers:
+            raise ValueError(f"Layer {layer!r} not found; available: {layers}")
+        name = layer
+    else:
+        idx = int(layer)
+        if not 0 <= idx < len(layers):
+            raise ValueError(f"Layer index {idx} out of range; available: {layers}")
+        name = layers[idx]
+    if os.path.isdir(path):
+        return os.path.join(path, name + ".shp")
+    return path
+
+
 def _file_features(path: str, layer=0):
-    """Read features from a .shp or GeoJSON file on disk."""
+    """Read features from a .shp or GeoJSON file (or a directory
+    datasource with ``layer`` selection by index or name)."""
     lower = path.lower()
-    if lower.endswith(".shp"):
-        return read_shapefile(path)
+    if os.path.isdir(path) or lower.endswith(".shp"):
+        return read_shapefile(_resolve_layer(path, layer))
     with open(path) as f:
         content = f.read()
     mapping = json.loads(content)
@@ -76,10 +108,10 @@ def read_features(obj, layer=0):
     features_iter = None
     if isinstance(obj, (str, PathLike)):
         obj = str(obj)
-        if os.path.exists(obj) and not os.path.isdir(obj):
+        if os.path.exists(obj):
             try:
                 features_iter = _file_features(obj, layer)
-            except (ValueError, json.JSONDecodeError, NotImplementedError):
+            except (json.JSONDecodeError, NotImplementedError, UnicodeDecodeError):
                 features_iter = None
         if features_iter is None:
             try:

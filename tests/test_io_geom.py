@@ -210,3 +210,24 @@ def test_nodata_warning_default():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         r.read(bounds=(-2, 1, 1, 4))
+
+
+def test_layer_by_index_and_name():
+    """Directory datasources select layers by index or name (reference
+    io.py:94-101, tests/test_io.py:58-64)."""
+    import pytest
+
+    from python_rasterstats_ray.sources.features import list_layers, read_features
+
+    data_dir = "/root/reference/tests/data"
+    direct = list(read_features(data_dir + "/polygons.shp"))
+    layers = list_layers(data_dir)
+    assert "polygons" in layers
+    by_name = list(read_features(data_dir, layer="polygons"))
+    by_index = list(read_features(data_dir, layer=layers.index("polygons")))
+    assert [f["geometry"] for f in by_name] == [f["geometry"] for f in direct]
+    assert [f["geometry"] for f in by_index] == [f["geometry"] for f in direct]
+    with pytest.raises(ValueError, match="not found"):
+        read_features(data_dir, layer="no_such_layer")
+    with pytest.raises(ValueError, match="out of range"):
+        read_features(data_dir, layer=99)
