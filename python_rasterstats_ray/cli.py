@@ -25,21 +25,27 @@ def _read_features_arg(arg: str | None):
     return arg
 
 
-def _emit(features: list[dict], sequence: bool, use_rs: bool, fh=None) -> None:
+def _emit(features: list[dict], sequence: bool, use_rs: bool, fh=None, indent=None) -> None:
     fh = fh or sys.stdout
     if sequence:
         for feat in features:
             if use_rs:
                 fh.write("\x1e")
-            fh.write(json.dumps(feat) + "\n")
+            fh.write(json.dumps(feat, indent=indent) + "\n")
     else:
-        fh.write(json.dumps({"type": "FeatureCollection", "features": features}))
+        fh.write(
+            json.dumps({"type": "FeatureCollection", "features": features}, indent=indent)
+        )
         fh.write("\n")
 
 
 def cmd_zonalstats(args) -> int:
     from . import gen_zonal_stats
 
+    if args.info:
+        import logging
+
+        logging.basicConfig(level=logging.INFO)
     stats = args.stats
     if stats and stats.lower() == "all":
         stats = "ALL"
@@ -56,7 +62,7 @@ def cmd_zonalstats(args) -> int:
             geojson_out=True,
         )
     )
-    _emit(feats, args.sequence, args.rs)
+    _emit(feats, args.sequence, args.rs, indent=args.indent)
     return 0
 
 
@@ -74,7 +80,7 @@ def cmd_pointquery(args) -> int:
             geojson_out=True,
         )
     )
-    _emit(feats, args.sequence, args.rs)
+    _emit(feats, args.sequence, args.rs, indent=args.indent)
     return 0
 
 
@@ -104,13 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
                         help="emit LF-delimited feature sequence instead of a collection")
         sp.add_argument("--rs", action="store_true",
                         help="with --sequence, prefix records with RFC 7464 RS")
+        sp.add_argument("--indent", type=int, default=None,
+                        help="JSON output indentation (reference cli.py:20)")
+        sp.add_argument("--info", action="store_true",
+                        help="enable INFO logging (reference cli.py:21)")
 
     zs = sub.add_parser("zonalstats", help="zonal statistics, GeoJSON out")
     common(zs)
     zs.add_argument("--stats", default=None, help="space-delimited stats or 'all'")
     zs.add_argument("--all-touched", action="store_true")
     zs.add_argument("--categorical", action="store_true")
-    zs.add_argument("--prefix", default=None)
+    # reference zonalstats defaults prefix to "_" (cli.py:23)
+    zs.add_argument("--prefix", default="_")
     zs.set_defaults(fn=cmd_zonalstats)
 
     pq_ = sub.add_parser("pointquery", help="raster values at vertices, GeoJSON out")

@@ -988,7 +988,12 @@ def attach_zone_columns(stats_ds, zones_ds, columns: list[str], zone_col: str = 
     import ray
 
     zmap_tbl = zones_ds.select_columns([zone_col] + columns).to_pandas()
-    lookup = {int(r[zone_col]): tuple(r[c] for c in columns) for _, r in zmap_tbl.iterrows()}
+    lookup = dict(
+        zip(
+            (int(z) for z in zmap_tbl[zone_col]),
+            zip(*(zmap_tbl[c] for c in columns)),
+        )
+    )
     ref = ray.put(lookup)
 
     def attach(batch: pa.Table) -> pa.Table:

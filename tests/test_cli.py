@@ -24,8 +24,9 @@ def test_zonalstats_collection(capsys):
     assert rc == 0
     fc = json.loads(out)
     assert fc["type"] == "FeatureCollection"
-    assert [f["properties"]["count"] for f in fc["features"]] == [75, 50]
-    assert round(fc["features"][0]["properties"]["mean"], 2) == 14.66
+    # reference cli defaults prefix to "_" (cli.py:23)
+    assert [f["properties"]["_count"] for f in fc["features"]] == [75, 50]
+    assert round(fc["features"][0]["properties"]["_mean"], 2) == 14.66
 
 
 def test_zonalstats_sequence_rs(capsys):
@@ -61,7 +62,7 @@ def test_zonalstats_all_stats(capsys):
         ],
     )
     props = json.loads(out)["features"][0]["properties"]
-    for key in ("count", "median", "majority", "nodata"):
+    for key in ("_count", "_median", "_majority", "_nodata"):
         assert key in props
 
 
