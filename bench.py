@@ -81,13 +81,30 @@ def stage_inputs() -> None:
     from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    marker = f"{BENCH_DIR}/_staged_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
+    marker = f"{BENCH_DIR}/_staged_v2_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
     if os.path.exists(marker):
         return
+
+    def write_sharded(tbl: pa.Table, dirname: str, n_shards: int, row_group_size: int):
+        """One parquet FILE per shard: a single-file table forces Ray into
+        one read task (measured 6.9 s single-threaded for the zone table);
+        sharded directories read with full parallelism — and mirror the
+        partitioned layout any at-scale storage would use anyway."""
+        d = os.path.join(BENCH_DIR, dirname)
+        os.makedirs(d, exist_ok=True)
+        step = (len(tbl) + n_shards - 1) // n_shards
+        for i in range(n_shards):
+            part = tbl.slice(i * step, step)
+            if len(part):
+                pq.write_table(
+                    part, os.path.join(d, f"part-{i:04d}.parquet"),
+                    row_group_size=row_group_size,
+                )
+
     h, w = ZONAL_SHAPE
     arr, affine, nodata = generate_raster((h, w), kind="holes", seed=7)
     tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=ZONAL_TILE)
-    pq.write_table(tiles, f"{BENCH_DIR}/tiles.parquet", row_group_size=16)
+    write_sharded(tiles, "tiles", 16, 4)
     zones = generate_zones(
         N_ZONES,
         extent=(-50.0, -50.0, w + 50.0, h + 50.0),
@@ -96,10 +113,10 @@ def stage_inputs() -> None:
         n_vertices=N_VERTICES,
         layout_positions=N_LAYOUT,
     )
-    pq.write_table(zones, f"{BENCH_DIR}/zones.parquet", row_group_size=4096)
+    write_sharded(zones, "zones", 64, 2048)
     rng = np.random.default_rng(2)
     pts = rng.uniform(-10, h + 10, size=(N_POINTS, 2))
-    pq.write_table(
+    write_sharded(
         pa.table(
             {
                 "pt_id": pa.array(np.arange(N_POINTS), pa.int64()),
@@ -107,8 +124,9 @@ def stage_inputs() -> None:
                 "y": pa.array(pts[:, 1], pa.float64()),
             }
         ),
-        f"{BENCH_DIR}/points.parquet",
-        row_group_size=65536,
+        "points",
+        32,
+        65536,
     )
     with open(marker, "w") as f:
         f.write("ok")
@@ -126,9 +144,9 @@ def bench_zonal_tiled():
     affine, nodata = zonal_affine_nodata()
     ncpu = _num_cpus()
     zones = ray.data.read_parquet(
-        f"{BENCH_DIR}/zones.parquet", override_num_blocks=ncpu * 3
+        f"{BENCH_DIR}/zones", override_num_blocks=ncpu * 3
     )
-    tiles = ray.data.read_parquet(f"{BENCH_DIR}/tiles.parquet")
+    tiles = ray.data.read_parquet(f"{BENCH_DIR}/tiles")
     out = zonal_stats_tiled(
         zones,
         tiles,
@@ -162,7 +180,7 @@ def bench_zonal_broadcast():
     arr, affine, nodata = _bench_raster()
     ncpu = _num_cpus()
     zones = ray.data.read_parquet(
-        f"{BENCH_DIR}/zones.parquet", override_num_blocks=ncpu * 4
+        f"{BENCH_DIR}/zones", override_num_blocks=ncpu * 4
     )
     out = zonal_stats_broadcast(
         zones,
@@ -212,7 +230,7 @@ def bench_point_query():
     from python_rasterstats_ray.stages.point_dist import point_query_broadcast
 
     arr, affine, nodata = generate_raster((2048, 2048), kind="holes", seed=21)
-    pts = ray.data.read_parquet(f"{BENCH_DIR}/points.parquet")
+    pts = ray.data.read_parquet(f"{BENCH_DIR}/points")
     out = point_query_broadcast(
         pts, (arr, affine, nodata), concurrency=(1, _num_cpus()), batch_size=65536
     )

@@ -64,28 +64,45 @@ def q_tpch_q1(sf_dir: str):
     )
     cutoff = pd.Timestamp("1998-09-02")
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cutoff]
-        price100 = _cents(df["l_extendedprice"])
-        disc100 = _cents(df["l_discount"])
-        g = pd.DataFrame(
-            {
-                "l_returnflag": df["l_returnflag"].to_numpy(),
-                "l_linestatus": df["l_linestatus"].to_numpy(),
-                "qty": df["l_quantity"].to_numpy(),
-                "price100": price100,
-                # price (2dp) x (1 - disc) (2dp) is an exact 4dp value:
-                # accumulate in units of 1e-4 as int64
-                "disc_price4": price100 * (100 - disc100),
-                "disc100": disc100,
-            }
+    def partial(batch: pa.Table) -> pa.Table:
+        # zero-copy Arrow path: filter + native hash aggregation, no pandas
+        t = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff)))
+        price100 = _cents(t["l_extendedprice"])
+        disc100 = _cents(t["l_discount"])
+        g = (
+            pa.table(
+                {
+                    "l_returnflag": t["l_returnflag"],
+                    "l_linestatus": t["l_linestatus"],
+                    "qty": t["l_quantity"],
+                    "price100": pa.array(price100, pa.int64()),
+                    # price (2dp) x (1 - disc) (2dp) is an exact 4dp value:
+                    # accumulate in units of 1e-4 as int64
+                    "disc_price4": pa.array(price100 * (100 - disc100), pa.int64()),
+                    "disc100": pa.array(disc100, pa.int64()),
+                }
+            )
+            .group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("qty", "sum"),
+                    ("price100", "sum"),
+                    ("disc_price4", "sum"),
+                    ("disc100", "sum"),
+                    ("qty", "count"),
+                ]
+            )
         )
-        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"),
-            sum_price100=("price100", "sum"),
-            sum_disc_price4=("disc_price4", "sum"),
-            sum_disc100=("disc100", "sum"),
-            count_order=("qty", "size"),
+        return g.rename_columns(
+            [
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_price100",
+                "sum_disc_price4",
+                "sum_disc100",
+                "count_order",
+            ]
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -102,7 +119,10 @@ def q_tpch_q1(sf_dir: str):
         }
         return pd.DataFrame(row)
 
-    return _partial_final_groupby(ds, partial, ["l_returnflag", "l_linestatus"], final)
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
+        final, batch_format="pandas"
+    )
 
 
 SQL_TPCH_Q1 = """

@@ -134,6 +134,37 @@ def q_zonal_edge(sf_dir: str):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _udf_mean(m):
+    """arity-1 add_stats: float64 mean of the assembled masked window (the
+    float64 cast keeps the sum exact for integer-valued pixels, so the SQL
+    mirror s/cnt is bit-identical)."""
+    return float(np.ma.asarray(m).astype(np.float64).mean()) if m.count() else None
+
+
+def _udf_mask_px(m, props, rv):
+    """arity-3 add_stats: geometry-mask cell count (includes nodata cells),
+    = the SQL count of all joined pixels."""
+    return float(int(rv.sum()))
+
+
+def q_zonal_udfs(sf_dir: str):
+    """Distributed tiled path with add_stats UDFs (arity 1 and 3): the
+    merge stage assembles each zone's mini-raster from its tile partials
+    and dispatches the UDFs on it (reference main.py:304-316 semantics,
+    driver-checkable because both UDFs have closed-form SQL mirrors)."""
+    out = _tiled(
+        "main",
+        "holes",
+        "count",
+        add_stats={"udf_mean": _udf_mean, "udf_mask_px": _udf_mask_px},
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["zone_id", "count", "udf_mean", "udf_mask_px"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _points_ds():
     import ray.data
 
@@ -332,6 +363,21 @@ FROM agg
 """
 
 
+SQL_ZONAL_UDFS = f"""
+WITH {_center_join("main", "holes", HOLES_H)},
+agg AS (
+  SELECT zone_id,
+         count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+         sum(CASE WHEN NOT is_nodata THEN val END) AS s,
+         count(val) AS mask_px
+  FROM j GROUP BY zone_id
+)
+SELECT zone_id, cnt AS "count", s / cnt AS udf_mean,
+       CAST(mask_px AS DOUBLE) AS udf_mask_px
+FROM agg
+"""
+
+
 def _bilinear_sql(pts_cte: str, id_cols: str, h: int, raster: str) -> str:
     """SQL mirror of stages/point_dist.PointQueryKernel bilinear semantics:
     banker's-round window centering (fractional parts never .0/.5 by fixture
@@ -414,6 +460,7 @@ ZONAL_QUERIES = {
     "zonal_histogram": q_zonal_histogram,
     "zonal_auto": q_zonal_auto,
     "zonal_edge": q_zonal_edge,
+    "zonal_udfs": q_zonal_udfs,
     "point_query_synthetic": q_point_query_bilinear,
     "point_query_nearest": q_point_query_nearest,
     "point_query_features": q_point_query_features,
@@ -427,6 +474,7 @@ ZONAL_ORACLE_SQL = {
     "zonal_histogram": SQL_ZONAL_HISTOGRAM,
     "zonal_auto": SQL_ZONAL_AUTO,
     "zonal_edge": SQL_ZONAL_EDGE,
+    "zonal_udfs": SQL_ZONAL_UDFS,
     "point_query_synthetic": SQL_POINT_BILINEAR,
     "point_query_nearest": SQL_POINT_NEAREST,
     "point_query_features": SQL_POINT_FEATURES,
