@@ -88,15 +88,6 @@ def _q_simhash(sf_dir: str):
     )
 
 
-def _q_embedding_neardup(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.stages.dedup import embedding_neardup_pairs
-
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_neardup_pairs(ds, threshold=0.9)
-
-
 def _q_knn_ivf(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
@@ -111,17 +102,6 @@ def _q_knn_ivf(sf_dir: str):
     qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
     cents = train_centroids(ds, n_centroids=8)
     return knn_ivf(ds, (qids, qmat), cents, k=10, nprobe=3)
-
-
-def _q_lang_id(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.stages.text import LangIdKernel
-
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
-    return ds.map_batches(
-        LangIdKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
-    )
 
 
 def _q_fingerprint(sf_dir: str):
@@ -186,9 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "zonal_irregular_broadcast": _q_zonal_irregular_broadcast,
             "minhash_pairs": _q_minhash_pairs,
             "simhash_signatures": _q_simhash,
-            "embedding_neardup": _q_embedding_neardup,
             "knn_ivf": _q_knn_ivf,
-            "lang_id": _q_lang_id,
             "doc_fingerprint": _q_fingerprint,
             "flagship_zone_stats": _q_flagship_zone_stats,
             "media_features": _q_media_features,

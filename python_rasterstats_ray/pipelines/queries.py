@@ -829,6 +829,229 @@ WHERE knn_rank <= 5
 """
 
 
+def q_knn_ivf_exact(sf_dir: str, k: int = 10, n_queries: int = 3):
+    """IVF kNN in its exact limit: nprobe = n_centroids probes every
+    partition, so the full IVF machinery (centroid training, list
+    assignment, probe routing, partial top-k + merge) must reproduce the
+    brute-force answer — which the SQL oracle computes directly."""
+    import ray.data
+
+    from ..stages.similarity import knn_ivf, train_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = _small_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = qt.filter(pc.less(qt["vec_id"], n_queries))
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    cents = train_centroids(ds, n_centroids=8)
+    out = knn_ivf(ds, (qids, qmat), cents, k=k, nprobe=8)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "neighbor_id": batch["neighbor_id"],
+                "knn_rank": batch["rank"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_KNN_IVF_EXACT = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3
+)
+SELECT query_id, neighbor_id, knn_rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC,
+                    e.vec_id
+         ) AS knn_rank
+  FROM q CROSS JOIN embeddings e
+) t
+WHERE knn_rank <= 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.95, n_base: int = 1000):
+    """Hyperplane-LSH near-duplicate pairs with PLANTED exact duplicates
+    (ids shifted by 10^9): identical vectors always collide in every LSH
+    bucket, so the planted pairs are guaranteed output — giving this
+    approximate operator a deterministic, SQL-checkable core. Projected to
+    (id_a, id_b); the cosine column is dropped (numpy vs DuckDB cosine
+    differ in the last ulp)."""
+    import ray.data
+
+    from ..stages.dedup import embedding_neardup_pairs
+
+    base_tbl = _small_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base_tbl = base_tbl.filter(pc.less(base_tbl["vec_id"], n_base))
+    dup_tbl = base_tbl.filter(pc.less(base_tbl["vec_id"], 20))
+    dup_tbl = dup_tbl.set_column(
+        0, "vec_id", pc.add(dup_tbl["vec_id"], pa.scalar(1_000_000_000, pa.int64()))
+    )
+    ds = ray.data.from_arrow(base_tbl).union(ray.data.from_arrow(dup_tbl))
+    out = embedding_neardup_pairs(ds, threshold=threshold)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["id_a", "id_b"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000
+),
+al AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT vec_id + 1000000000 AS vec_id, embedding FROM base WHERE vec_id < 20
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM al a JOIN al b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.95
+"""
+
+
+def q_lang_id(sf_dir: str):
+    """n-gram-profile language id (stateful actor stage; patterns compiled
+    once per actor) -> (doc_id, lang_guess). The scoring is count of
+    profile-ngram regex hits per language with argmax-first tie-break —
+    RE2 non-overlapping counting on both sides, so DuckDB's
+    regexp_extract_all mirrors it exactly."""
+    import ray.data
+
+    from ..stages.text import LangIdKernel
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        LangIdKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "lang_guess"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _langid_sql() -> str:
+    from ..stages.text import _LANG_PROFILES
+
+    scores = ",\n         ".join(
+        f"len(regexp_extract_all(text, '{'|'.join(_LANG_PROFILES[lang])}')) AS s_{lang}"
+        for lang in _LANG_PROFILES
+    )
+    langs = list(_LANG_PROFILES)
+    m = ", ".join(f"s_{la}" for la in langs)
+    # CASE order = the kernel's argmax-first tie-break (profile dict order)
+    case = "\n       ".join(f"WHEN s_{la} = m THEN '{la}'" for la in langs)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {scores}
+  FROM documents
+),
+sm AS (SELECT *, greatest({m}) AS m FROM s)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'und'
+       {case}
+  END AS lang_guess
+FROM sm
+"""
+
+
+def q_flagship_rect_zones(sf_dir: str):
+    """The north-rule flagship shape (enrich -> PIP zone join -> per-zone
+    aggregate) over literal rectangle zones so the WHOLE pipeline —
+    geotag formula, the PIPZoneKernel actor grid index, the partial/merge
+    aggregation — is driver-checkable in SQL (the production flagship uses
+    irregular polygon zones and stays rows-only)."""
+    import ray
+
+    from ..functions.geometry import make_box, to_wkb
+    from ..pipelines.webpages import PIPZoneKernel, enrich_batch
+
+    zones_tbl = pa.table(
+        {
+            "zone_id": pa.array([z[0] for z in _RECT_ZONES], pa.int64()),
+            "geom_wkb": pa.array(
+                [to_wkb(make_box(w, s, e, n)) for _, w, s, e, n in _RECT_ZONES],
+                pa.binary(),
+            ),
+        }
+    )
+    zones_ref = ray.put(zones_tbl)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    enriched = ds.map_batches(
+        enrich_batch,
+        fn_kwargs=dict(id_col="doc_id", text_col="text"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).map_batches(
+        PIPZoneKernel,
+        fn_constructor_kwargs=dict(zones_ref=zones_ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return (
+            pa.table(
+                {
+                    "zone_id": batch["zone_id"],
+                    "n_tokens": batch["n_tokens"],
+                    "n_chars": batch["n_chars"],
+                }
+            )
+            .group_by(["zone_id"])
+            .aggregate([("n_tokens", "count"), ("n_tokens", "sum"), ("n_chars", "sum")])
+            .rename_columns(["zone_id", "n_pages", "total_tokens", "total_chars"])
+        )
+
+    partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "zone_id": [int(g["zone_id"].iloc[0])],
+                "n_pages": [int(g["n_pages"].sum())],
+                "total_tokens": [int(g["total_tokens"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    return partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+
+
+SQL_FLAGSHIP_RECT_ZONES = """
+WITH zones(zone_id, xmin, ymin, xmax, ymax) AS (VALUES
+  (0, -180.0007, -60.0007, -90.0003, 0.0003),
+  (1, -90.0003, -60.0007, -0.0007, 0.0003),
+  (2, -0.0007, -60.0007, 90.0003, 0.0003),
+  (3, 90.0003, -60.0007, 180.0007, 0.0003),
+  (4, -180.0007, 0.0003, -0.0007, 60.0007),
+  (5, -0.0007, 0.0003, 180.0007, 60.0007)
+),
+pts AS (
+  SELECT doc_id, n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id, count(*) AS n_pages,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM zones JOIN pts
+  ON lon > xmin AND lon < xmax AND lat > ymin AND lat < ymax
+GROUP BY zone_id
+"""
+
+
 ORACLE_SQL = {
     "knn_points_geo": SQL_KNN_POINTS_GEO,
     "orders_by_region": SQL_ORDERS_BY_REGION,
@@ -848,6 +1071,10 @@ ORACLE_SQL = {
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
+    "lang_id": _langid_sql(),
+    "flagship_rect_zones": SQL_FLAGSHIP_RECT_ZONES,
+    "knn_ivf_exact": SQL_KNN_IVF_EXACT,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
 }
 
 QUERIES = {
@@ -869,4 +1096,8 @@ QUERIES = {
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
     "docs_pip_zones": q_docs_pip_zones,
+    "lang_id": q_lang_id,
+    "flagship_rect_zones": q_flagship_rect_zones,
+    "knn_ivf_exact": q_knn_ivf_exact,
+    "embedding_neardup": q_embedding_neardup,
 }
