@@ -29,45 +29,6 @@ def entry() -> Any:
 # --------------------------------------------------- rows-only pipelines
 
 
-def _q_zonal_irregular_tiled(sf_dir: str):
-    """Full tiled cell-join zonal pipeline over deterministic synthetic
-    raster + IRREGULAR polygon zones (jittered quads incl. mega-zones).
-    Rows-only for the driver: the complex-polygon rasterizer is gated by
-    pytest differential tests; the SQL-exact driver coverage of the same
-    distributed path is zonal_synthetic_tiled (rect zones, zonal_queries)."""
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
-    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
-
-    arr, affine, nodata = generate_raster((512, 512), kind="holes", seed=7)
-    zones = generate_zones(64, extent=(-20.0, -30.0, 530.0, 520.0), seed=11, mega_every=17)
-    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=256)
-    return zonal_stats_tiled(
-        ray.data.from_arrow(zones),
-        ray.data.from_arrow(tiles),
-        affine,
-        nodata,
-        raster_dtype=str(arr.dtype),
-        stats="count min max mean sum std median nodata percentile_90",
-        tile_size=256,
-    )
-
-
-def _q_zonal_irregular_broadcast(sf_dir: str):
-    import ray.data
-
-    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
-    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
-
-    arr, affine, nodata = generate_raster((512, 512), kind="continuous", seed=3)
-    zones = generate_zones(64, extent=(0.0, 0.0, 512.0, 512.0), seed=9)
-    return zonal_stats_broadcast(
-        ray.data.from_arrow(zones), (arr, affine, nodata), stats="count mean min max"
-    )
-
-
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -162,8 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out = dict(QUERIES)
     out.update(
         {
-            "zonal_irregular_tiled": _q_zonal_irregular_tiled,
-            "zonal_irregular_broadcast": _q_zonal_irregular_broadcast,
             "minhash_pairs": _q_minhash_pairs,
             "simhash_signatures": _q_simhash,
             "knn_ivf": _q_knn_ivf,

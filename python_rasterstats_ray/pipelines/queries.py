@@ -916,6 +916,108 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS 
 """
 
 
+def _planted_dup_docs(sf_dir: str, n_base: int = 300, n_dup: int = 30):
+    """documents subset + exact-duplicate rows (ids shifted by 10^9) — the
+    deterministic core for candidate-generation oracles: identical texts
+    are GUARANTEED to collide (identical shingles/signatures), and an
+    md5-equality verify drops any accidental candidate on both sides."""
+    base = _small_table(sf_dir, "documents", columns=["doc_id", "text"])
+    base = base.filter(pc.less(base["doc_id"], n_base))
+    dup = base.filter(pc.less(base["doc_id"], n_dup))
+    dup = dup.set_column(
+        0, "doc_id", pc.add(dup["doc_id"], pa.scalar(1_000_000_000, pa.int64()))
+    )
+    return base, dup
+
+
+def _md5_verified_pairs(pairs_ds, base: pa.Table, dup: pa.Table):
+    """Filter candidate (id_a, id_b) pairs to md5-equal texts via a
+    broadcast id->md5 map (tiny: the planted subset only)."""
+    import hashlib
+
+    import ray
+
+    md5s = {}
+    for tbl in (base, dup):
+        for i, t in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            md5s[int(i)] = hashlib.md5(t.encode()).hexdigest()
+    ref = ray.put(md5s)
+
+    class Verify:
+        def __init__(self):
+            import ray as _r
+
+            self.md5s = _r.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b = batch["id_b"].to_numpy(zero_copy_only=False)
+            keep = np.fromiter(
+                (self.md5s.get(int(x)) == self.md5s.get(int(y)) for x, y in zip(a, b)),
+                dtype=bool,
+                count=len(a),
+            )
+            return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
+
+    return pairs_ds.map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+    )
+
+
+def q_minhash_dup_pairs(sf_dir: str):
+    """MinHash+LSH banding over the planted-duplicate corpus, verified by
+    md5 equality: drives shingling, signatures, band bucketing and bucket
+    pairing end-to-end with a deterministic SQL-checkable result."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_pairs
+
+    base, dup = _planted_dup_docs(sf_dir)
+    ds = ray.data.from_arrow(base).union(ray.data.from_arrow(dup))
+    return _md5_verified_pairs(minhash_lsh_pairs(ds), base, dup)
+
+
+def q_simhash_dup_pairs(sf_dir: str):
+    """SimHash signatures over the planted-duplicate corpus: identical
+    texts share the full 64-bit signature, so groupby(simhash) pairing +
+    md5 verify yields exactly the duplicate pairs."""
+    import ray.data
+
+    from ..stages.dedup import SimHashKernel
+
+    base, dup = _planted_dup_docs(sf_dir)
+    ds = ray.data.from_arrow(base).union(ray.data.from_arrow(dup))
+    sigs = ds.map_batches(
+        SimHashKernel, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+    )
+
+    def sig_pairs(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        if len(ids) < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
+        )
+
+    pairs = sigs.groupby("simhash").map_groups(sig_pairs, batch_format="pyarrow")
+    return _md5_verified_pairs(pairs, base, dup)
+
+
+SQL_PLANTED_DUP_PAIRS = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+al AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM base WHERE doc_id < 30
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM al a JOIN al b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+"""
+
+
 def q_lang_id(sf_dir: str):
     """n-gram-profile language id (stateful actor stage; patterns compiled
     once per actor) -> (doc_id, lang_guess). The scoring is count of
@@ -1075,6 +1177,8 @@ ORACLE_SQL = {
     "flagship_rect_zones": SQL_FLAGSHIP_RECT_ZONES,
     "knn_ivf_exact": SQL_KNN_IVF_EXACT,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
+    "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
 QUERIES = {
@@ -1100,4 +1204,6 @@ QUERIES = {
     "flagship_rect_zones": q_flagship_rect_zones,
     "knn_ivf_exact": q_knn_ivf_exact,
     "embedding_neardup": q_embedding_neardup,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
 }

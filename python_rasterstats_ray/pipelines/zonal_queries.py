@@ -22,6 +22,7 @@ import pyarrow as pa
 from ..sources.oracle_fixtures import (
     ORACLE_DIR,
     ensure_fixtures,
+    irregular_zone_table,
     oracle_raster,
     query_points,
     rect_zone_table,
@@ -132,6 +133,49 @@ def q_zonal_edge(sf_dir: str):
         return batch.select(["zone_id", "count", "min", "max", "mean", "sum"])
 
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_IRREG_STATS = "count min max mean sum std median nodata"
+
+
+def q_zonal_irregular_tiled(sf_dir: str):
+    """Tiled cell-join path over IRREGULAR jittered-quad zones (incl.
+    mega-polygons and beyond-extent overhang). Oracle = the exploded
+    per-zone membership parquet written by the sequential oracle path
+    (scanline rasterize + boundless read — the code pinned by the
+    reference goldens), so the distributed tiling / shuffle / skew-split /
+    merge machinery is what this query actually verifies."""
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.zonal_dist import zonal_stats_tiled
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    return zonal_stats_tiled(
+        ray.data.from_arrow(irregular_zone_table("tiled")),
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats=_IRREG_STATS,
+        tile_size=128,
+    )
+
+
+def q_zonal_irregular_broadcast(sf_dir: str):
+    import ray.data
+
+    from ..stages.zonal_dist import zonal_stats_broadcast
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    return zonal_stats_broadcast(
+        ray.data.from_arrow(irregular_zone_table("broadcast")),
+        (arr, affine, nodata),
+        stats=_IRREG_STATS,
+    )
 
 
 def _udf_mean(m):
@@ -378,6 +422,35 @@ FROM agg
 """
 
 
+def _irregular_sql(zset: str) -> str:
+    """Aggregate the sequential-oracle exploded membership rows; empty
+    zones survive through the LEFT JOIN against the zone list."""
+    return f"""
+WITH m AS (
+  SELECT zone_id, val, is_nodata
+  FROM read_parquet('{ORACLE_DIR}/irregular_membership.parquet')
+  WHERE zset = '{zset}'
+),
+z AS (
+  SELECT zone_id FROM read_parquet('{ORACLE_DIR}/irregular_zones.parquet')
+  WHERE zset = '{zset}'
+),
+j AS (SELECT z.zone_id, m.val, m.is_nodata FROM z LEFT JOIN m ON m.zone_id = z.zone_id),
+{_AGG}
+SELECT zone_id, cnt AS "count", mn AS "min", mx AS "max",
+       s / cnt AS mean, s AS "sum",
+       CASE WHEN cnt = 0 THEN NULL
+            ELSE sqrt(greatest(sq / cnt - (s / cnt) * (s / cnt), 0.0)) END AS std,
+       med AS median,
+       CAST(nod AS DOUBLE) AS nodata
+FROM agg
+"""
+
+
+SQL_ZONAL_IRREGULAR_TILED = _irregular_sql("tiled")
+SQL_ZONAL_IRREGULAR_BROADCAST = _irregular_sql("broadcast")
+
+
 def _bilinear_sql(pts_cte: str, id_cols: str, h: int, raster: str) -> str:
     """SQL mirror of stages/point_dist.PointQueryKernel bilinear semantics:
     banker's-round window centering (fractional parts never .0/.5 by fixture
@@ -461,6 +534,8 @@ ZONAL_QUERIES = {
     "zonal_auto": q_zonal_auto,
     "zonal_edge": q_zonal_edge,
     "zonal_udfs": q_zonal_udfs,
+    "zonal_irregular_tiled": q_zonal_irregular_tiled,
+    "zonal_irregular_broadcast": q_zonal_irregular_broadcast,
     "point_query_synthetic": q_point_query_bilinear,
     "point_query_nearest": q_point_query_nearest,
     "point_query_features": q_point_query_features,
@@ -475,6 +550,8 @@ ZONAL_ORACLE_SQL = {
     "zonal_auto": SQL_ZONAL_AUTO,
     "zonal_edge": SQL_ZONAL_EDGE,
     "zonal_udfs": SQL_ZONAL_UDFS,
+    "zonal_irregular_tiled": SQL_ZONAL_IRREGULAR_TILED,
+    "zonal_irregular_broadcast": SQL_ZONAL_IRREGULAR_BROADCAST,
     "point_query_synthetic": SQL_POINT_BILINEAR,
     "point_query_nearest": SQL_POINT_NEAREST,
     "point_query_features": SQL_POINT_FEATURES,

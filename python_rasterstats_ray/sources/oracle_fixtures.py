@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..functions.affine import Affine
 from ..functions.geometry import make_box, to_wkb
 
-ORACLE_DIR = "/tmp/prsr_oracle_v1"
+ORACLE_DIR = "/tmp/prsr_oracle_v2"
 
 HOLES_SHAPE = (512, 512)
 CLASSES_SHAPE = (384, 384)
@@ -225,6 +225,82 @@ def query_points() -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def irregular_zone_table(zset: str) -> pa.Table:
+    """Irregular jittered-quad zones (incl. mega-polygons and, for
+    'tiled', beyond-extent overhang) for the 512^2 'holes' oracle raster —
+    the complex-geometry companions to the rect sets."""
+    from .synthetic import generate_zones
+
+    if zset == "tiled":
+        t = generate_zones(64, extent=(-20.0, -30.0, 530.0, 520.0), seed=11, mega_every=17)
+    elif zset == "broadcast":
+        t = generate_zones(64, extent=(10.0, 10.0, 502.0, 502.0), seed=9)
+    else:
+        raise ValueError(zset)
+    return t.select(["zone_id", "geom_wkb"])
+
+
+def _write_irregular_membership(tmp_dir: str) -> None:
+    """Explode per-zone geometry-mask pixels with the SEQUENTIAL oracle
+    path (boundless window read + scanline rasterize — functions/, the
+    code the reference goldens and rect-arithmetic tests pin), so DuckDB
+    can aggregate irregular-polygon zonal stats with the distributed
+    tiling/shuffle/merge machinery fully out of the oracle loop.
+
+    Rows: (zset, zone_id, val DOUBLE, is_nodata BOOL) — one per pixel
+    under the geometry mask, including boundless out-of-extent nodata
+    fill (they count toward the reference's nodata stat)."""
+    from ..functions.rasterize import rasterize_geom
+    from ..functions.windows import boundless_array, bounds_window, window_affine
+    from ..functions.geometry import from_wkb
+
+    arr, affine, nodata = oracle_raster("holes")
+    zs, zid_col, val_col, nod_col = [], [], [], []
+    for zset in ("tiled", "broadcast"):
+        tbl = irregular_zone_table(zset)
+        for zid, wkb in zip(tbl["zone_id"].to_pylist(), tbl["geom_wkb"].to_pylist()):
+            g = from_wkb(wkb)
+            win = bounds_window(g.bounds, affine)
+            (r0, r1), (c0, c1) = win
+            if r1 <= r0 or c1 <= c0:
+                continue
+            block = boundless_array(arr, win, nodata=nodata)
+            rv = rasterize_geom(g, block.shape, window_affine(win, affine), False)
+            vals = block[rv].astype(np.float64)
+            n = len(vals)
+            if not n:
+                continue
+            zs.extend([zset] * n)
+            zid_col.extend([zid] * n)
+            val_col.append(vals)
+            nod_col.append(vals == nodata)
+    pq.write_table(
+        pa.table(
+            {
+                "zset": pa.array(zs, pa.string()),
+                "zone_id": pa.array(zid_col, pa.int64()),
+                "val": pa.array(np.concatenate(val_col), pa.float64()),
+                "is_nodata": pa.array(np.concatenate(nod_col)),
+            }
+        ),
+        os.path.join(tmp_dir, "irregular_membership.parquet"),
+    )
+    zrows = [
+        (zset, zid)
+        for zset in ("tiled", "broadcast")
+        for zid in irregular_zone_table(zset)["zone_id"].to_pylist()
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "zset": pa.array([r[0] for r in zrows], pa.string()),
+                "zone_id": pa.array([r[1] for r in zrows], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_dir, "irregular_zones.parquet"),
+    )
+
+
 def _write_pixels(path: str, arr: np.ndarray, nodata: float) -> None:
     h, w = arr.shape
     rows = np.repeat(np.arange(h, dtype=np.int64), w)
@@ -304,6 +380,8 @@ def ensure_fixtures() -> str:
         ),
         os.path.join(tmp, "query_points.parquet"),
     )
+
+    _write_irregular_membership(tmp)
 
     open(os.path.join(tmp, "_DONE"), "w").close()
     try:
