@@ -144,14 +144,80 @@ def ivf_assign(emb_ds, centroids: np.ndarray, id_col: str = "vec_id",
     )
 
 
+def ivf_write_partitioned(
+    emb_ds,
+    centroids: np.ndarray,
+    out_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Materialize the corpus PARTITIONED BY IVF list:
+    ``out_dir/ivf_list=<k>/*.parquet``.
+
+    This is the 100-TB-scale shape of IVF: assignment happens once at
+    ingest and queries become a TARGETED READ of their ``nprobe``
+    partitions — storage-level pruning instead of the scan-everything-
+    and-mask of the in-memory variant (round-1 review finding). The
+    partition directory is also the resumable unit (one list = one
+    directory, re-writable independently)."""
+    assigned = ivf_assign(emb_ds, centroids, id_col, emb_col)
+    assigned.write_parquet(out_dir, partition_cols=["ivf_list"])
+
+
+def knn_ivf_from_store(
+    store_dir: str,
+    queries,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Approximate top-k over an ``ivf_write_partitioned`` store: only the
+    union of the queries' probed partitions is READ at all; per-query
+    probe routing then narrows inside the batch as usual."""
+    import glob
+
+    import ray.data
+
+    qids, qmat = queries
+    qunit = _unit_rows(qmat.astype(np.float64))
+    probes = np.argsort(-(qunit @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(p) for row in probes for p in row})
+    parts = []
+    for p in needed:
+        files = sorted(glob.glob(f"{store_dir}/ivf_list={p}/*.parquet"))
+        if not files:
+            continue
+        # hive layout: the partition value lives in the directory name,
+        # not the files — re-attach it as a constant column
+        d = ray.data.read_parquet(files, columns=[id_col, emb_col])
+
+        def tag(batch: pa.Table, _p: int = p) -> pa.Table:
+            return batch.append_column(
+                "ivf_list", pa.array(np.full(len(batch), _p, dtype=np.int64))
+            )
+
+        parts.append(d.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    return _probe_topk(ds, qids, qunit, probes, k, id_col, emb_col)
+
+
 def knn_ivf(emb_ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4,
             id_col: str = "vec_id", emb_col: str = "embedding"):
     """Approximate top-k: search only rows whose IVF list is among each
-    query's ``nprobe`` closest centroids."""
+    query's ``nprobe`` closest centroids (in-memory assignment; see
+    ivf_write_partitioned/knn_ivf_from_store for the storage-pruning
+    variant)."""
     qids, qmat = queries
     qunit = _unit_rows(qmat.astype(np.float64))
     probes = np.argsort(-(qunit @ centroids.T), axis=1)[:, :nprobe]
     assigned = ivf_assign(emb_ds, centroids, id_col, emb_col)
+    return _probe_topk(assigned, qids, qunit, probes, k, id_col, emb_col)
+
+
+def _probe_topk(assigned_ds, qids, qunit, probes, k, id_col, emb_col):
+    """(rows with ivf_list) x per-query probe lists -> global top-k."""
     probe_sets = {int(q): set(int(p) for p in probes[i]) for i, q in enumerate(qids)}
 
     import ray
@@ -187,7 +253,7 @@ def knn_ivf(emb_ds, queries, centroids: np.ndarray, k: int = 10, nprobe: int = 4
                 }
             )
 
-    partials = assigned.map_batches(
+    partials = assigned_ds.map_batches(
         ProbeKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
     )
 

@@ -1010,6 +1010,56 @@ def attach_zone_columns(stats_ds, zones_ds, columns: list[str], zone_col: str = 
     return stats_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
+                      geom_col: str = "geom_wkb"):
+    """The ``geojson_out=True`` equivalent for distributed outputs
+    (reference main.py:330-335): re-attach geometry + input attributes from
+    the (small) zone side via one broadcast map and emit a serialized
+    GeoJSON Feature per stats row, stats merged into ``properties``.
+
+    Output: one ``feature_json`` string column. The zones table is the
+    small side by design; stats rows stream — no shuffle."""
+    import json
+
+    import ray
+
+    ztbl = zones_ds.to_pandas()
+    attr_cols = [c for c in ztbl.columns if c not in (zone_col, geom_col)]
+    zmap = {
+        int(r[zone_col]): (r[geom_col], {c: r[c] for c in attr_cols})
+        for r in ztbl.to_dict("records")
+    }
+    ref = ray.put(zmap)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        stat_cols = [c for c in batch.column_names if c != zone_col]
+        data = {c: batch[c].to_pylist() for c in batch.column_names}
+        feats = []
+        for i in range(len(batch)):
+            zid = int(data[zone_col][i])
+            wkb, attrs = m[zid]
+            props = dict(attrs)
+            props.update({c: data[c][i] for c in stat_cols})
+            feats.append(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "properties": props,
+                        "geometry": from_wkb(wkb).to_geojson(),
+                    }
+                )
+            )
+        return pa.table(
+            {
+                zone_col: batch[zone_col],
+                "feature_json": pa.array(feats, pa.string()),
+            }
+        )
+
+    return stats_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zonal_stats_auto(
     zones_ds,
     raster,

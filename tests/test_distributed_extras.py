@@ -210,3 +210,46 @@ def test_raster_out_tiled(ray_session, class_inputs):
         .reset_index(drop=True)
     )
     _check_mini(df, _oracle_mini(arr, affine, nodata, zones))
+
+
+def test_zonal_geojson_out_distributed(ray_session, class_inputs):
+    """Distributed geojson_out: tiled stats re-joined to geometry +
+    attributes must match the oracle's geojson_out features."""
+    import json
+
+    import ray.data
+
+    from python_rasterstats_ray import gen_zonal_stats
+    from python_rasterstats_ray.stages.zonal_dist import (
+        zonal_geojson_out,
+        zonal_stats_tiled,
+    )
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    zds = ray.data.from_arrow(zones)
+    stats = zonal_stats_tiled(
+        zds, ray.data.from_arrow(tiles), affine, nodata,
+        raster_dtype=str(arr.dtype), stats="count min max", tile_size=64,
+    )
+    out = zonal_geojson_out(stats, ray.data.from_arrow(zones)).to_pandas()
+    out = out.sort_values("zone_id").reset_index(drop=True)
+
+    oracle = list(
+        gen_zonal_stats(
+            _feats(zones), arr, affine=affine, nodata=nodata,
+            stats="count min max", geojson_out=True,
+        )
+    )
+    assert len(out) == len(oracle)
+    for i, orow in enumerate(oracle):
+        feat = json.loads(out.iloc[i]["feature_json"])
+        assert feat["geometry"] == orow["geometry"]
+        for kk in ("count", "min", "max"):
+            got, want = feat["properties"][kk], orow["properties"][kk]
+            if want is None:
+                assert got is None
+            else:
+                assert got == want, (i, kk)
+        # input attribute passthrough (zcat came from the zone table)
+        assert feat["properties"]["zcat"] == zones["zcat"][i].as_py()

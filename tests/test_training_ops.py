@@ -312,3 +312,51 @@ def test_grid_index_far_query_and_ties():
     gi2 = GridIndex(xs2, ys2, ids2, cell=1.0)
     got_i, got_d = gi2.knn(3.0, 0.5, 1)
     assert got_i.tolist() == [1] and got_d[0] == 4.0
+
+
+def test_ivf_partitioned_store(ray_session, tmp_path):
+    """ivf_write_partitioned + knn_ivf_from_store: the store is laid out
+    one directory per IVF list; probing with nprobe=all partitions must
+    reproduce the brute-force top-k exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import (
+        ivf_write_partitioned,
+        knn_embeddings,
+        knn_ivf_from_store,
+        train_centroids,
+    )
+
+    rng = np.random.default_rng(3)
+    n, dim = 400, 16
+    embs = rng.standard_normal((n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array(embs.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    cents = train_centroids(ds, n_centroids=4)
+    store = str(tmp_path / "ivf_store")
+    ivf_write_partitioned(ds, cents, store)
+
+    import os
+
+    lists = sorted(d for d in os.listdir(store) if d.startswith("ivf_list="))
+    assert len(lists) >= 2  # corpus actually split across partitions
+
+    qids = np.arange(3, dtype=np.int64)
+    qmat = embs[:3]
+    exact = knn_embeddings(ds, (qids, qmat), k=5).to_pandas()
+    stored = knn_ivf_from_store(store, (qids, qmat), cents, k=5, nprobe=4).to_pandas()
+    key = ["query_id", "rank"]
+    exact = exact.sort_values(key).reset_index(drop=True)
+    stored = stored.sort_values(key).reset_index(drop=True)
+    assert (exact["neighbor_id"] == stored["neighbor_id"]).all()
+
+    # nprobe=1 reads only a subset of partitions and still returns k rows
+    approx = knn_ivf_from_store(store, (qids, qmat), cents, k=5, nprobe=1).to_pandas()
+    assert set(approx["query_id"]) == set(qids.tolist())
