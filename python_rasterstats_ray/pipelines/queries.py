@@ -651,6 +651,63 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping (overlapping) 1-hour windows advancing every 15 minutes:
+    each event fans out to 4 windows (vectorized np.repeat), then the
+    usual partial/final groupby with exact scaled-int value sums."""
+    from ..stages.temporal import hopping_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    return hopping_window_agg(
+        ds, window_us=3_600_000_000, hop_us=900_000_000, value_scale=100
+    )
+
+
+SQL_EVENTS_HOPPING = """
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM (
+  SELECT (epoch_us(ts) // 900000000) * 900000000 - s.i * 900000000 AS window_start,
+         event_type, value
+  FROM events CROSS JOIN generate_series(0, 3) AS s(i)
+) t
+GROUP BY window_start, event_type
+"""
+
+
+def q_events_sessions(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Session-window operator: one row per (user, session) with event
+    count and [t_start, t_end] epoch-us bounds (gap > 30 min starts a new
+    session; ties ordered by event_id)."""
+    from ..stages.temporal import session_windows
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    return session_windows(ds, gap_us)
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, t,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING
+         ) - 1 AS session_idx
+  FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       CAST(min(t) AS BIGINT) AS t_start, CAST(max(t) AS BIGINT) AS t_end
+FROM s GROUP BY user_id, session_idx
+"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at or before
     the event time (ties: greatest orderkey). Unmatched events dropped to
@@ -1159,6 +1216,8 @@ ORACLE_SQL = {
     "orders_by_region": SQL_ORDERS_BY_REGION,
     "docs_dedup_filtered": SQL_DOCS_DEDUP_FILTERED,
     "events_windowed": SQL_EVENTS_WINDOWED,
+    "events_hopping": SQL_EVENTS_HOPPING,
+    "events_sessions": SQL_EVENTS_SESSIONS,
     "events_asof_orders": SQL_EVENTS_ASOF_ORDERS,
     "tpch_q1": SQL_TPCH_Q1,
     "orders_by_nation": SQL_ORDERS_BY_NATION,
@@ -1186,6 +1245,8 @@ QUERIES = {
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,
     "events_windowed": q_events_windowed,
+    "events_hopping": q_events_hopping,
+    "events_sessions": q_events_sessions,
     "events_asof_orders": q_events_asof_orders,
     "tpch_q1": q_tpch_q1,
     "orders_by_nation": q_orders_by_nation,

@@ -68,6 +68,105 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    events_ds,
+    window_us: int,
+    hop_us: int,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    value_scale: int | None = None,
+):
+    """Overlapping (hopping) window aggregate: each event lands in
+    ``window_us / hop_us`` windows; windows are hop-aligned. Expressed as a
+    vectorized per-batch fan-out (np.repeat, no Python row loop) followed
+    by the usual partial-then-final groupby — the fan-out multiplies only
+    the tiny (window, key, partial) rows, never the payload."""
+    assert window_us % hop_us == 0, "window must be a multiple of hop"
+    fanout = window_us // hop_us
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        v = df[value_col].to_numpy()
+        if value_scale is not None:
+            v = np.round(v * value_scale).astype(np.int64)
+        keys = df[key_col].to_numpy()
+        # window starts for an event at t: the hop-aligned starts in
+        # (t - window, t]
+        last = (ts // hop_us) * hop_us
+        starts = np.repeat(last, fanout) - np.tile(
+            np.arange(fanout, dtype=np.int64) * hop_us, len(ts)
+        )
+        out = pd.DataFrame(
+            {
+                "window_start": starts,
+                key_col: np.repeat(keys, fanout),
+                "v": np.repeat(v, fanout),
+            }
+        )
+        return out.groupby(["window_start", key_col], as_index=False).agg(
+            n_events=("v", "size"), total_value=("v", "sum")
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pandas")
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        total = g["total_value"].sum()
+        if value_scale is not None:
+            total = total / float(value_scale)
+        return pd.DataFrame(
+            {
+                "window_start": [int(g["window_start"].iloc[0])],
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [int(g["n_events"].sum())],
+                "total_value": [total],
+            }
+        )
+
+    return partials.groupby(["window_start", key_col]).map_groups(
+        final, batch_format="pandas"
+    )
+
+
+def session_windows(
+    events_ds,
+    gap_us: int,
+    *,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Gap-based session windows per key: a new session starts when the
+    gap to the previous event (by ts, id order) exceeds ``gap_us``.
+    Returns one row per (key, session_idx) with the session's event count
+    and [t_start, t_end] in epoch-us. Keys are hash-co-located by the
+    groupby; per-group work is a vectorized diff + cumsum."""
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        ts = g[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+        if len(ts) == 0:
+            return pd.DataFrame(
+                columns=[key_col, "session_idx", "n_events", "t_start", "t_end"]
+            )
+        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
+        sid = np.cumsum(new_session) - 1
+        starts = np.nonzero(new_session)[0]
+        ends = np.concatenate([starts[1:] - 1, [len(ts) - 1]])
+        return pd.DataFrame(
+            {
+                key_col: int(g[key_col].iloc[0]),
+                "session_idx": np.arange(len(starts), dtype=np.int64),
+                "n_events": (ends - starts + 1).astype(np.int64),
+                "t_start": ts[starts],
+                "t_end": ts[ends],
+            }
+        )
+
+    return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
 class AsofJoinKernel:
     """Probe-side kernel: for each probe row (key, ts), attach the build
     row with the greatest build_ts <= ts (ties broken by greatest build id,

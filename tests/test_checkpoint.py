@@ -115,3 +115,33 @@ def test_stale_uncommitted_partition_is_cleaned(ray_session, tmp_path):
     assert summary["ran"] == ["p0"] and summary["remaining"] == []
     got = ray.data.read_parquet(os.path.join(out, "part=p0")).to_pandas()
     assert sorted(got["text"]) == [f"doc-{i}" for i in range(5)]
+
+
+def test_session_windows_boundaries(ray_session):
+    """Exact-gap events stay in the same session (strict > rule); the
+    next microsecond starts a new one."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.temporal import session_windows
+
+    gap = 1000
+    ts = np.array([0, 1000, 2001, 2500], dtype="datetime64[us]")
+    tbl = pa.table(
+        {
+            "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(ts),
+        }
+    )
+    out = (
+        session_windows(ray.data.from_arrow(tbl), gap)
+        .to_pandas()
+        .sort_values("session_idx")
+        .reset_index(drop=True)
+    )
+    # 0 -> 1000 is exactly the gap (same session); 1000 -> 2001 exceeds it
+    assert out["n_events"].tolist() == [2, 2]
+    assert out["t_start"].tolist() == [0, 2001]
+    assert out["t_end"].tolist() == [1000, 2500]
