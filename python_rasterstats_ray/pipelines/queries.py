@@ -1075,6 +1075,55 @@ FROM al a JOIN al b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
 """
 
 
+def q_media_frame_sample(sf_dir: str):
+    """Video-style frame sampling over the deterministic media fixture:
+    FrameSampleKernel slices every 4th frame chunk out of the binary
+    payload; the oracle recomputes the identical slices by substring
+    arithmetic over a parallel hex encoding of the same payload (this
+    DuckDB build has no BLOB substring)."""
+    import ray.data
+
+    from ..sources.oracle_fixtures import ORACLE_DIR, ensure_fixtures
+    from ..stages.multimodal import FrameSampleKernel
+
+    ensure_fixtures()
+    ds = ray.data.read_parquet(
+        f"{ORACLE_DIR}/media.parquet", columns=["media_id", "payload", "n_frames"]
+    )
+    out = ds.map_batches(
+        FrameSampleKernel, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+    )
+
+    def to_hex(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "frame": batch["frame"],
+                "chunk_hex": pa.array(
+                    [c.hex() for c in batch["chunk"].to_pylist()], pa.string()
+                ),
+            }
+        )
+
+    return out.map_batches(to_hex, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _media_frame_sql() -> str:
+    from ..sources.oracle_fixtures import ORACLE_DIR
+
+    return f"""
+WITH m AS (
+  SELECT media_id, payload_hex, n_frames,
+         greatest(1, (length(payload_hex) // 2) // greatest(1, n_frames)) AS sz
+  FROM read_parquet('{ORACLE_DIR}/media.parquet')
+)
+SELECT media_id, CAST(s.i AS INTEGER) AS frame,
+       substring(payload_hex, CAST(s.i * sz * 2 + 1 AS BIGINT), CAST(sz * 2 AS BIGINT)) AS chunk_hex
+FROM m CROSS JOIN generate_series(0, 63, 4) AS s(i)
+WHERE s.i < n_frames
+"""
+
+
 def q_lang_id(sf_dir: str):
     """n-gram-profile language id (stateful actor stage; patterns compiled
     once per actor) -> (doc_id, lang_guess). The scoring is count of
@@ -1236,6 +1285,7 @@ ORACLE_SQL = {
     "flagship_rect_zones": SQL_FLAGSHIP_RECT_ZONES,
     "knn_ivf_exact": SQL_KNN_IVF_EXACT,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "media_frame_sample": _media_frame_sql(),
     "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
@@ -1265,6 +1315,7 @@ QUERIES = {
     "flagship_rect_zones": q_flagship_rect_zones,
     "knn_ivf_exact": q_knn_ivf_exact,
     "embedding_neardup": q_embedding_neardup,
+    "media_frame_sample": q_media_frame_sample,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
 }

@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..functions.affine import Affine
 from ..functions.geometry import make_box, to_wkb
 
-ORACLE_DIR = "/tmp/prsr_oracle_v2"
+ORACLE_DIR = "/tmp/prsr_oracle_v3"
 
 HOLES_SHAPE = (512, 512)
 CLASSES_SHAPE = (384, 384)
@@ -382,6 +382,17 @@ def ensure_fixtures() -> str:
     )
 
     _write_irregular_membership(tmp)
+
+    # media fixture: the engine consumes the binary payload, the SQL
+    # oracle the parallel hex encoding (this DuckDB has no BLOB substring)
+    from ..stages.multimodal import synth_media_table
+
+    media = synth_media_table(200)
+    media = media.append_column(
+        "payload_hex",
+        pa.array([p_.hex() for p_ in media["payload"].to_pylist()], pa.string()),
+    )
+    pq.write_table(media, os.path.join(tmp, "media.parquet"))
 
     open(os.path.join(tmp, "_DONE"), "w").close()
     try:
