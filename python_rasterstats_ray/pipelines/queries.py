@@ -1075,6 +1075,73 @@ FROM al a JOIN al b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
 """
 
 
+def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200):
+    """Near-duplicate pairs by exact character-5-gram Jaccard >= 0.8,
+    found via MinHash-LSH candidate generation and verified with
+    ngram_jaccard (the LSH verifier operator). The testdata contains real
+    near-duplicates (max pair jaccard ~0.986); at >= 0.8 the 16-band LSH
+    miss probability is < 4e-8 and the run is deterministic (fixed seeds),
+    so the SQL oracle — exact 5-gram set jaccard over the same ASCII
+    subset — reproduces the result."""
+    import ray
+
+    from ..stages.dedup import minhash_lsh_pairs, ngram_jaccard
+
+    base = _small_table(sf_dir, "documents", columns=["doc_id", "text"])
+    base = base.filter(pc.less(base["doc_id"], n_base))
+    texts = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    tref = ray.put(texts)
+
+    import ray.data
+
+    cands = minhash_lsh_pairs(ray.data.from_arrow(base))
+
+    class Verify:
+        def __init__(self):
+            import ray as _r
+
+            self.texts = _r.get(tref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_pylist()
+            b = batch["id_b"].to_pylist()
+            jacc = [ngram_jaccard(self.texts[x], self.texts[y]) for x, y in zip(a, b)]
+            keep = [j >= threshold for j in jacc]
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "jaccard": pa.array(jacc, pa.float64()),
+                }
+            )
+            return out.filter(pa.array(keep))
+
+    return cands.map_batches(
+        Verify, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+    )
+
+
+SQL_DOCS_JACCARD_PAIRS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, s.i, 5) AS g
+  FROM d CROSS JOIN generate_series(1, 20000) AS s(i)
+  WHERE s.i <= length(text) - 4
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, CAST(m AS DOUBLE) / (sa.n + sb.n - m) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(m AS DOUBLE) / (sa.n + sb.n - m) >= 0.8
+"""
+
+
 def q_media_frame_sample(sf_dir: str):
     """Video-style frame sampling over the deterministic media fixture:
     FrameSampleKernel slices every 4th frame chunk out of the binary
@@ -1285,6 +1352,7 @@ ORACLE_SQL = {
     "flagship_rect_zones": SQL_FLAGSHIP_RECT_ZONES,
     "knn_ivf_exact": SQL_KNN_IVF_EXACT,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "media_frame_sample": _media_frame_sql(),
     "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
@@ -1315,6 +1383,7 @@ QUERIES = {
     "flagship_rect_zones": q_flagship_rect_zones,
     "knn_ivf_exact": q_knn_ivf_exact,
     "embedding_neardup": q_embedding_neardup,
+    "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "media_frame_sample": q_media_frame_sample,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
