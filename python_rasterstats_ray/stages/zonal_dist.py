@@ -629,6 +629,7 @@ class MergeKernel:
         *,
         raster_out: bool = False,
         add_stats=None,
+        zone_func=None,
         affine: Affine | None = None,
         nodata=None,
         props_ref=None,
@@ -640,6 +641,7 @@ class MergeKernel:
         self.raster_out = raster_out
         self.add_stats = add_stats
         self.add_arity = _add_stats_arity(add_stats)
+        self.zone_func = zone_func
         self.affine = affine
         self.nodata = -999.0 if nodata is None else nodata
         self.props_ref = props_ref
@@ -687,8 +689,73 @@ class MergeKernel:
         aff = window_affine(((wr0, wr1), (wc0, wc1)), self.affine) if self.affine else None
         return masked, rvm, aff
 
+    def _call_zone_func(self, group: pa.Table, zid: int) -> pa.Table:
+        """zone_func path: stats must be computed from the TRANSFORMED
+        masked array (reference main.py:217-228), so the assembled
+        mini-raster replaces the partial accumulators entirely. nodata/nan
+        stay on the original values (geometry-only mask, main.py:189-196)
+        and merge from the partials as usual."""
+        from ..functions.zonal import compute_feature_stats
+
+        stats = self.stats
+        masked, rvm, aff = self._assemble(group)
+        cat_values, cat_counts = [], []
+        if masked is None:
+            out = {s: None for s in stats}
+            if "count" in stats:
+                out["count"] = 0
+        else:
+            # reference applies zone_func unconditionally (main.py:217-228),
+            # including to fully-masked windows
+            value = self.zone_func(masked)
+            if value is not None:
+                masked = value
+            out = compute_feature_stats(masked, stats, self.run_count, False, None)
+            if self.categorical and masked.compressed().size:
+                keys, counts = np.unique(masked.compressed(), return_counts=True)
+                pcnt = dict(zip([k.item() for k in keys], [c.item() for c in counts]))
+                if self.category_map:
+                    cat_values, cat_counts = _remapped_histogram(pcnt, self.category_map)
+                else:
+                    ks = sorted(pcnt)
+                    cat_values = [float(k) for k in ks]
+                    cat_counts = [int(pcnt[k]) for k in ks]
+        if "nodata" in stats:
+            out["nodata"] = float(pc.sum(group["nodata"]).as_py() or 0)
+        if "nan" in stats:
+            has_nan = (pc.max(group["has_nan"]).as_py() or 0) > 0
+            out["nan"] = float(pc.sum(group["nan_cnt"]).as_py() or 0) if has_nan else 0.0
+
+        cols: dict = {"zone_id": pa.array([zid], pa.int64())}
+        for name, typ in stat_fields(stats, self.categorical, self.category_map):
+            if name in ("cat_values", "cat_keys"):
+                cols[name] = pa.array([cat_values], typ)
+            elif name == "cat_counts":
+                cols[name] = pa.array([cat_counts], typ)
+            else:
+                cols[name] = pa.array([out.get(name)], typ)
+        if self.add_stats:
+            extra = (
+                _dispatch_add_stats(
+                    self.add_stats, self.add_arity, masked, self._properties(zid), rvm
+                )
+                if masked is not None
+                else {name: None for name in self.add_stats}
+            )
+            for name, v in extra.items():
+                cols[name] = pa.array([v])
+        if self.raster_out:
+            mini = _mini_raster_values(
+                masked, tuple(aff) if aff else (0.0,) * 6, self.nodata
+            )
+            for i, (mname, mtyp) in enumerate(_MINI_FIELDS):
+                cols[mname] = pa.array([mini[i]], mtyp)
+        return pa.table(cols)
+
     def __call__(self, group: pa.Table) -> pa.Table:
         zid = group["zone_id"][0].as_py()
+        if self.zone_func is not None:
+            return self._call_zone_func(group, zid)
         count = int(pc.sum(group["count"]).as_py() or 0)
         stats = self.stats
         out: dict = {}
@@ -1156,6 +1223,7 @@ def zonal_stats_tiled(
     categorical: bool = False,
     category_map=None,
     add_stats=None,
+    zone_func=None,
     raster_out: bool = False,
     tile_size: int = DEFAULT_TILE_SIZE,
     geom_col: str = "geom_wkb",
@@ -1179,7 +1247,7 @@ def zonal_stats_tiled(
     import ray
 
     stats_list, run_count = check_stats(stats, categorical)
-    carry_px = raster_out or add_stats is not None
+    carry_px = raster_out or add_stats is not None or zone_func is not None
     need_vals = run_count or any(
         s.startswith("percentile_") or s == "median" for s in stats_list
     )
@@ -1226,6 +1294,7 @@ def zonal_stats_tiled(
         raster_dtype=raster_dtype,
         raster_out=raster_out,
         add_stats=add_stats,
+        zone_func=zone_func,
         affine=affine,
         nodata=nodata,
         props_ref=props_ref,

@@ -253,3 +253,37 @@ def test_zonal_geojson_out_distributed(ray_session, class_inputs):
                 assert got == want, (i, kk)
         # input attribute passthrough (zcat came from the zone table)
         assert feat["properties"]["zcat"] == zones["zcat"][i].as_py()
+
+
+def test_zone_func_tiled(ray_session, class_inputs):
+    """zone_func on the tiled path: stats are recomputed from the
+    transformed assembled window, matching the oracle exactly."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
+
+    def double(masked):
+        return masked * 2.0
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    df = (
+        zonal_stats_tiled(
+            ray.data.from_arrow(zones), ray.data.from_arrow(tiles), affine, nodata,
+            raster_dtype=str(arr.dtype), stats="count min max mean nodata",
+            zone_func=double, tile_size=64,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    oracle = zonal_stats(
+        _feats(zones), arr, affine=affine, nodata=nodata,
+        stats="count min max mean nodata", zone_func=double,
+    )
+    for i, orow in enumerate(oracle):
+        for k in ("count", "min", "max", "mean", "nodata"):
+            got, want = df.iloc[i][k], orow[k]
+            if want is None:
+                assert got is None or np.isnan(got), (i, k)
+            else:
+                assert got == pytest.approx(want, rel=1e-12), (i, k, got, want)
