@@ -1135,6 +1135,10 @@ def zonal_stats_auto(
     *,
     stats=None,
     all_touched: bool = False,
+    categorical: bool = False,
+    category_map=None,
+    add_stats=None,
+    zone_func=None,
     window_px_budget: int = 4_000_000,
     tile_size: int = DEFAULT_TILE_SIZE,
     geom_col: str = "geom_wkb",
@@ -1183,11 +1187,17 @@ def zonal_stats_auto(
     small = classified.map_batches(keep_small, batch_format="pyarrow", zero_copy_batch=True)
     big = classified.map_batches(keep_big, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    stats_list, _ = check_stats(stats, False)
+    stats_list, _ = check_stats(stats, categorical)
     out_cols = ["zone_id"] + stats_list
+    if categorical:
+        out_cols += ["cat_keys", "cat_counts"] if category_map else ["cat_values", "cat_counts"]
+    if add_stats:
+        out_cols += list(add_stats)
 
     bc = zonal_stats_broadcast(
         small, (arr, affine, nodata), stats=stats, all_touched=all_touched,
+        categorical=categorical, category_map=category_map,
+        add_stats=add_stats, zone_func=zone_func,
         geom_col=geom_col, concurrency=concurrency,
     ).map_batches(
         lambda b: b.select([c for c in out_cols if c in b.column_names]),
@@ -1199,7 +1209,10 @@ def zonal_stats_auto(
         tiles = ray.data.from_arrow(raster_to_tiles_table(arr, affine, nodata, tile_size))
         td = zonal_stats_tiled(
             big, tiles, affine, nodata, raster_dtype=str(arr.dtype),
-            stats=stats, all_touched=all_touched, tile_size=tile_size, geom_col=geom_col,
+            stats=stats, all_touched=all_touched,
+            categorical=categorical, category_map=category_map,
+            add_stats=add_stats, zone_func=zone_func,
+            tile_size=tile_size, geom_col=geom_col,
         ).map_batches(
             lambda b: b.select([c for c in out_cols if c in b.column_names]),
             batch_format="pyarrow",

@@ -72,3 +72,44 @@ def test_pages_pipeline_identity(ray_session):
     # schema carries the exact input-hint columns through every stage
     cols = set(enriched.schema().names)
     assert {"url", "warc_ts", "html", "text", "lang", "lon", "lat", "zone_id"} <= cols
+
+
+def test_auto_routes_full_options(ray_session):
+    """zonal_stats_auto forwards categorical / add_stats / zone_func to
+    BOTH physical paths; results match the sequential oracle."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    from python_rasterstats_ray import zonal_stats
+    from python_rasterstats_ray.functions.geometry import from_wkb
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_auto
+
+    arr, affine, nodata = generate_raster((220, 220), kind="classes", seed=5)
+    zones = generate_zones(12, extent=(5.0, 5.0, 215.0, 215.0), seed=6, mega_every=5)
+    add = {"mask_px": lambda m, props, rv: int(rv.sum())}
+    out = (
+        zonal_stats_auto(
+            ray.data.from_arrow(zones), (arr, affine, nodata),
+            stats="count majority", categorical=True,
+            category_map={1.0: "one"}, add_stats=add, window_px_budget=10_000,
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    feats = [
+        {"type": "Feature", "properties": {}, "geometry": from_wkb(w).to_geojson()}
+        for w in zones["geom_wkb"].to_pylist()
+    ]
+    oracle = zonal_stats(
+        feats, arr, affine=affine, nodata=nodata, stats="count majority",
+        categorical=True, category_map={1.0: "one"}, add_stats=add,
+    )
+    for i, orow in enumerate(oracle):
+        assert out.iloc[i]["count"] == orow["count"]
+        assert out.iloc[i]["mask_px"] == orow["mask_px"]
+        got = dict(zip(out.iloc[i]["cat_keys"], out.iloc[i]["cat_counts"]))
+        want = {str(k): v for k, v in orow.items()
+                if k not in ("count", "majority", "mask_px")}
+        assert got == want, i
