@@ -1327,8 +1327,390 @@ GROUP BY zone_id
 """
 
 
+def _zone_edges_values(n_zones: int = 24) -> str:
+    """SQL VALUES rows of the deterministic world-zone polygon edges
+    (zone_id, x1, y1, x2, y2), horizontal edges dropped to mirror the
+    pip.py keep mask. Float literals are repr() round-trips, so DuckDB
+    parses exactly the doubles numpy computes."""
+    from ..functions.geometry import from_wkb
+    from .webpages import default_world_zones
+
+    zones_tbl = default_world_zones(n_zones)
+    rows = []
+    for zid, wkb in zip(
+        zones_tbl["zone_id"].to_pylist(), zones_tbl["geom_wkb"].to_pylist()
+    ):
+        g = from_wkb(wkb)
+        for rings in g.polys:
+            for ring in rings:
+                pts = [(float(p[0]), float(p[1])) for p in ring]
+                if pts[0] != pts[-1]:
+                    pts.append(pts[0])
+                for (x1, y1), (x2, y2) in zip(pts[:-1], pts[1:]):
+                    if y1 == y2:
+                        continue  # pip.py drops horizontal edges (keep mask)
+                    rows.append(f"({zid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ",\n  ".join(rows)
+
+
+def _sha_xor_expr(col: str = "sha") -> str:
+    """xor_digest (webpages.py) mirrored in SQL: the order-insensitive
+    256-bit xor of sha256 hex digests, as bit_xor over four 64-bit hex
+    chunks (xor is bitwise, so chunking is exact)."""
+    chunks = " ||\n       ".join(
+        "lpad(lower(to_hex(bit_xor("
+        f"CAST('0x' || substr({col}, {off}, 16) AS UBIGINT)))), 16, '0')"
+        for off in (1, 17, 33, 49)
+    )
+    return chunks
+
+
+def _flagship_zones_sql() -> str:
+    """Independent SQL mirror of the production flagship pipeline over the
+    irregular 24-polygon world zones: even-odd PIP expressed as an
+    edge-crossing parity aggregate (edges inlined as literals from the
+    deterministic zone generator), first-match assignment (the
+    PIPZoneKernel scans candidates in ascending zone order = min zone_id
+    among containers), and the per-zone byte-identity digest mirrored as
+    bit_xor over four 64-bit chunks of sha256(text). Float literals are
+    repr() round-trips and the crossing expression uses the same IEEE op
+    order as functions/pip.py:points_in_ring, so doubles match
+    bit-for-bit."""
+    edges = _zone_edges_values()
+    sha_xor = _sha_xor_expr()
+    return f"""
+WITH edges(zone_id, ex1, ey1, ex2, ey2) AS (VALUES
+  {edges}
+),
+pts AS (
+  SELECT doc_id, n_chars, text,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+),
+hits AS (
+  SELECT p.doc_id, e.zone_id
+  FROM pts p JOIN edges e
+    ON ((e.ey1 > p.lat) <> (e.ey2 > p.lat))
+   AND p.lon < e.ex1 + (p.lat - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)
+  GROUP BY p.doc_id, e.zone_id
+  HAVING count(*) % 2 = 1
+),
+assign AS (
+  SELECT p.doc_id,
+         any_value(p.n_chars) AS n_chars,
+         any_value(p.text) AS text,
+         coalesce(min(h.zone_id), -1) AS zone_id
+  FROM pts p LEFT JOIN hits h ON p.doc_id = h.doc_id
+  GROUP BY p.doc_id
+),
+sh AS (
+  SELECT zone_id, n_chars, sha256(text) AS sha,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens
+  FROM assign
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       count(*) AS n_pages,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {sha_xor} AS sha_xor
+FROM sh
+GROUP BY zone_id
+"""
+
+
+def _pages_pipeline_sql() -> str:
+    """Independent SQL mirror of the north-rule pages pipeline over the
+    exact input-hint schema (url, warc_ts, html, text, lang): the input
+    corpus is the pages10k fixture (identical to what pages_dataset
+    streams), geotag is re-derived from sha256(url) (first 8 bytes,
+    little-endian — page_geotag), PIP assignment and the per-zone sha-xor
+    byte-identity digest are recomputed with no engine code in the loop.
+    n_identity_violations is mirrored as 0: a real violation would make
+    the engine emit nonzero and the driver hash would catch it — and any
+    text corruption independently breaks sha_xor."""
+    from ..sources.oracle_fixtures import ORACLE_DIR
+
+    edges = _zone_edges_values()
+    sha_xor = _sha_xor_expr()
+    # little-endian uint64 of sha256(url)[:8]: hex byte pairs reversed
+    le = " || ".join(f"substr(su, {off}, 2)" for off in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"""
+WITH edges(zone_id, ex1, ey1, ex2, ey2) AS (VALUES
+  {edges}
+),
+pg AS (
+  SELECT url, text, html,
+         CAST('0x' || {le} AS UBIGINT) AS h
+  FROM (SELECT url, text, html, sha256(url) AS su
+        FROM read_parquet('{ORACLE_DIR}/pages10k.parquet'))
+),
+pts AS (
+  SELECT url, text, html,
+         (h % CAST(3600000 AS UBIGINT)) / 10000.0 - 180.0 AS lon,
+         ((h >> 21) % CAST(1200000 AS UBIGINT)) / 10000.0 - 60.0 AS lat
+  FROM pg
+),
+hits AS (
+  SELECT p.url, e.zone_id
+  FROM pts p JOIN edges e
+    ON ((e.ey1 > p.lat) <> (e.ey2 > p.lat))
+   AND p.lon < e.ex1 + (p.lat - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)
+  GROUP BY p.url, e.zone_id
+  HAVING count(*) % 2 = 1
+),
+assign AS (
+  SELECT p.url, any_value(p.text) AS text, any_value(p.html) AS html,
+         coalesce(min(h.zone_id), -1) AS zone_id
+  FROM pts p LEFT JOIN hits h ON p.url = h.url
+  GROUP BY p.url
+),
+sh AS (
+  SELECT zone_id, sha256(text) AS sha,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         octet_length(html) AS html_bytes
+  FROM assign
+)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       count(*) AS n_pages,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(html_bytes) AS BIGINT) AS total_html_bytes,
+       {sha_xor} AS sha_xor,
+       CAST(0 AS BIGINT) AS n_identity_violations
+FROM sh
+GROUP BY zone_id
+"""
+
+
+def _checkpointed_flagship_sql() -> str:
+    """Per-doc mirror of the checkpointed flagship sink (doc_id, zone_id,
+    text_sha, n_tokens): the partitioned write + resume machinery under
+    test must reproduce exactly the rows this direct SQL derives from the
+    documents table."""
+    edges = _zone_edges_values()
+    return f"""
+WITH edges(zone_id, ex1, ey1, ex2, ey2) AS (VALUES
+  {edges}
+),
+pts AS (
+  SELECT doc_id, text,
+         ((doc_id * 2654435761) % 360000) / 1000.0 - 180.0 AS lon,
+         ((doc_id * 40503) % 120000) / 1000.0 - 60.0 AS lat
+  FROM documents
+),
+hits AS (
+  SELECT p.doc_id, e.zone_id
+  FROM pts p JOIN edges e
+    ON ((e.ey1 > p.lat) <> (e.ey2 > p.lat))
+   AND p.lon < e.ex1 + (p.lat - e.ey1) * (e.ex2 - e.ex1) / (e.ey2 - e.ey1)
+  GROUP BY p.doc_id, e.zone_id
+  HAVING count(*) % 2 = 1
+)
+SELECT p.doc_id,
+       CAST(coalesce(min(h.zone_id), -1) AS BIGINT) AS zone_id,
+       any_value(sha256(p.text)) AS text_sha,
+       CAST(any_value(len(regexp_extract_all(p.text, '\\S+'))) AS BIGINT) AS n_tokens
+FROM pts p LEFT JOIN hits h ON p.doc_id = h.doc_id
+GROUP BY p.doc_id
+"""
+
+
+# FNV-1a 64 re-derived byte-by-byte in SQL: a recursive CTE walks the
+# hex-encoded UTF-8 bytes carrying the hash as HUGEINT mod 2^64 (the
+# 104-bit intermediate product fits int128), then converts to the int64
+# two's-complement view the engine emits. Exact for any byte content.
+SQL_DOC_FINGERPRINT = """
+WITH RECURSIVE src AS (
+  SELECT doc_id, text, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+f AS (
+  SELECT doc_id, text, hx, n, 0 AS i,
+         CAST(14695981039346656037 AS HUGEINT) AS h
+  FROM src
+  UNION ALL
+  SELECT doc_id, text, hx, n, i + 1,
+         (xor(h, CAST(CAST('0x' || substr(hx, i * 2 + 1, 2) AS UBIGINT) AS HUGEINT))
+          * 1099511628211) % CAST(18446744073709551616 AS HUGEINT)
+  FROM f WHERE i < n
+)
+SELECT doc_id, text,
+       CAST(h - CASE WHEN h > 9223372036854775807
+                     THEN CAST(18446744073709551616 AS HUGEINT)
+                     ELSE 0 END AS BIGINT) AS fingerprint
+FROM f WHERE i = n
+"""
+
+
+def _simhash_sql() -> str:
+    """SimHashKernel mirrored in SQL: tokens via regexp_extract_all
+    (occurrence multiplicity preserved through a synthetic token id), the
+    32-byte-truncated polynomial token hash as a 32-term sum against
+    precomputed base-power literals (same mod-2^64 wraparound the kernel's
+    uint64 arithmetic produces), per-bit majority votes over
+    generate_series(0,63), and the 4 x 16-bit LSH block keys."""
+    mask = (1 << 64) - 1
+    base = 1099511628211
+    p, powers = 1, []
+    for _ in range(32):
+        powers.append(p)
+        p = (p * base) & mask
+    pow_vals = ",\n  ".join(
+        f"({i}, CAST({v} AS HUGEINT))" for i, v in enumerate(powers)
+    )
+    blocks = ",\n       ".join(
+        f"CAST((coalesce(s, 0) >> {16 * b}) & CAST(65535 AS UBIGINT) AS BIGINT)"
+        f" AS block{b}"
+        for b in range(4)
+    )
+    return f"""
+WITH toks AS (
+  SELECT row_number() OVER () AS tid, doc_id,
+         substr(hex(encode(tok)), 1, 64) AS hx
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+        FROM documents)
+),
+powers(i, p) AS (VALUES
+  {pow_vals}
+),
+th AS (
+  SELECT tid, doc_id,
+         CAST(sum(CAST(CAST('0x' || substr(hx, i * 2 + 1, 2) AS UBIGINT) AS HUGEINT) * p)
+              % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS h
+  FROM toks JOIN powers ON i * 2 + 1 <= length(hx)
+  GROUP BY tid, doc_id
+),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN 2 * sum(CASE WHEN (h >> j) & CAST(1 AS UBIGINT) = CAST(1 AS UBIGINT)
+                                THEN 1 ELSE 0 END) - count(*) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN generate_series(0, 63) AS g(j)
+  GROUP BY doc_id, j
+),
+sig AS (
+  SELECT doc_id, CAST(sum(CAST(bit AS UBIGINT) << j) AS UBIGINT) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(CAST(coalesce(s, 0) AS HUGEINT)
+            - CASE WHEN coalesce(s, 0) > 9223372036854775807
+                   THEN CAST(18446744073709551616 AS HUGEINT)
+                   ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS simhash,
+       {blocks}
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN (SELECT doc_id, s FROM sig) USING (doc_id)
+"""
+
+
+def _minhash_pairs_sql(
+    num_perm: int = 64, bands: int = 16, k: int = 5, max_bucket: int = 512
+) -> str:
+    """minhash_lsh_pairs mirrored in SQL: k-shingle rolling hashes (the
+    kernel's polynomial with mod-2^64 wraparound), the 64 universal-hash
+    (a, b) parameters inlined as literals from the same fixed seed, min
+    over distinct shingles per permutation, band keys with the same salt
+    xor, and the engine's bucket rules (unique ids, all pairs when the
+    bucket holds <= max_bucket ids, sorted-consecutive chain otherwise,
+    distinct pairs across bands)."""
+    import numpy as np
+
+    mask = (1 << 64) - 1
+    mers = (1 << 61) - 1
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, mers, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, mers, size=num_perm, dtype=np.uint64)
+    perm_vals = ",\n  ".join(
+        f"({i}, CAST({int(a[i])} AS HUGEINT), CAST({int(b[i])} AS HUGEINT))"
+        for i in range(num_perm)
+    )
+    p, shingle_pows = 1, []
+    for _ in range(k):
+        shingle_pows.append(p)
+        p = (p * 1000003) & mask
+    # kernel: windows * powers[::-1] -> byte j of the window gets power k-1-j
+    shp_vals = ",\n  ".join(
+        f"({j}, CAST({shingle_pows[k - 1 - j]} AS HUGEINT))" for j in range(k)
+    )
+    rows_per_band = num_perm // bands
+    bp_vals = ",\n  ".join(
+        f"({i}, CAST({1000003 ** i} AS HUGEINT))" for i in range(rows_per_band)
+    )
+    salt_vals = ",\n  ".join(
+        f"({bi}, CAST({(bi * 0x9E3779B97F4A7C15) & mask} AS UBIGINT))"
+        for bi in range(bands)
+    )
+    return f"""
+WITH src AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+  FROM documents
+),
+shp(j, p) AS (VALUES
+  {shp_vals}
+),
+wins AS (  -- one row per k-shingle window start (exact per-doc bounds)
+  SELECT doc_id, hx, unnest(generate_series(0, n - {k})) AS w FROM src
+),
+sh AS (  -- distinct k-shingle rolling hashes per doc (np.unique mirror)
+  SELECT DISTINCT doc_id,
+         CAST(sum(CAST(CAST('0x' || substr(hx, (w + j) * 2 + 1, 2) AS UBIGINT) AS HUGEINT) * p)
+              % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT) AS shash
+  FROM wins
+  CROSS JOIN shp
+  GROUP BY doc_id, w
+),
+perms(perm, pa, pb) AS (VALUES
+  {perm_vals}
+),
+sig AS (  -- MinHash: min over shingles of ((sh*a mod 2^64) + b mod 2^64) % mersenne
+  SELECT doc_id, perm,
+         min(CAST(((CAST(shash AS HUGEINT) * pa) % CAST(18446744073709551616 AS HUGEINT) + pb)
+                  % CAST(18446744073709551616 AS HUGEINT) % {mers} AS UBIGINT)) AS sv
+  FROM sh CROSS JOIN perms
+  GROUP BY doc_id, perm
+),
+bpow(i, p) AS (VALUES
+  {bp_vals}
+),
+salts(band, salt) AS (VALUES
+  {salt_vals}
+),
+bk AS (  -- per-band bucket key: polynomial over the band's rows, salt xor
+  SELECT doc_id, band,
+         xor(CAST(sum(CAST(sv AS HUGEINT) * p) % CAST(18446744073709551616 AS HUGEINT) AS UBIGINT),
+             salt) AS band_key
+  FROM sig
+  JOIN bpow ON perm % {rows_per_band} = i
+  JOIN salts ON perm // {rows_per_band} = band
+  GROUP BY doc_id, band, salt
+),
+bkd AS (SELECT DISTINCT band_key, doc_id FROM bk),
+bk2 AS (
+  SELECT band_key, doc_id,
+         count(*) OVER (PARTITION BY band_key) AS bs,
+         lead(doc_id) OVER (PARTITION BY band_key ORDER BY doc_id) AS nxt
+  FROM bkd
+)
+SELECT id_a, id_b FROM (
+  SELECT p.doc_id AS id_a, q.doc_id AS id_b
+  FROM bk2 p JOIN bk2 q
+    ON p.band_key = q.band_key AND p.doc_id < q.doc_id
+  WHERE p.bs <= {max_bucket}
+  UNION
+  SELECT doc_id AS id_a, nxt AS id_b
+  FROM bk2 WHERE bs > {max_bucket} AND nxt IS NOT NULL
+)
+"""
+
+
 ORACLE_SQL = {
     "knn_points_geo": SQL_KNN_POINTS_GEO,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "simhash_signatures": _simhash_sql(),
+    "minhash_pairs": _minhash_pairs_sql(),
+    "flagship_zone_stats": _flagship_zones_sql(),
+    "pages_pipeline": _pages_pipeline_sql(),
+    "flagship_checkpointed": _checkpointed_flagship_sql(),
     "orders_by_region": SQL_ORDERS_BY_REGION,
     "docs_dedup_filtered": SQL_DOCS_DEDUP_FILTERED,
     "events_windowed": SQL_EVENTS_WINDOWED,

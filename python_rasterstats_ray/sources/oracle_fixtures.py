@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..functions.affine import Affine
 from ..functions.geometry import make_box, to_wkb
 
-ORACLE_DIR = "/tmp/prsr_oracle_v3"
+ORACLE_DIR = "/tmp/prsr_oracle_v4"
 
 HOLES_SHAPE = (512, 512)
 CLASSES_SHAPE = (384, 384)
@@ -393,6 +393,17 @@ def ensure_fixtures() -> str:
         pa.array([p_.hex() for p_ in media["payload"].to_pylist()], pa.string()),
     )
     pq.write_table(media, os.path.join(tmp, "media.parquet"))
+
+    # pages corpus fixture: the INPUT table of the north-rule pages
+    # pipeline (url, warc_ts, html, text, lang), identical to what
+    # pages_dataset(10_000, seed=42) streams — the SQL oracle re-derives
+    # geotag (sha256-based page_geotag), PIP assignment, token counts and
+    # the sha-xor digest from this corpus with no engine code in the loop
+    from .synthetic import generate_pages
+
+    pq.write_table(
+        generate_pages(10_000, seed=42), os.path.join(tmp, "pages10k.parquet")
+    )
 
     open(os.path.join(tmp, "_DONE"), "w").close()
     try:

@@ -166,9 +166,19 @@ def page_text_for_url(url: str) -> str:
     return f"[{url}] " + " ".join(words.tolist())
 
 
+def _sha_hash64(strings: np.ndarray) -> np.ndarray:
+    """First 8 bytes of sha256, little-endian — chosen (over blake2b) so a
+    DuckDB oracle can recompute it exactly: sha256 is the one cryptographic
+    hash both sides share."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(hashlib.sha256(s.encode()).digest()[:8], "little")
+    return out
+
+
 def page_geotag(urls) -> tuple[np.ndarray, np.ndarray]:
     """url -> deterministic (lon, lat) in (-180..180, -60..60)."""
-    h = _hash64(np.asarray(urls))
+    h = _sha_hash64(np.asarray(urls))
     lon = (h % np.uint64(3600000)).astype(np.float64) / 10000.0 - 180.0
     lat = ((h >> np.uint64(21)) % np.uint64(1200000)).astype(np.float64) / 10000.0 - 60.0
     return lon, lat
