@@ -140,18 +140,22 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_orders_by_nation(sf_dir: str):
+    """Broadcast hash-join spelled Arrow-native: the small side ships once
+    as (sorted custkeys, nation codes) numpy arrays via ray.put; each batch
+    joins with one searchsorted gather and pre-aggregates with Arrow
+    group_by — no pandas copy, no Python dict probe in the hot path."""
     import ray
 
     cust = _small_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = _small_table(sf_dir, "nation", columns=["n_nationkey", "n_name"])
-    nmap = dict(
-        zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())
-    )
-    cust_to_nation = {
-        ck: nmap[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(cust_to_nation)
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    nk = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    names = nation["n_name"].to_pylist()
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    code_of_nation = np.empty(int(nkeys.max()) + 1, dtype=np.int64)
+    code_of_nation[nkeys] = np.arange(len(nkeys))
+    ref = ray.put((ck[order], code_of_nation[nk[order]]))
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -159,27 +163,40 @@ def q_orders_by_nation(sf_dir: str):
         def __init__(self):
             import ray as _r
 
-            self.map = _r.get(ref)
+            self.keys, self.codes = _r.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            n_name = df["o_custkey"].map(self.map)
-            out = pd.DataFrame({"n_name": n_name, "rev100": _cents(df["o_totalprice"])})
-            return out.groupby("n_name", as_index=False).agg(
-                n_orders=("rev100", "size"), rev100=("rev100", "sum")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            code = self.codes[np.searchsorted(self.keys, ok)]
+            t = pa.table(
+                {
+                    "n_code": pa.array(code, pa.int64()),
+                    "rev100": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
+                }
+            )
+            return (
+                t.group_by("n_code")
+                .aggregate([("rev100", "count"), ("rev100", "sum")])
+                .rename_columns(["n_code", "n_orders", "rev100"])
             )
 
-    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(
+        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        code = int(g["n_code"][0].as_py())
+        return pa.table(
             {
-                "n_name": [g["n_name"].iloc[0]],
-                "n_orders": [int(g["n_orders"].sum())],
-                "total_revenue": [g["rev100"].sum() / 100.0],
+                "n_name": pa.array([names[code]], pa.string()),
+                "n_orders": pa.array([pc.sum(g["n_orders"]).as_py()], pa.int64()),
+                "total_revenue": pa.array(
+                    [pc.sum(g["rev100"]).as_py() / 100.0], pa.float64()
+                ),
             }
         )
 
-    return partials.groupby("n_name").map_groups(final, batch_format="pandas")
+    return partials.groupby("n_code").map_groups(final, batch_format="pyarrow")
 
 
 SQL_ORDERS_BY_NATION = """
@@ -193,38 +210,57 @@ GROUP BY n_name
 
 
 def q_parts_by_brand(sf_dir: str):
+    """Same Arrow-native broadcast-join shape as q_orders_by_nation:
+    (sorted partkeys, brand codes) ship once; searchsorted gather + Arrow
+    group_by partials per batch."""
     import ray
 
     part = _small_table(sf_dir, "part", columns=["p_partkey", "p_brand"])
-    pmap = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(pmap)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(part["p_brand"].combine_chunks())
+    brand_codes = enc.indices.to_numpy(zero_copy_only=False)
+    brands = enc.dictionary.to_pylist()
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], brand_codes.astype(np.int64)[order]))
     ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
 
     class Lookup:
         def __init__(self):
             import ray as _r
 
-            self.map = _r.get(ref)
+            self.keys, self.codes = _r.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            rev4 = _cents(df["l_extendedprice"]) * (100 - _cents(df["l_discount"]))
-            out = pd.DataFrame({"p_brand": df["l_partkey"].map(self.map), "rev4": rev4})
-            return out.groupby("p_brand", as_index=False).agg(
-                n_items=("rev4", "size"), rev4=("rev4", "sum")
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lk = batch["l_partkey"].to_numpy(zero_copy_only=False)
+            code = self.codes[np.searchsorted(self.keys, lk)]
+            rev4 = _cents(batch["l_extendedprice"]) * (100 - _cents(batch["l_discount"]))
+            t = pa.table(
+                {
+                    "b_code": pa.array(code, pa.int64()),
+                    "rev4": pa.array(rev4, pa.int64()),
+                }
+            )
+            return (
+                t.group_by("b_code")
+                .aggregate([("rev4", "count"), ("rev4", "sum")])
+                .rename_columns(["b_code", "n_items", "rev4"])
             )
 
-    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(
+        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        code = int(g["b_code"][0].as_py())
+        return pa.table(
             {
-                "p_brand": [g["p_brand"].iloc[0]],
-                "n_items": [int(g["n_items"].sum())],
-                "revenue": [g["rev4"].sum() / 10000.0],
+                "p_brand": pa.array([brands[code]], pa.string()),
+                "n_items": pa.array([pc.sum(g["n_items"]).as_py()], pa.int64()),
+                "revenue": pa.array([pc.sum(g["rev4"]).as_py() / 10000.0], pa.float64()),
             }
         )
 
-    return partials.groupby("p_brand").map_groups(final, batch_format="pandas")
+    return partials.groupby("b_code").map_groups(final, batch_format="pyarrow")
 
 
 SQL_PARTS_BY_BRAND = """
@@ -495,10 +531,10 @@ WHERE knn_rank <= 10
 # ------------------------------------------------------- geospatial / docs
 
 
-def _doc_points(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic lon/lat per doc_id; formula mirrored verbatim in the
-    oracle SQL (same IEEE op order -> identical doubles)."""
-    ids = df["doc_id"].to_numpy(dtype=np.int64)
+def _doc_points(ids) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic lon/lat per doc_id array; formula mirrored verbatim in
+    the oracle SQL (same IEEE op order -> identical doubles)."""
+    ids = np.asarray(ids, dtype=np.int64)
     lon = ((ids * 2654435761) % 360000) / 1000.0 - 180.0
     lat = ((ids * 40503) % 120000) / 1000.0 - 60.0
     return lon, lat
@@ -513,7 +549,7 @@ def q_docs_geocells(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lon, lat = _doc_points(df)
+        lon, lat = _doc_points(df["doc_id"].to_numpy())
         # vectorized rowcol (functions/affine.py parity): floor((y-f)/e), floor((x-c)/a)
         cell_row = np.floor((lat - affine.f) / affine.e).astype(np.int64)
         cell_col = np.floor((lon - affine.c) / affine.a).astype(np.int64)
@@ -582,34 +618,38 @@ def q_docs_pip_zones(sf_dir: str):
 
             self.zones = [(zid, from_wkb(w)) for zid, w in _r.get(ref)]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            lon, lat = _doc_points(df)
-            chars = df["n_chars"].to_numpy()
-            rows = []
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            lon, lat = _doc_points(batch["doc_id"].to_numpy(zero_copy_only=False))
+            chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+            zids, docs, totals = [], [], []
             for zid, geom in self.zones:
                 inside = points_in_geom(lon, lat, geom)
                 if inside.any():
-                    rows.append(
-                        {
-                            "zone_id": zid,
-                            "n_docs": int(inside.sum()),
-                            "total_chars": int(chars[inside].sum()),
-                        }
-                    )
-            return pd.DataFrame(rows, columns=["zone_id", "n_docs", "total_chars"])
+                    zids.append(zid)
+                    docs.append(int(inside.sum()))
+                    totals.append(int(chars[inside].sum()))
+            return pa.table(
+                {
+                    "zone_id": pa.array(zids, pa.int64()),
+                    "n_docs": pa.array(docs, pa.int64()),
+                    "total_chars": pa.array(totals, pa.int64()),
+                }
+            )
 
-    partials = ds.map_batches(PIPKernel, batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(
+        PIPKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "zone_id": [int(g["zone_id"].iloc[0])],
-                "n_docs": [int(g["n_docs"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
+                "zone_id": pa.array([g["zone_id"][0].as_py()], pa.int64()),
+                "n_docs": pa.array([pc.sum(g["n_docs"]).as_py()], pa.int64()),
+                "total_chars": pa.array([pc.sum(g["total_chars"]).as_py()], pa.int64()),
             }
         )
 
-    return partials.groupby("zone_id").map_groups(final, batch_format="pandas")
+    return partials.groupby("zone_id").map_groups(final, batch_format="pyarrow")
 
 
 SQL_DOCS_PIP_ZONES = """
@@ -775,50 +815,66 @@ JOIN (
 
 
 def q_orders_by_region(sf_dir: str):
-    """4-table broadcast join: orders -> customer -> nation -> region."""
+    """4-table broadcast join (orders -> customer -> nation -> region),
+    pre-collapsed driver-side to one (sorted custkeys, region codes) pair
+    — the Arrow-native searchsorted-gather shape of q_orders_by_nation."""
     import ray
 
     cust = _small_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     nation = _small_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
     region = _small_table(sf_dir, "region", columns=["r_regionkey", "r_name"])
-    rmap = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
-    nmap = dict(
-        zip(nation["n_nationkey"].to_pylist(),
-            (rmap[rk] for rk in nation["n_regionkey"].to_pylist()))
-    )
-    cmap = {
-        ck: nmap[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(cmap)
+    rnames = region["r_name"].to_pylist()
+    rkeys = region["r_regionkey"].to_numpy(zero_copy_only=False)
+    rcode_of = np.empty(int(rkeys.max()) + 1, dtype=np.int64)
+    rcode_of[rkeys] = np.arange(len(rkeys))
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False)
+    nreg = nation["n_regionkey"].to_numpy(zero_copy_only=False)
+    ncode_of = np.empty(int(nkeys.max()) + 1, dtype=np.int64)
+    ncode_of[nkeys] = rcode_of[nreg]
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    nk = cust["c_nationkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], ncode_of[nk[order]]))
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     class Lookup:
         def __init__(self):
             import ray as _r
 
-            self.map = _r.get(ref)
+            self.keys, self.codes = _r.get(ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame(
-                {"r_name": df["o_custkey"].map(self.map), "rev100": _cents(df["o_totalprice"])}
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ok = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            code = self.codes[np.searchsorted(self.keys, ok)]
+            t = pa.table(
+                {
+                    "r_code": pa.array(code, pa.int64()),
+                    "rev100": pa.array(_cents(batch["o_totalprice"]), pa.int64()),
+                }
             )
-            return out.groupby("r_name", as_index=False).agg(
-                n_orders=("rev100", "size"), rev100=("rev100", "sum")
+            return (
+                t.group_by("r_code")
+                .aggregate([("rev100", "count"), ("rev100", "sum")])
+                .rename_columns(["r_code", "n_orders", "rev100"])
             )
 
-    partials = ds.map_batches(Lookup, batch_format="pandas", concurrency=(1, 4))
+    partials = ds.map_batches(
+        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+    )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        code = int(g["r_code"][0].as_py())
+        return pa.table(
             {
-                "r_name": [g["r_name"].iloc[0]],
-                "n_orders": [int(g["n_orders"].sum())],
-                "total_revenue": [g["rev100"].sum() / 100.0],
+                "r_name": pa.array([rnames[code]], pa.string()),
+                "n_orders": pa.array([pc.sum(g["n_orders"]).as_py()], pa.int64()),
+                "total_revenue": pa.array(
+                    [pc.sum(g["rev100"]).as_py() / 100.0], pa.float64()
+                ),
             }
         )
 
-    return partials.groupby("r_name").map_groups(final, batch_format="pandas")
+    return partials.groupby("r_code").map_groups(final, batch_format="pyarrow")
 
 
 SQL_ORDERS_BY_REGION = """
@@ -843,8 +899,7 @@ def q_knn_points_geo(sf_dir: str, k: int = 5, n_queries: int = 100):
 
     full = _small_table(sf_dir, "documents", columns=["doc_id"])
     ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
-    df = pd.DataFrame({"doc_id": ids})
-    lon, lat = _doc_points(df)
+    lon, lat = _doc_points(ids)
 
     qmask = ids < n_queries
     queries = pa.table(
