@@ -495,23 +495,38 @@ FROM events GROUP BY event_type
 
 def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
     """Per-user session count: a new session starts after a >30 min gap.
-    Windowed (sorted) per-group aggregate via groupby(user).map_groups."""
+    Derived from the bucketed session_windows operator (one vectorized
+    kernel per 64-user bucket, no per-user Python call) with an Arrow
+    group_by rollup of the per-session rows."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        gaps = np.diff(ts)
-        n_sessions = 1 + int((gaps > gap_us).sum()) if len(ts) else 0
+        users = g["user_id"].to_numpy()
+        new_user = np.concatenate([[True], users[1:] != users[:-1]])
+        new_session = new_user | np.concatenate([[True], np.diff(ts) > gap_us])
+        uidx = np.cumsum(new_user) - 1
+        n_events = np.bincount(uidx)
+        n_sessions = np.bincount(uidx, weights=new_session).astype(np.int64)
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
+                "user_id": users[new_user],
+                "n_events": n_events.astype(np.int64),
+                "n_sessions": n_sessions,
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(
+            lambda g: sessions_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
+        )
+    )
 
 
 SQL_EVENTS_SESSIONIZE = """

@@ -140,31 +140,50 @@ def session_windows(
     """Gap-based session windows per key: a new session starts when the
     gap to the previous event (by ts, id order) exceeds ``gap_us``.
     Returns one row per (key, session_idx) with the session's event count
-    and [t_start, t_end] in epoch-us. Keys are hash-co-located by the
-    groupby; per-group work is a vectorized diff + cumsum."""
+    and [t_start, t_end] in epoch-us.
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
+    Batched like the zonal holistic merge: keys are co-located by a
+    groupby on a 64-key BUCKET (key >> 6), and one vectorized kernel
+    sessionizes every key in the bucket via sort + segment boundaries —
+    no per-key Python call, no 1-row blocks."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kb", pc.shift_right(batch[key_col], 6))
+
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
         ts = g[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
         if len(ts) == 0:
             return pd.DataFrame(
                 columns=[key_col, "session_idx", "n_events", "t_start", "t_end"]
             )
-        new_session = np.concatenate([[True], np.diff(ts) > gap_us])
-        sid = np.cumsum(new_session) - 1
+        keys = g[key_col].to_numpy()
+        new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
+        new_session = new_key | np.concatenate([[True], np.diff(ts) > gap_us])
         starts = np.nonzero(new_session)[0]
         ends = np.concatenate([starts[1:] - 1, [len(ts) - 1]])
+        skey = keys[starts]
+        key_first = np.nonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))[0]
+        kstart = np.repeat(key_first, np.diff(np.append(key_first, len(skey))))
         return pd.DataFrame(
             {
-                key_col: int(g[key_col].iloc[0]),
-                "session_idx": np.arange(len(starts), dtype=np.int64),
+                key_col: skey,
+                "session_idx": np.arange(len(skey), dtype=np.int64) - kstart,
                 "n_events": (ends - starts + 1).astype(np.int64),
                 "t_start": ts[starts],
                 "t_end": ts[ends],
             }
         )
 
-    return events_ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    return (
+        events_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(
+            lambda g: sessions_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
+        )
+    )
 
 
 class AsofJoinKernel:
