@@ -557,44 +557,57 @@ FROM documents GROUP BY md5(text)
 
 
 def q_docs_token_stats(sf_dir: str):
-    from ..stages.text import token_count_batch
+    """Per-lang corpus totals with BOTH token counters the brief names:
+    whitespace runs and the BPE-ish pre-tokenizer segment count (the
+    LLM token-budget estimate). Arrow-native partial-then-merge."""
+    from ..stages.text import bpe_token_count_batch, token_count_batch
 
     ds = _read(sf_dir, "documents", columns=["lang", "text", "n_chars"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        b = token_count_batch(batch)
-        df = pd.DataFrame(
-            {
-                "lang": b["lang"].to_pandas(),
-                "n_tokens": b["n_tokens"].to_pandas(),
-                "n_chars": b["n_chars"].to_pandas(),
-            }
+        b = bpe_token_count_batch(token_count_batch(batch))
+        return (
+            b.select(["lang", "n_tokens", "n_bpe_tokens", "n_chars"])
+            .group_by("lang")
+            .aggregate(
+                [
+                    ("n_tokens", "count"),
+                    ("n_tokens", "sum"),
+                    ("n_bpe_tokens", "sum"),
+                    ("n_chars", "sum"),
+                ]
+            )
+            .rename_columns(
+                ["lang", "n_docs", "total_tokens", "total_bpe_tokens", "total_chars"]
+            )
         )
-        g = df.groupby("lang", as_index=False).agg(
-            n_docs=("n_tokens", "size"),
-            total_tokens=("n_tokens", "sum"),
-            total_chars=("n_chars", "sum"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "lang": [g["lang"].iloc[0]],
-                "n_docs": [int(g["n_docs"].sum())],
-                "total_tokens": [int(g["total_tokens"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
+                "lang": pa.array([g["lang"][0].as_py()], pa.string()),
+                "n_docs": pa.array([pc.sum(g["n_docs"]).as_py()], pa.int64()),
+                "total_tokens": pa.array(
+                    [pc.sum(g["total_tokens"]).as_py()], pa.int64()
+                ),
+                "total_bpe_tokens": pa.array(
+                    [pc.sum(g["total_bpe_tokens"]).as_py()], pa.int64()
+                ),
+                "total_chars": pa.array([pc.sum(g["total_chars"]).as_py()], pa.int64()),
             }
         )
 
-    return partials.groupby("lang").map_groups(final, batch_format="pandas")
+    return partials.groupby("lang").map_groups(final, batch_format="pyarrow")
 
 
 SQL_DOCS_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
        CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+')))
+            AS BIGINT) AS total_bpe_tokens,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """

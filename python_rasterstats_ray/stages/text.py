@@ -27,6 +27,20 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
 
 
+# GPT-2-style pre-tokenizer segments (no lookaheads, RE2-safe): contraction
+# suffixes, space-prefixed letter / digit / symbol runs, whitespace runs.
+# Both pyarrow and DuckDB count it with RE2, so the SQL mirror is exact.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append n_bpe_tokens = count of BPE-ish pre-tokenizer segments — the
+    LLM-training token-budget estimator (whitespace tokens undercount CJK
+    and punctuation-heavy text)."""
+    n = pc.count_substring_regex(batch[text_col], BPE_TOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Quality metrics per document, all computed with Arrow kernels:
 
