@@ -34,8 +34,9 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
 
 
 def _partial_final_groupby(ds, partial_fn, keys: list[str], final_fn):
-    """Pre-aggregate inside map_batches, then groupby the tiny partials."""
-    partials = ds.map_batches(partial_fn, batch_format="pandas")
+    """Pre-aggregate inside map_batches (zero-copy Arrow), then groupby
+    the tiny partials (pandas is fine there: a handful of rows)."""
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(keys).map_groups(final_fn, batch_format="pandas")
 
 
@@ -422,13 +423,18 @@ GROUP BY host
 def q_customer_segments(sf_dir: str):
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_acctbal"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["c_acctbal"] > 0]
-        out = pd.DataFrame(
-            {"c_mktsegment": df["c_mktsegment"].to_numpy(), "bal100": _cents(df["c_acctbal"])}
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["c_acctbal"], 0.0))
+        t = pa.table(
+            {
+                "c_mktsegment": batch["c_mktsegment"],
+                "bal100": pa.array(_cents(batch["c_acctbal"]), pa.int64()),
+            }
         )
-        return out.groupby("c_mktsegment", as_index=False).agg(
-            n_customers=("bal100", "size"), bal100=("bal100", "sum")
+        return (
+            t.group_by("c_mktsegment")
+            .aggregate([("bal100", "count"), ("bal100", "sum")])
+            .rename_columns(["c_mktsegment", "n_customers", "bal100"])
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -456,19 +462,27 @@ FROM customer WHERE c_acctbal > 0 GROUP BY c_mktsegment
 def q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame(
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
             {
-                "event_type": df["event_type"].to_numpy(),
-                "v100": _cents(df["value"]),
-                "value": df["value"].to_numpy(),
+                "event_type": batch["event_type"],
+                "v100": pa.array(_cents(batch["value"]), pa.int64()),
+                "value": batch["value"],
             }
         )
-        return out.groupby("event_type", as_index=False).agg(
-            n_events=("v100", "size"),
-            v100=("v100", "sum"),
-            min_value=("value", "min"),
-            max_value=("value", "max"),
+        return (
+            t.group_by("event_type")
+            .aggregate(
+                [
+                    ("v100", "count"),
+                    ("v100", "sum"),
+                    ("value", "min"),
+                    ("value", "max"),
+                ]
+            )
+            .rename_columns(
+                ["event_type", "n_events", "v100", "min_value", "max_value"]
+            )
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
@@ -713,16 +727,22 @@ def q_docs_geocells(sf_dir: str):
     affine = Affine(10.0, 0.0, -180.0, 0.0, -10.0, 60.0)
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        lon, lat = _doc_points(df["doc_id"].to_numpy())
+    def partial(batch: pa.Table) -> pa.Table:
+        lon, lat = _doc_points(batch["doc_id"].to_numpy(zero_copy_only=False))
         # vectorized rowcol (functions/affine.py parity): floor((y-f)/e), floor((x-c)/a)
         cell_row = np.floor((lat - affine.f) / affine.e).astype(np.int64)
         cell_col = np.floor((lon - affine.c) / affine.a).astype(np.int64)
-        out = pd.DataFrame(
-            {"cell_row": cell_row, "cell_col": cell_col, "n_chars": df["n_chars"]}
+        t = pa.table(
+            {
+                "cell_row": pa.array(cell_row, pa.int64()),
+                "cell_col": pa.array(cell_col, pa.int64()),
+                "n_chars": batch["n_chars"],
+            }
         )
-        return out.groupby(["cell_row", "cell_col"], as_index=False).agg(
-            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        return (
+            t.group_by(["cell_row", "cell_col"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            .rename_columns(["cell_row", "cell_col", "n_docs", "total_chars"])
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
