@@ -933,6 +933,43 @@ FROM s GROUP BY user_id, session_idx
 """
 
 
+def q_events_session_attribution(sf_dir: str, gap_us: int = 1_800_000_000):
+    """Range (interval) join: every event attributed to the session window
+    containing it — sessions derived by the bucketed session_windows
+    operator, then interval_join co-partitions events and session
+    intervals by user bucket and assigns with one searchsorted per key
+    slice. NO broadcast: the interval side scales with the data."""
+    from ..stages.temporal import interval_join, session_windows
+
+    events = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    sessions = session_windows(
+        _read(sf_dir, "events", columns=["user_id", "event_id", "ts"]), gap_us
+    )
+    out = interval_join(events, sessions)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "event_id", "ts_us", "session_idx"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_SESSION_ATTRIBUTION = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, t AS ts_us,
+       CAST(sum(new_s) OVER (
+         PARTITION BY user_id ORDER BY t, event_id ROWS UNBOUNDED PRECEDING
+       ) - 1 AS BIGINT) AS session_idx
+FROM e
+"""
+
+
 def q_events_asof_orders(sf_dir: str):
     """As-of join: each event picks the user's latest order at or before
     the event time (ties: greatest orderkey). Unmatched events dropped to
@@ -1967,6 +2004,7 @@ ORACLE_SQL = {
     "customer_segments": SQL_CUSTOMER_SEGMENTS,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_session_attribution": SQL_EVENTS_SESSION_ATTRIBUTION,
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
@@ -2001,6 +2039,7 @@ QUERIES = {
     "customer_segments": q_customer_segments,
     "events_by_type": q_events_by_type,
     "events_sessionize": q_events_sessionize,
+    "events_session_attribution": q_events_session_attribution,
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,

@@ -1,5 +1,6 @@
-"""Temporal operators Ray Data lacks natively: tumbling-window aggregates
-and as-of joins (SURVEY.md section 2 'custom operators' note).
+"""Temporal operators Ray Data lacks natively: tumbling / hopping /
+session windows, as-of joins and range (interval) joins (SURVEY.md
+section 2 'custom operators' note).
 
 Both are expressed as compositions the streaming executor can pipeline:
 - tumbling window: bucket key derived per batch (vectorized) + the usual
@@ -266,4 +267,107 @@ def asof_join(
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,
+    )
+
+
+def interval_join(
+    probe_ds,
+    intervals_ds,
+    *,
+    key_col: str = "user_id",
+    probe_ts_col: str = "ts",
+    probe_id_col: str = "event_id",
+    lo_col: str = "t_start",
+    hi_col: str = "t_end",
+    interval_id_col: str = "session_idx",
+    bucket_bits: int = 6,
+):
+    """Range (interval) join, shuffle-native: attach to each probe row the
+    interval [lo, hi] of the same key that contains its timestamp.
+
+    Unlike the broadcast as-of join, NEITHER side is materialized: probe
+    rows and interval rows are tagged and unioned, co-partitioned by a
+    key BUCKET (key >> bucket_bits — the batched-kernel pattern), and one
+    vectorized searchsorted per bucket assigns every probe row. Scales to
+    an interval side proportional to the probe side (e.g. event -> session
+    attribution, where intervals = session_windows output).
+
+    Assumes intervals of one key do not overlap (true for session/tumbling
+    windows). Probe rows in no interval get interval id -1. Timestamps are
+    pinned to epoch-us on both sides. Returns (key, probe_id, ts_us,
+    interval_id) rows.
+    """
+    import pyarrow.compute as pc
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        ts = batch[probe_ts_col].cast(pa.timestamp("us")).cast(pa.int64())
+        key = batch[key_col].cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "_kb": pc.shift_right(key, bucket_bits),
+                "kind": pa.array(np.zeros(len(batch), dtype=np.int8), pa.int8()),
+                "t": ts,
+                "a": batch[probe_id_col].cast(pa.int64()),
+                "b": pa.array(np.zeros(len(batch), dtype=np.int64), pa.int64()),
+            }
+        )
+
+    def tag_interval(batch: pa.Table) -> pa.Table:
+        key = batch[key_col].cast(pa.int64())
+        return pa.table(
+            {
+                "key": key,
+                "_kb": pc.shift_right(key, bucket_bits),
+                "kind": pa.array(np.ones(len(batch), dtype=np.int8), pa.int8()),
+                "t": batch[lo_col].cast(pa.int64()),
+                "a": batch[interval_id_col].cast(pa.int64()),
+                "b": batch[hi_col].cast(pa.int64()),
+            }
+        )
+
+    probe_tagged = probe_ds.map_batches(
+        tag_probe, batch_format="pyarrow", zero_copy_batch=True
+    )
+    iv_tagged = intervals_ds.map_batches(
+        tag_interval, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # intervals sorted by (key, lo); each of the <= 2^bucket_bits keys
+        # in the bucket gets one vectorized searchsorted over its slice
+        iv = g[g["kind"] == 1].sort_values(["key", "t"], kind="mergesort")
+        pr = g[g["kind"] == 0]
+        keys_iv = iv["key"].to_numpy()
+        lo = iv["t"].to_numpy()
+        hi = iv["b"].to_numpy()
+        ivid = iv["a"].to_numpy()
+        pk = pr["key"].to_numpy()
+        pt = pr["t"].to_numpy()
+        out_id = np.full(len(pr), -1, dtype=np.int64)
+        for k in np.unique(pk):
+            s = np.searchsorted(keys_iv, k, side="left")
+            e = np.searchsorted(keys_iv, k, side="right")
+            if s == e:
+                continue
+            m = np.nonzero(pk == k)[0]
+            pos = np.searchsorted(lo[s:e], pt[m], side="right") - 1
+            sel = np.nonzero(pos >= 0)[0]
+            inwin = pt[m][sel] <= hi[s:e][pos[sel]]
+            out_id[m[sel[inwin]]] = ivid[s:e][pos[sel[inwin]]]
+        return pd.DataFrame(
+            {
+                "key": pk,
+                "probe_id": pr["a"].to_numpy(),
+                "ts_us": pt,
+                "interval_id": out_id,
+            }
+        )
+
+    return (
+        probe_tagged.union(iv_tagged)
+        .groupby("_kb")
+        .map_groups(
+            lambda g: join_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
+        )
     )

@@ -408,3 +408,37 @@ def test_pages_host_stats(ray_session):
     assert len(out) == 97
     assert out["n_pages"].sum() == 10_000
     assert (out["total_tokens"] > 0).all()
+
+
+def test_interval_join_attribution(ray_session):
+    """Range join: events land in their own session's window; a probe
+    with no interval for its key gets -1."""
+    import pandas as pd
+    import ray.data
+
+    from python_rasterstats_ray.stages.temporal import interval_join
+
+    events = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 7],
+            "event_id": [10, 11, 12, 20, 70],
+            "ts": pd.to_datetime([100, 200, 5000, 100, 100], unit="s"),
+        }
+    )
+    intervals = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "session_idx": [0, 1, 0],
+            "t_start": [100_000_000, 5_000_000_000, 100_000_000],
+            "t_end": [200_000_000, 5_000_000_000, 100_000_000],
+        }
+    )
+    out = (
+        interval_join(
+            ray.data.from_pandas(events), ray.data.from_pandas(intervals)
+        )
+        .to_pandas()
+        .sort_values("probe_id")
+        .reset_index(drop=True)
+    )
+    assert out["interval_id"].tolist() == [0, 0, 1, 0, -1]
