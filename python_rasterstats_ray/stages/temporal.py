@@ -37,19 +37,34 @@ def tumbling_window_agg(
     distributed sum is order-independent (bit-exact across any partial
     merge order); the emitted ``total_value`` is scaled back to double."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # pin to microseconds regardless of the datetime64 unit pandas chose
-        ts = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+    def partial(batch: pa.Table) -> pa.Table:
+        # pin to microseconds regardless of the source timestamp unit
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         win = (ts // window_us) * window_us
-        v = df[value_col].to_numpy()
+        v = batch[value_col].to_numpy(zero_copy_only=False)
         if value_scale is not None:
             v = np.round(v * value_scale).astype(np.int64)
-        out = pd.DataFrame({"window_start": win, key_col: df[key_col].to_numpy(), "v": v})
-        return out.groupby(["window_start", key_col], as_index=False).agg(
-            n_events=("v", "size"), total_value=("v", "sum")
+        t = pa.table(
+            {
+                "window_start": pa.array(win, pa.int64()),
+                key_col: batch[key_col],
+                "v": pa.array(v),
+            }
+        )
+        return (
+            t.group_by(["window_start", key_col])
+            .aggregate([("v", "count"), ("v", "sum")])
+            .rename_columns(["window_start", key_col, "n_events", "total_value"])
         )
 
-    partials = events_ds.map_batches(partial, batch_format="pandas")
+    partials = events_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         total = g["total_value"].sum()
@@ -87,30 +102,39 @@ def hopping_window_agg(
     assert window_us % hop_us == 0, "window must be a multiple of hop"
     fanout = window_us // hop_us
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ts = df[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
-        v = df[value_col].to_numpy()
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = (
+            batch[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        v = batch[value_col].to_numpy(zero_copy_only=False)
         if value_scale is not None:
             v = np.round(v * value_scale).astype(np.int64)
-        keys = df[key_col].to_numpy()
+        keys = np.asarray(batch[key_col].to_pylist())
         # window starts for an event at t: the hop-aligned starts in
         # (t - window, t]
         last = (ts // hop_us) * hop_us
         starts = np.repeat(last, fanout) - np.tile(
             np.arange(fanout, dtype=np.int64) * hop_us, len(ts)
         )
-        out = pd.DataFrame(
+        t = pa.table(
             {
-                "window_start": starts,
-                key_col: np.repeat(keys, fanout),
-                "v": np.repeat(v, fanout),
+                "window_start": pa.array(starts, pa.int64()),
+                key_col: pa.array(np.repeat(keys, fanout)),
+                "v": pa.array(np.repeat(v, fanout)),
             }
         )
-        return out.groupby(["window_start", key_col], as_index=False).agg(
-            n_events=("v", "size"), total_value=("v", "sum")
+        return (
+            t.group_by(["window_start", key_col])
+            .aggregate([("v", "count"), ("v", "sum")])
+            .rename_columns(["window_start", key_col, "n_events", "total_value"])
         )
 
-    partials = events_ds.map_batches(partial, batch_format="pandas")
+    partials = events_ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         total = g["total_value"].sum()
