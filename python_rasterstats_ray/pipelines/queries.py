@@ -653,6 +653,54 @@ def q_docs_quality(sf_dir: str):
     return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_corpus_curation(sf_dir: str, min_tokens: int = 50):
+    """The composed training-data curation pipeline: quality filter
+    (length floor + alpha-ratio >= 0.5, expressed as exact INTEGER
+    predicates so no float compare can drift) -> language allowlist ->
+    exact dedup keeping the min-id representative. Each stage is one of
+    the engine's standalone operators; this query proves they compose
+    into the end-to-end corpus-curation flow with a single SQL mirror."""
+    from ..stages.dedup import exact_dedup_filter
+    from ..stages.text import ALPHA_RE, TOKEN_RE
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    allow = pa.array(["en", "de", "fr", "es"], pa.string())
+
+    def filt(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.int64())
+        n_alpha = pc.cast(
+            pc.utf8_length(pc.replace_substring_regex(text, ALPHA_RE, "")), pa.int64()
+        )
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(n_tokens, min_tokens),
+                pc.greater_equal(pc.multiply(n_alpha, 2), n_chars),
+            ),
+            pc.is_in(batch["lang"], value_set=allow),
+        )
+        return batch.filter(keep)
+
+    filtered = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_dedup_filter(filtered, keep_cols=["lang"])
+
+
+SQL_CORPUS_CURATION = """
+WITH q AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha
+  FROM documents
+)
+SELECT doc_id, lang FROM q
+WHERE n_tokens >= 50 AND 2 * n_alpha >= n_chars
+  AND lang IN ('en', 'de', 'fr', 'es')
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""
+
+
 SQL_DOCS_QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars_calc,
@@ -2008,6 +2056,7 @@ ORACLE_SQL = {
     "docs_exact_dedup": SQL_DOCS_EXACT_DEDUP,
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
+    "corpus_curation": SQL_CORPUS_CURATION,
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
@@ -2043,6 +2092,7 @@ QUERIES = {
     "docs_exact_dedup": q_docs_exact_dedup,
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
+    "corpus_curation": q_corpus_curation,
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
     "docs_pip_zones": q_docs_pip_zones,
