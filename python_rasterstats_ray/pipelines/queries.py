@@ -701,6 +701,38 @@ QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
 
 
+def q_docs_hll_sketch(sf_dir: str, b: int = 10):
+    """Distributed HyperLogLog cardinality sketch of the text column:
+    per-batch partial sketches merged by register max — only <= 2^b
+    (register, rho) rows ever shuffle. The register table is a pure
+    function of sha256(text), so the ORACLE REPRODUCES THE SKETCH
+    BIT-EXACTLY; estimate accuracy is pinned separately in pytest."""
+    from ..stages.sketch import hll_sketch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return hll_sketch(ds, col="text", b=b)
+
+
+def _hll_sketch_sql(b: int = 10) -> str:
+    w = 64 - b
+    low_mask = (1 << w) - 1
+    le = " || ".join(f"substr(su, {off}, 2)" for off in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"""
+WITH h AS (
+  SELECT CAST('0x' || {le} AS UBIGINT) AS hv
+  FROM (SELECT sha256(text) AS su FROM documents)
+),
+rr AS (
+  SELECT CAST(hv >> {w} AS BIGINT) AS register,
+         CAST({w} + 1
+              - length(ltrim(bin(hv & CAST({low_mask} AS UBIGINT)), '0'))
+              AS BIGINT) AS rho
+  FROM h
+)
+SELECT register, max(rho) AS max_rho FROM rr GROUP BY register
+"""
+
+
 SQL_DOCS_QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars_calc,
@@ -2057,6 +2089,7 @@ ORACLE_SQL = {
     "docs_token_stats": SQL_DOCS_TOKEN_STATS,
     "docs_quality": SQL_DOCS_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "docs_hll_sketch": _hll_sketch_sql(),
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
@@ -2093,6 +2126,7 @@ QUERIES = {
     "docs_token_stats": q_docs_token_stats,
     "docs_quality": q_docs_quality,
     "corpus_curation": q_corpus_curation,
+    "docs_hll_sketch": q_docs_hll_sketch,
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
     "docs_pip_zones": q_docs_pip_zones,

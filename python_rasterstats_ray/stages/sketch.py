@@ -1,0 +1,99 @@
+"""Distributed cardinality sketch (HyperLogLog) — the 'novel sketch'
+custom-operator slot of the build brief.
+
+Scale shape: each batch builds a PARTIAL sketch (register -> max rho) with
+vectorized numpy; partials are combinable by max, so the only shuffle is a
+groupby over at most 2^b tiny (register, rho) rows regardless of input
+size. The register contents are a pure function of sha256 of the values,
+so a DuckDB oracle reproduces the sketch BIT-EXACTLY (the estimate's
+float formula is deliberately kept out of the driver contract; its
+accuracy is pinned by pytest instead).
+
+Hash layout (b register-index bits, w = 64 - b payload bits; b <= 11 keeps
+w >= 53 away from any float edge since everything stays integer anyway):
+  h   = first 8 bytes of sha256(value), little-endian (same primitive the
+        geotag/sampling oracles mirror in SQL)
+  reg = h >> w
+  rho = position of the leftmost 1-bit of the low w bits (1-based from the
+        MSB side), or w + 1 when the low bits are all zero.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (no float log2 — correctly
+    rounded log2 misrounds just below powers of two)."""
+    x = x.copy()
+    out = np.zeros(len(x), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = x >= (np.uint64(1) << np.uint64(shift))
+        out[big] += shift
+        x[big] >>= np.uint64(shift)
+    out[x > 0] += 1
+    return out
+
+
+def _sketch_of_hashes(h: np.ndarray, b: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) per hash."""
+    w = 64 - b
+    reg = (h >> np.uint64(w)).astype(np.int64)
+    low = h & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+    rho = w + 1 - _bit_length_u64(low)  # all-zero low -> w + 1
+    return reg, rho
+
+
+def hll_sketch(ds, col: str = "text", b: int = 10):
+    """Dataset -> HLL sketch as (register:int64, max_rho:int64) rows.
+
+    Partial sketches per batch (numpy + Arrow group_by), merged by a
+    groupby(register) max over <= 2^b rows — input size never crosses
+    the shuffle."""
+    import pyarrow.compute as pc
+
+    from ..sources.synthetic import _sha_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[col].to_pylist())
+        reg, rho = _sketch_of_hashes(_sha_hash64(vals), b)
+        t = pa.table(
+            {
+                "register": pa.array(reg, pa.int64()),
+                "rho": pa.array(rho, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("register")
+            .aggregate([("rho", "max")])
+            .rename_columns(["register", "max_rho"])
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "register": pa.array([g["register"][0].as_py()], pa.int64()),
+                "max_rho": pa.array([pc.max(g["max_rho"]).as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby("register").map_groups(merge, batch_format="pyarrow")
+
+
+def hll_estimate(sketch_df, b: int = 10) -> float:
+    """Bias-corrected HLL estimate (with small-range linear counting) from
+    the (register, max_rho) rows. Driver-side: the sketch has <= 2^b rows."""
+    m = 1 << b
+    rho = np.zeros(m, dtype=np.int64)
+    rho[sketch_df["register"].to_numpy()] = sketch_df["max_rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    denom = float(sum(2.0 ** (-int(r)) for r in rho))
+    est = alpha * m * m / denom
+    zeros = int((rho == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    return float(est)

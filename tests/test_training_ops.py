@@ -442,3 +442,53 @@ def test_interval_join_attribution(ray_session):
         .reset_index(drop=True)
     )
     assert out["interval_id"].tolist() == [0, 0, 1, 0, -1]
+
+
+def test_hll_bit_length_exact():
+    """The vectorized bit_length must be exact where float log2 misrounds
+    (just below powers of two)."""
+    import numpy as np
+
+    from python_rasterstats_ray.stages.sketch import _bit_length_u64
+
+    xs = np.array(
+        [0, 1, 2, 3, (1 << 52) - 1, 1 << 52, (1 << 52) + 1, (1 << 54) - 1,
+         (1 << 63), np.iinfo(np.uint64).max],
+        dtype=np.uint64,
+    )
+    got = _bit_length_u64(xs)
+    want = [int(x).bit_length() for x in xs.tolist()]
+    assert got.tolist() == want
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """Sketch of 5000 distinct synthetic values estimates within ~3 sigma
+    (sigma = 1.04/sqrt(1024) ~ 3.3%), and the distributed merge equals a
+    single-pass sketch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import (
+        _sketch_of_hashes,
+        hll_estimate,
+        hll_sketch,
+    )
+    from python_rasterstats_ray.sources.synthetic import _sha_hash64
+
+    vals = np.array([f"value-{i}" for i in range(5000)])
+    tbl = pa.table({"text": pa.array(vals.tolist(), pa.string())})
+    sk = (
+        hll_sketch(ray.data.from_arrow(tbl).repartition(8), col="text", b=10)
+        .to_pandas()
+    )
+    est = hll_estimate(sk, b=10)
+    assert abs(est - 5000) / 5000 < 0.10, est
+
+    # merge parity: distributed register maxes == single-pass maxes
+    reg, rho = _sketch_of_hashes(_sha_hash64(vals), 10)
+    want = {}
+    for r, p in zip(reg.tolist(), rho.tolist()):
+        want[r] = max(want.get(r, 0), p)
+    got = dict(zip(sk["register"], sk["max_rho"]))
+    assert got == want
