@@ -733,6 +733,54 @@ SELECT register, max(rho) AS max_rho FROM rr GROUP BY register
 """
 
 
+def q_pages_host_cms(sf_dir: str, d: int = 4, w: int = 1024):
+    """Count-min sketch of the host-frequency stream over the
+    Common-Crawl-style corpus (host parsed per batch, d x w sum-combinable
+    cells; only <= d*w rows shuffle). Exact-integer cells -> the oracle
+    reproduces the sketch bit-exactly."""
+    from ..sources.synthetic import pages_dataset
+    from ..stages.sketch import cms_sketch
+
+    ds = pages_dataset(10_000, seed=42)
+
+    def hostify(batch: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(batch["url"], r"^https://(?P<host>[^/]+)/"), "host"
+        )
+        return pa.table({"host": host})
+
+    hosts = ds.map_batches(hostify, batch_format="pyarrow", zero_copy_batch=True)
+    return cms_sketch(hosts, col="host", d=d, w=w)
+
+
+def _pages_host_cms_sql(d: int = 4, w: int = 1024) -> str:
+    from ..sources.oracle_fixtures import ORACLE_DIR
+
+    branches = []
+    for j in range(d):
+        base = 16 * j
+        le = " || ".join(
+            f"substr(su, {base + off}, 2)" for off in (15, 13, 11, 9, 7, 5, 3, 1)
+        )
+        branches.append(
+            f"SELECT CAST({j} AS BIGINT) AS cms_row,\n"
+            f"       CAST(CAST('0x' || {le} AS UBIGINT) % {w} AS BIGINT) AS cms_col\n"
+            f"FROM h"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH h AS (
+  SELECT sha256(regexp_extract(url, '^https://([^/]+)/', 1)) AS su
+  FROM read_parquet('{ORACLE_DIR}/pages10k.parquet')
+),
+cells AS (
+{union}
+)
+SELECT cms_row, cms_col, count(*) AS count
+FROM cells GROUP BY cms_row, cms_col
+"""
+
+
 SQL_DOCS_QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars_calc,
@@ -2090,6 +2138,7 @@ ORACLE_SQL = {
     "docs_quality": SQL_DOCS_QUALITY,
     "corpus_curation": SQL_CORPUS_CURATION,
     "docs_hll_sketch": _hll_sketch_sql(),
+    "pages_host_cms": _pages_host_cms_sql(),
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
@@ -2127,6 +2176,7 @@ QUERIES = {
     "docs_quality": q_docs_quality,
     "corpus_curation": q_corpus_curation,
     "docs_hll_sketch": q_docs_hll_sketch,
+    "pages_host_cms": q_pages_host_cms,
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
     "docs_pip_zones": q_docs_pip_zones,

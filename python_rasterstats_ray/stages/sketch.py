@@ -97,3 +97,73 @@ def hll_estimate(sketch_df, b: int = 10) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+def _cms_cols(vals: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices: d independent 64-bit hashes carved from ONE
+    sha256 per value (8-byte little-endian chunks), mod w. Pure function
+    of sha256 -> SQL-mirrorable."""
+    import hashlib
+
+    cols = np.empty((d, len(vals)), dtype=np.int64)
+    for i, s in enumerate(vals):
+        dig = hashlib.sha256(s.encode()).digest()
+        for j in range(d):
+            h = int.from_bytes(dig[8 * j : 8 * j + 8], "little")
+            cols[j, i] = h % w
+    return cols
+
+
+def cms_sketch(ds, col: str, d: int = 4, w: int = 1024):
+    """Count-min sketch of a value stream -> (cms_row, cms_col, count)
+    rows. Per-batch partials via bincount; counts are SUM-combinable, so
+    the only shuffle is a groupby over <= d*w tiny rows — and since the
+    cell counts are exact integers, the whole sketch is bit-exact
+    reproducible (and oracle-checkable) regardless of partitioning."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch[col].to_pylist())
+        cols = _cms_cols(vals, d, w)
+        rows_out, cols_out, counts_out = [], [], []
+        for j in range(d):
+            bc = np.bincount(cols[j], minlength=0)
+            nz = np.nonzero(bc)[0]
+            rows_out.append(np.full(len(nz), j, dtype=np.int64))
+            cols_out.append(nz.astype(np.int64))
+            counts_out.append(bc[nz].astype(np.int64))
+        return pa.table(
+            {
+                "cms_row": pa.array(np.concatenate(rows_out), pa.int64()),
+                "cms_col": pa.array(np.concatenate(cols_out), pa.int64()),
+                "count": pa.array(np.concatenate(counts_out), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cms_row": pa.array([g["cms_row"][0].as_py()], pa.int64()),
+                "cms_col": pa.array([g["cms_col"][0].as_py()], pa.int64()),
+                "count": pa.array([pc.sum(g["count"]).as_py()], pa.int64()),
+            }
+        )
+
+    return partials.groupby(["cms_row", "cms_col"]).map_groups(
+        merge, batch_format="pyarrow"
+    )
+
+
+def cms_estimate(sketch_df, queries: list[str], d: int = 4, w: int = 1024) -> dict:
+    """Point-frequency estimates (min over rows — classic CMS upper
+    bound) for the queried values."""
+    table = np.zeros((d, w), dtype=np.int64)
+    table[sketch_df["cms_row"].to_numpy(), sketch_df["cms_col"].to_numpy()] = (
+        sketch_df["count"].to_numpy()
+    )
+    cols = _cms_cols(np.asarray(queries), d, w)
+    return {
+        q: int(table[np.arange(d), cols[:, i]].min()) for i, q in enumerate(queries)
+    }

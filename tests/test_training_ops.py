@@ -492,3 +492,27 @@ def test_hll_estimate_accuracy(ray_session):
         want[r] = max(want.get(r, 0), p)
     got = dict(zip(sk["register"], sk["max_rho"]))
     assert got == want
+
+
+def test_cms_estimate_bounds(ray_session):
+    """CMS point estimates never undercount, and with d=4 x w=1024 over
+    97 hosts they are exact (no collisions expected at this load)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import cms_estimate, cms_sketch
+
+    rng = np.random.default_rng(3)
+    hosts = [f"host-{i}" for i in range(97)]
+    true = {h: int(rng.integers(1, 200)) for h in hosts}
+    stream = [h for h, c in true.items() for _ in range(c)]
+    tbl = pa.table({"host": pa.array(stream, pa.string())})
+    sk = cms_sketch(
+        ray.data.from_arrow(tbl).repartition(8), col="host"
+    ).to_pandas()
+    est = cms_estimate(sk, hosts)
+    for h in hosts:
+        assert est[h] >= true[h]
+        assert est[h] <= true[h] + 50  # collision slack
+    assert sum(1 for h in hosts if est[h] == true[h]) >= 90
