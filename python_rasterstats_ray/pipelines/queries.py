@@ -781,6 +781,70 @@ FROM cells GROUP BY cms_row, cms_col
 """
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """URL canonicalization dedup — the crawl-frontier primitive: every
+    5th page (by sha256(url) % 5, deterministic) is PLANTED a tracking
+    variant (?utm_source=feed&ref=rss), canonicalization strips the
+    query/fragment, and a canonical-key groupby counts crawled variants
+    per true page. Rows with n_variants = 2 are exactly the planted set."""
+    from ..sources.synthetic import _sha_hash64, pages_dataset
+
+    ds = pages_dataset(10_000, seed=42)
+
+    def plant_and_canon(batch: pa.Table) -> pa.Table:
+        urls = np.asarray(batch["url"].to_pylist())
+        planted = (_sha_hash64(urls) % np.uint64(5)) == 0
+        all_urls = np.concatenate(
+            [urls, np.char.add(urls[planted], "?utm_source=feed&ref=rss")]
+        )
+        canon = pc.replace_substring_regex(
+            pa.array(all_urls.tolist(), pa.string()), r"[?#].*$", ""
+        )
+        return (
+            pa.table({"canonical_url": canon})
+            .group_by("canonical_url")
+            .aggregate([("canonical_url", "count")])
+            .rename_columns(["canonical_url", "n_variants"])
+        )
+
+    partials = ds.map_batches(
+        plant_and_canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canonical_url": pa.array([g["canonical_url"][0].as_py()], pa.string()),
+                "n_variants": pa.array(
+                    [pc.sum(g["n_variants"]).cast(pa.int64()).as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return partials.groupby("canonical_url").map_groups(final, batch_format="pyarrow")
+
+
+def _url_canonical_sql() -> str:
+    from ..sources.oracle_fixtures import ORACLE_DIR
+
+    le = " || ".join(f"substr(su, {off}, 2)" for off in (15, 13, 11, 9, 7, 5, 3, 1))
+    return f"""
+WITH u AS (
+  SELECT url, CAST('0x' || {le} AS UBIGINT) % 5 = 0 AS planted
+  FROM (SELECT url, sha256(url) AS su
+        FROM read_parquet('{ORACLE_DIR}/pages10k.parquet'))
+),
+stream AS (
+  SELECT url FROM u
+  UNION ALL
+  SELECT url || '?utm_source=feed&ref=rss' FROM u WHERE planted
+)
+SELECT regexp_replace(url, '[?#].*$', '') AS canonical_url,
+       count(*) AS n_variants
+FROM stream GROUP BY canonical_url
+"""
+
+
 SQL_DOCS_QUALITY = """
 SELECT doc_id,
        length(text) AS n_chars_calc,
@@ -2139,6 +2203,7 @@ ORACLE_SQL = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "docs_hll_sketch": _hll_sketch_sql(),
     "pages_host_cms": _pages_host_cms_sql(),
+    "url_canonical_dedup": _url_canonical_sql(),
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
@@ -2177,6 +2242,7 @@ QUERIES = {
     "corpus_curation": q_corpus_curation,
     "docs_hll_sketch": q_docs_hll_sketch,
     "pages_host_cms": q_pages_host_cms,
+    "url_canonical_dedup": q_url_canonical_dedup,
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
     "docs_pip_zones": q_docs_pip_zones,
