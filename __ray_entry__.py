@@ -116,11 +116,13 @@ def _q_flagship_checkpointed(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from python_rasterstats_ray.pipelines.join_queries import JOIN_QUERIES
     from python_rasterstats_ray.pipelines.queries import QUERIES
 
     from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_QUERIES
 
     out = dict(QUERIES)
+    out.update(JOIN_QUERIES)
     out.update(
         {
             "minhash_pairs": _q_minhash_pairs,
@@ -140,11 +142,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from python_rasterstats_ray.pipelines.join_queries import JOIN_ORACLE_SQL
     from python_rasterstats_ray.pipelines.queries import ORACLE_SQL
     from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_ORACLE_SQL
     from python_rasterstats_ray.sources.oracle_fixtures import ensure_fixtures
 
     ensure_fixtures()  # the zonal oracles read exploded-pixel parquet
     out = dict(ORACLE_SQL)
+    out.update(JOIN_ORACLE_SQL)
     out.update(ZONAL_ORACLE_SQL)
     return out

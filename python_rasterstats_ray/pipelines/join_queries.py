@@ -1,0 +1,490 @@
+"""Large-large shuffle-join queries + text-index / graph pipelines.
+
+These exercise ``stages.joins.hash_equi_join`` (Ray Data's native
+hash-shuffle join) where a broadcast side would NOT fit at 100 TB scale:
+TPC-H Q3/Q10 shapes (lineitem ⋈ orders ⋈ customer), an inverted index /
+TF-IDF over the documents corpus, and an iterative integer PageRank over
+a synthetic link graph (``stages/graph.py``).
+
+Exactness discipline (same as pipelines/queries.py): money flows as int64
+hundredths / 1e-4 units, TF-IDF scores as int64 floor-divisions, PageRank
+as int64 micro-ranks — every distributed sum is order-independent and
+bit-exact against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(col) -> np.ndarray:
+    return np.round(np.asarray(col, dtype=np.float64) * 100.0).astype(np.int64)
+
+
+def _rev4(price_col, disc_col) -> np.ndarray:
+    """l_extendedprice * (1 - l_discount) exactly, in int64 1e-4 units."""
+    return _cents(price_col) * (100 - _cents(disc_col))
+
+
+# ------------------------------------------------------------- TPC-H Q3
+
+
+Q3_CUTOFF = pd.Timestamp("1998-06-01")
+
+
+def q_tpch_q3(sf_dir: str):
+    """Shipping-priority revenue: customer ⋈ orders ⋈ lineitem.
+
+    Scale plan: lineitem is pre-aggregated to one revenue row per
+    orderkey BELOW the join (the group key contains the join key), so
+    the hash-shuffle join ships ~4x fewer probe rows; the BUILDING
+    customer keyset is the one genuinely small side and is broadcast.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keep = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    bkeys_ref = ray.put(np.sort(keep.to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch["l_shipdate"], pa.scalar(Q3_CUTOFF)))
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "rev4": pa.array(_rev4(t["l_extendedprice"], t["l_discount"]), pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev4", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev4"])
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev4"))
+    )
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    class OrderFilter:
+        def __init__(self, ref=bkeys_ref):
+            self.bkeys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(Q3_CUTOFF)))
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.bkeys, ck)
+            pos[pos >= len(self.bkeys)] = 0
+            return t.filter(pa.array(self.bkeys[pos] == ck)).drop_columns(["o_custkey"])
+
+    orders_f = orders.map_batches(
+        OrderFilter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+
+    joined = hash_equi_join(li_agg, orders_f, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        rev4 = batch["sum(rev4)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dt = batch["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, dt, -rev4))[:10]
+        t = batch.take(pa.array(order))
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "revenue": pa.array(
+                    t["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4, pa.float64()
+                ),
+                "o_orderdate": t["o_orderdate"],
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    top = joined.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+    return top.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-06-01' AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ TPC-H Q10
+
+
+Q10_LO = pd.Timestamp("1995-10-01")
+Q10_HI = pd.Timestamp("1996-01-01")
+
+
+def q_tpch_q10(sf_dir: str):
+    """Returned-item revenue by customer: TWO native hash-shuffle joins
+    (lineitem⋈orders on orderkey, then revenue⋈customer on custkey —
+    at 10^12-row scale the customer table is a large side too, so it is
+    joined, not broadcast); only the 25-row nation table is broadcast."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nkeys = nation["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    lut = np.empty(int(nkeys.max()) + 1, dtype=object)
+    lut[nkeys] = nnames
+    nation_ref = ray.put(lut)
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["l_returnflag"], "R"))
+        g = (
+            pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "rev4": pa.array(_rev4(t["l_extendedprice"], t["l_discount"]), pa.int64()),
+                }
+            )
+            .group_by("l_orderkey")
+            .aggregate([("rev4", "sum")])
+        )
+        return g.rename_columns(["l_orderkey", "rev4"])
+
+    li_agg = (
+        li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev4"))
+    )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(Q10_LO)),
+            pc.less(batch["o_orderdate"], pa.scalar(Q10_HI)),
+        )
+        return batch.filter(m).drop_columns(["o_orderdate"])
+
+    orders_f = orders.map_batches(orders_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    j1 = hash_equi_join(li_agg, orders_f, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def cust_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"o_custkey": batch["o_custkey"], "rev4": batch["sum(rev4)"]})
+            .group_by("o_custkey")
+            .aggregate([("rev4", "sum")])
+        )
+        return g.rename_columns(["o_custkey", "rev4"])
+
+    rev_by_cust = (
+        j1.map_batches(cust_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("rev4"))
+    )
+
+    cust = _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    )
+    j2 = hash_equi_join(rev_by_cust, cust, on=("o_custkey",), right_on=("c_custkey",))
+
+    class Finish:
+        def __init__(self, ref=nation_ref):
+            self.lut = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            rev4 = batch["sum(rev4)"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            order = np.lexsort((ck, -rev4))[:20]
+            t = batch.take(pa.array(order))
+            nk = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": t["o_custkey"],
+                    "c_name": t["c_name"],
+                    "revenue": pa.array(
+                        t["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4, pa.float64()
+                    ),
+                    "c_acctbal": t["c_acctbal"],
+                    "n_name": pa.array(list(self.lut[nk]), pa.string()),
+                }
+            )
+
+    top = j2.map_batches(
+        Finish, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+    )
+    return top.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1995-10-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+# ------------------------------------------------- inverted index / TF-IDF
+
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+MIN_DF = 5
+TFIDF_SCALE = 1_000_000
+TFIDF_TOPK = 3
+
+
+def _explode_terms(batch: pa.Table, id_col: str = "doc_id"):
+    """(doc_id, text) batch -> (doc int64[], term str[]) exploded token
+    stream, vectorized (utf8_lower + split_pattern_regex + flatten)."""
+    lowered = pc.utf8_lower(batch["text"]).combine_chunks()
+    lists = pc.split_pattern_regex(lowered, TOKEN_SPLIT_RE)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    docs_all = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    parent = lists.value_parent_indices().to_numpy(zero_copy_only=False)
+    terms = lists.flatten()
+    keep = pc.not_equal(terms, "")
+    terms = terms.filter(keep)
+    doc = docs_all[parent[keep.to_numpy(zero_copy_only=False)]]
+    return doc, terms
+
+
+def _index_partial(batch: pa.Table) -> pa.Table:
+    """Per-batch inverted-index partial: one (term, tf, df) row per term.
+    Docs never split across batches, so df partials sum exactly."""
+    doc, terms = _explode_terms(batch)
+    td = (
+        pa.table({"term": terms, "doc": pa.array(doc, pa.int64())})
+        .group_by(["term", "doc"])
+        .aggregate([("doc", "count")])
+    )
+    g = td.group_by("term").aggregate([("doc_count", "sum"), ("doc_count", "count")])
+    return g.rename_columns(["term", "tf", "df"])
+
+
+def q_docs_inverted_index(sf_dir: str):
+    """Corpus inverted-index summary: per-term total frequency + document
+    frequency. The term-key shuffle is hot-key-safe: partial aggregation
+    means at most one row per (term, upstream block) enters the exchange,
+    so even 'the' ships #blocks rows, not #occurrences."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(_index_partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("term").aggregate(Sum("tf"), Sum("df"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {"term": batch["term"], "tf": batch["sum(tf)"], "df": batch["sum(df)"]}
+        )
+        return t.filter(pc.greater_equal(t["df"], MIN_DF))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort("term")
+
+
+SQL_DOCS_INVERTED_INDEX = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+  FROM documents
+), filt AS (SELECT doc_id, term FROM tok WHERE term <> '')
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM filt GROUP BY term HAVING count(DISTINCT doc_id) >= {MIN_DF}
+ORDER BY term
+"""
+
+
+def q_docs_tfidf_top(sf_dir: str):
+    """Top-{TFIDF_TOPK} TF-IDF-ranked terms per document. Two passes:
+    (1) the inverted index produces the document-frequency table — the
+    vocabulary, bounded (~heaps-law) even at 10^12 docs, broadcast once
+    via ray.put as (sorted terms, df) arrays; (2) a stateless per-batch
+    kernel re-tokenizes, scores tf*SCALE//df in int64 (floor division —
+    bit-exact vs DuckDB `//`), and emits each doc's top terms. No shuffle
+    in pass 2 at all."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    partials = ds.map_batches(_index_partial, batch_format="pyarrow", zero_copy_batch=True)
+    vocab_tbl = (
+        partials.groupby("term").aggregate(Sum("df")).to_pandas()
+    )  # vocabulary only: tiny vs corpus
+    vterms = np.asarray(vocab_tbl["term"], dtype=object)
+    vdf = np.asarray(vocab_tbl["sum(df)"], dtype=np.int64)
+    order = np.argsort(vterms)
+    vocab_ref = ray.put((vterms[order], vdf[order]))
+
+    class TfIdfTop:
+        def __init__(self, ref=vocab_ref):
+            self.terms, self.df = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc, terms = _explode_terms(batch)
+            td = (
+                pa.table({"doc": pa.array(doc, pa.int64()), "term": terms})
+                .group_by(["doc", "term"])
+                .aggregate([("term", "count")])
+            )
+            d = td["doc"].to_numpy(zero_copy_only=False)
+            t = np.asarray(td["term"].to_pylist(), dtype=object)
+            tf = td["term_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(self.terms, t)
+            df = self.df[pos]
+            score = (tf * TFIDF_SCALE) // df
+            order = np.lexsort((t, -score, d))
+            d, t, score = d[order], t[order], score[order]
+            starts = np.r_[0, np.flatnonzero(np.diff(d)) + 1]
+            rnk = np.arange(len(d)) - np.repeat(starts, np.diff(np.r_[starts, len(d)])) + 1
+            keep = rnk <= TFIDF_TOPK
+            return pa.table(
+                {
+                    "doc_id": pa.array(d[keep], pa.int64()),
+                    "term": pa.array(list(t[keep]), pa.string()),
+                    "score": pa.array(score[keep], pa.int64()),
+                    "rnk": pa.array(rnk[keep], pa.int64()),
+                }
+            )
+
+    return ds.map_batches(
+        TfIdfTop, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+
+
+SQL_DOCS_TFIDF_TOP = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+  FROM documents
+), filt AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+td AS (SELECT doc_id, term, count(*) AS tf FROM filt GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df FROM filt GROUP BY term),
+scored AS (
+  SELECT td.doc_id, td.term,
+         (td.tf * {TFIDF_SCALE}) // dfs.df AS score,
+         row_number() OVER (
+           PARTITION BY td.doc_id
+           ORDER BY (td.tf * {TFIDF_SCALE}) // dfs.df DESC, td.term
+         ) AS rnk
+  FROM td JOIN dfs USING (term)
+)
+SELECT doc_id, term, score, rnk FROM scored WHERE rnk <= {TFIDF_TOPK}
+"""
+
+
+# ----------------------------------------------------------- PageRank
+
+
+PR_ITERS = 5
+
+
+def q_doc_pagerank(sf_dir: str):
+    """5 integer-PageRank supersteps over the deterministic doc link
+    graph (stages/graph.py): per iteration one hash-shuffle join
+    (edges ⋈ pr) + one partial-then-final aggregate by dst."""
+    import pyarrow.parquet as _pq
+
+    from python_rasterstats_ray.stages.graph import pagerank_int, synth_edges
+
+    n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = synth_edges(nodes, n_nodes)
+    return pagerank_int(edges, nodes, n_iter=PR_ITERS).sort("node")
+
+
+def _pagerank_sql() -> str:
+    from python_rasterstats_ray.stages.graph import (
+        EDGE_A,
+        EDGE_B,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT,
+        PR_TELEPORT,
+    )
+
+    edge_selects = []
+    for k, (a, b) in enumerate(zip(EDGE_A, EDGE_B)):
+        edge_selects.append(
+            f"SELECT doc_id AS src, (doc_id * {a} + {b}) % c AS dst "
+            f"FROM docs, n WHERE doc_id % 4 >= {k}"
+        )
+    edges = "\nUNION ALL\n".join(edge_selects)
+    step = (
+        "SELECT e.dst AS node, "
+        f"CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * sum(p.pr // (1 + e.src % 4))) // {PR_DAMP_DEN} "
+        "AS BIGINT) AS pr "
+        "FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY e.dst"
+    )
+    iters = ",\n".join(
+        f"pr{i} AS ({step.format(prev=f'pr{i - 1}')})" for i in range(1, PR_ITERS + 1)
+    )
+    return f"""
+WITH docs AS (SELECT doc_id FROM documents),
+n AS (SELECT count(*) AS c FROM docs),
+edges AS (
+{edges}
+),
+pr0 AS (SELECT doc_id AS node, CAST({PR_INIT} AS BIGINT) AS pr FROM docs),
+{iters}
+SELECT node, pr FROM pr{PR_ITERS} ORDER BY node
+"""
+
+
+JOIN_QUERIES = {
+    "tpch_q3": q_tpch_q3,
+    "tpch_q10": q_tpch_q10,
+    "docs_inverted_index": q_docs_inverted_index,
+    "docs_tfidf_top": q_docs_tfidf_top,
+    "doc_pagerank": q_doc_pagerank,
+}
+
+JOIN_ORACLE_SQL = {
+    "tpch_q3": SQL_TPCH_Q3,
+    "tpch_q10": SQL_TPCH_Q10,
+    "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
+    "docs_tfidf_top": SQL_DOCS_TFIDF_TOP,
+    "doc_pagerank": _pagerank_sql(),
+}

@@ -1,0 +1,114 @@
+"""Iterative graph algorithms on Ray Data (integer PageRank).
+
+PageRank is the canonical iterative large-large-join workload: each
+superstep joins the (huge) edge table against the current rank vector,
+then re-aggregates by destination. On Ray Data each iteration is
+
+    edges ⋈ pr  (hash-shuffle join on src — both sides large)
+      -> map_batches partial: per-batch group_by(dst) sum of contributions
+      -> groupby(dst).aggregate(Sum)  (small: ≤1 row per (dst, block))
+      -> vectorized rank update
+
+All arithmetic is int64 "micro-rank" units with floor division, so every
+sum is order-independent and the result is bit-exact against a DuckDB
+oracle that unrolls the same iterations in SQL — no float drift across
+shuffle orders, which matters because a distributed reduce has no stable
+summation order.
+
+Scale notes: the edge table is never materialized on the driver; the rank
+vector rides the same hash partitioning as the join key every iteration.
+K iterations = K joins; at 10^12 edges pin ``num_partitions`` so each
+aggregator's build side (its pr shard) stays in-heap. Deterministic
+synthetic edges (affine maps mod N) stand in for a crawled link graph;
+out-degree is ``1 + src % 4`` and map k=0 is a bijection (gcd(a0, N)=1)
+so every node has in-edges and no rank row ever drops out of the loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .joins import hash_equi_join
+
+# affine maps dst_k = (A[k] * src + B[k]) % n ; edge k exists iff src % 4 >= k
+EDGE_A = (7, 13, 31, 57)
+EDGE_B = (1, 5, 11, 2)
+PR_INIT = 1_000_000  # micro-rank units
+PR_TELEPORT = 150_000  # (1 - 0.85) * 1e6
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def synth_edges(nodes_ds, n_nodes: int):
+    """Deterministic link graph over a (node_id) Dataset: out-degree
+    1 + id % 4, destinations by affine maps mod n_nodes."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        src = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        outs = []
+        for k, (a, b) in enumerate(zip(EDGE_A, EDGE_B)):
+            s = src[src % 4 >= k]
+            outs.append(
+                pa.table(
+                    {
+                        "src": pa.array(s, pa.int64()),
+                        "dst": pa.array((a * s + b) % n_nodes, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(outs)
+
+    return nodes_ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None = None):
+    """n_iter integer-PageRank supersteps; returns Dataset(node, pr)."""
+    from ray.data.aggregate import Sum
+
+    def init_pr(batch: pa.Table) -> pa.Table:
+        node = batch.column(0).cast(pa.int64())
+        return pa.table(
+            {"node": node, "pr": pa.array(np.full(len(batch), PR_INIT, np.int64))}
+        )
+
+    pr = nodes_ds.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True)
+
+    def contrib_partial(batch: pa.Table) -> pa.Table:
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prv = batch["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        outdeg = 1 + src % 4
+        t = pa.table(
+            {
+                "dst": batch["dst"],
+                "c": pa.array(prv // outdeg, pa.int64()),
+            }
+        )
+        return (
+            t.group_by("dst").aggregate([("c", "sum")]).rename_columns(["dst", "c"])
+        )
+
+    def update(batch: pa.Table) -> pa.Table:
+        insum = batch["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch["dst"],
+                "pr": pa.array(
+                    PR_TELEPORT + (PR_DAMP_NUM * insum) // PR_DAMP_DEN, pa.int64()
+                ),
+            }
+        )
+
+    for _ in range(n_iter):
+        joined = hash_equi_join(
+            edges_ds, pr, on=("src",), right_on=("node",), num_partitions=num_partitions
+        )
+        partial = joined.map_batches(
+            contrib_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        pr = (
+            partial.groupby("dst")
+            .aggregate(Sum("c"))
+            .map_batches(update, batch_format="pyarrow", zero_copy_batch=True)
+        )
+    return pr

@@ -1,0 +1,124 @@
+"""Hash-shuffle join, inverted index / TF-IDF and PageRank tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hash_equi_join_inner(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3, 5], pa.int64()), "a": pa.array(list("abcde"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"kk": pa.array([3, 3, 2, 9], pa.int64()), "b": pa.array(list("wxyz"))})
+    )
+    out = hash_equi_join(left, right, on=("k",), right_on=("kk",), num_partitions=2)
+    rows = sorted(
+        (r["k"], r["a"], r["b"]) for r in out.take_all()
+    )
+    # k=2 matches once; each of the two k=3 left rows matches both right k=3 rows
+    assert rows == [
+        (2, "b", "y"),
+        (3, "c", "w"),
+        (3, "c", "x"),
+        (3, "d", "w"),
+        (3, "d", "x"),
+    ]
+
+
+def _naive_pagerank(n, n_iter):
+    from python_rasterstats_ray.stages.graph import (
+        EDGE_A,
+        EDGE_B,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT,
+        PR_TELEPORT,
+    )
+
+    edges = []
+    for d in range(n):
+        for k in range(1 + d % 4):
+            edges.append((d, (EDGE_A[k] * d + EDGE_B[k]) % n))
+    pr = {d: PR_INIT for d in range(n)}
+    for _ in range(n_iter):
+        acc = {d: 0 for d in range(n)}
+        for s, t in edges:
+            acc[t] += pr[s] // (1 + s % 4)
+        pr = {d: PR_TELEPORT + (PR_DAMP_NUM * acc[d]) // PR_DAMP_DEN for d in range(n)}
+    return pr
+
+
+def test_pagerank_matches_naive(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import pagerank_int, synth_edges
+
+    n = 101
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = synth_edges(nodes, n)
+    out = {r["node"]: r["pr"] for r in pagerank_int(edges, nodes, n_iter=3,
+                                                    num_partitions=2).take_all()}
+    assert out == _naive_pagerank(n, 3)
+
+
+def test_pagerank_every_node_has_inedges():
+    # map k=0 is a bijection mod n (gcd(EDGE_A[0], n)=1 for our corpus
+    # sizes) so no rank row ever drops out of the iterative joins
+    from math import gcd
+
+    from python_rasterstats_ray.stages.graph import EDGE_A
+
+    for n in (101, 500, 5000, 50000):
+        assert gcd(EDGE_A[0], n) == 1
+
+
+def test_inverted_index_partial_vs_naive():
+    from python_rasterstats_ray.pipelines.join_queries import _index_partial
+
+    batch = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array(
+                ["Foo bar foo; baz42!", "bar-bar bar", "  foo?? "]
+            ),
+        }
+    )
+    out = _index_partial(batch)
+    got = {
+        r["term"]: (r["tf"], r["df"])
+        for r in out.to_pylist()
+    }
+    assert got == {"foo": (3, 2), "bar": (4, 2), "baz42": (1, 1)}
+
+
+def test_tfidf_rank_is_deterministic(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    from python_rasterstats_ray.pipelines.join_queries import q_docs_tfidf_top
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha alpha beta gamma",
+                    "beta beta beta alpha",
+                    "gamma delta",
+                    "alpha beta gamma delta epsilon",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    a = q_docs_tfidf_top(str(tmp_path)).to_pandas().sort_values(["doc_id", "rnk"])
+    b = q_docs_tfidf_top(str(tmp_path)).to_pandas().sort_values(["doc_id", "rnk"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    top0 = a[(a.doc_id == 0) & (a.rnk == 1)].iloc[0]
+    # doc0: tf(alpha)=2 and df(alpha)=3 -> 666666; beta 1/4, gamma 1/3
+    assert top0["term"] == "alpha" and top0["score"] == 2 * 1_000_000 // 3
