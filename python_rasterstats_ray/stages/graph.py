@@ -72,6 +72,13 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
             {"node": node, "pr": pa.array(np.full(len(batch), PR_INIT, np.int64))}
         )
 
+    # The edge table feeds every superstep's join: pin it once in the
+    # object store so the DAG doesn't re-read + re-expand it K times.
+    # The rank vector stays LAZY on purpose — the whole K-superstep
+    # topology then executes as ONE streaming pipeline when consumed
+    # (each join feeds the next; no per-iteration blocking barrier and
+    # no repeated aggregator-pool cold starts).
+    edges_ds = edges_ds.materialize()
     pr = nodes_ds.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True)
 
     def contrib_partial(batch: pa.Table) -> pa.Table:
