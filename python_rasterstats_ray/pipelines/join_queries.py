@@ -473,12 +473,164 @@ SELECT node, pr FROM pr{PR_ITERS} ORDER BY node
 """
 
 
+# ------------------------------------------------- connected components
+
+
+def q_doc_link_components(sf_dir: str):
+    """Connected components over a deterministic crawl-adjacency graph
+    (chains of 4 consecutive docs bridged at multiples of 16): the
+    post-LSH dedup step that turns near-dup PAIRS into CLUSTERS via
+    iterative min-label propagation (stages/graph.py) — each superstep a
+    hash-shuffle join + min aggregate, loop ends on label-sum fixpoint."""
+    import pyarrow.parquet as _pq
+
+    from python_rasterstats_ray.stages.graph import connected_components
+
+    n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    max_id = n_nodes - 1  # doc_id is contiguous 0..n-1 in the testdata
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a = ids[(ids % 4 != 3) & (ids + 1 <= max_id)]
+        b = ids[(ids % 16 == 0) & (ids + 8 <= max_id)]
+        return pa.table(
+            {
+                "src": pa.array(np.r_[a, b], pa.int64()),
+                "dst": pa.array(np.r_[a + 1, b + 8], pa.int64()),
+            }
+        )
+
+    edges = nodes.map_batches(mk_edges, batch_format="pyarrow", zero_copy_batch=True)
+    cc = connected_components(edges, nodes)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "component": batch["lbl"]})
+
+    return cc.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True).sort("node")
+
+
+SQL_DOC_LINK_COMPONENTS = """
+WITH RECURSIVE
+docs AS (SELECT doc_id FROM documents),
+mx AS (SELECT max(doc_id) AS m FROM docs),
+ed AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM docs, mx
+  WHERE doc_id % 4 <> 3 AND doc_id + 1 <= m
+  UNION ALL
+  SELECT doc_id, doc_id + 8 FROM docs, mx WHERE doc_id % 16 = 0 AND doc_id + 8 <= m
+),
+und AS (SELECT src, dst FROM ed UNION SELECT dst AS src, src AS dst FROM ed),
+reach AS (
+  SELECT src AS a, dst AS b FROM und
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN und e ON r.b = e.src
+)
+SELECT d.doc_id AS node,
+       CAST(least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS BIGINT) AS component
+FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+ORDER BY node
+"""
+
+
+# ------------------------------------------------------ anti-join
+
+
+def q_customers_no_orders(sf_dir: str):
+    """Customers with no big-ticket order (o_totalprice > 300000): native
+    LEFT ANTI hash-shuffle join — both sides large at scale, so no NOT-IN
+    broadcast set; the filter is pushed below the join."""
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch["o_totalprice"], 300000.0)).drop_columns(
+            ["o_totalprice"]
+        )
+
+    big_orders = orders.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    out = hash_equi_join(
+        cust, big_orders, on=("c_custkey",), right_on=("o_custkey",), join_type="left_anti"
+    )
+    return out.sort("c_custkey")
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+ORDER BY c_custkey
+"""
+
+
+# ------------------------------------------- exact histogram quantiles
+
+
+QUANTILE_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_docs_length_quantiles(sf_dir: str):
+    """Exact corpus-length percentiles via distributed value histogram:
+    per-batch bincount partials -> groupby(value) Sum -> tiny cumulative
+    scan. Exact at any scale for bounded-domain integer columns (the
+    histogram size is the DOMAIN, not the corpus); quantile defined as
+    the smallest v with cdf(v) >= ceil(p*n/100)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"v": batch["n_chars"].cast(pa.int64())})
+            .group_by("v")
+            .aggregate([("v", "count")])
+        )
+        return g.rename_columns(["v", "c"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c"))
+        .to_pandas()  # domain-sized, not corpus-sized
+        .sort_values("v")
+    )
+    vals = hist["v"].to_numpy(dtype=np.int64)
+    cum = hist["sum(c)"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    out = {"p": [], "value": []}
+    for p in QUANTILE_PCTS:
+        rank = (p * n + 99) // 100
+        out["p"].append(p)
+        out["value"].append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table({"p": pa.array(out["p"], pa.int64()), "value": pa.array(out["value"], pa.int64())})
+
+
+SQL_DOCS_LENGTH_QUANTILES = f"""
+WITH counts AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (
+  SELECT v, sum(c) OVER (ORDER BY v) AS cm,
+         (SELECT count(*) FROM documents) AS n
+  FROM counts
+),
+ps(p) AS (VALUES {", ".join(f"({p})" for p in QUANTILE_PCTS)})
+SELECT CAST(p AS BIGINT) AS p, CAST(min(v) AS BIGINT) AS value
+FROM cum, ps WHERE cm >= (p * n + 99) // 100
+GROUP BY p ORDER BY p
+"""
+
+
 JOIN_QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
     "docs_inverted_index": q_docs_inverted_index,
     "docs_tfidf_top": q_docs_tfidf_top,
     "doc_pagerank": q_doc_pagerank,
+    "doc_link_components": q_doc_link_components,
+    "customers_no_orders": q_customers_no_orders,
+    "docs_length_quantiles": q_docs_length_quantiles,
 }
 
 JOIN_ORACLE_SQL = {
@@ -487,4 +639,7 @@ JOIN_ORACLE_SQL = {
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_tfidf_top": SQL_DOCS_TFIDF_TOP,
     "doc_pagerank": _pagerank_sql(),
+    "doc_link_components": SQL_DOC_LINK_COMPONENTS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
 }

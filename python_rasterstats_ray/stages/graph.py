@@ -62,6 +62,83 @@ def synth_edges(nodes_ds, n_nodes: int):
     return nodes_ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def undirect(edges_ds):
+    """Duplicate each (src, dst) edge in both directions."""
+
+    def both(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"src": batch["src"], "dst": batch["dst"]}),
+                pa.table({"src": batch["dst"], "dst": batch["src"]}),
+            ]
+        )
+
+    return edges_ds.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def connected_components(
+    edges_ds,
+    nodes_ds,
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+):
+    """Min-label propagation connected components; returns (node, component).
+
+    The post-LSH dedup step: near-dup PAIRS (possibly chains, since hot
+    LSH buckets are capped to connectivity-preserving chains) become
+    CLUSTERS, each labeled by its minimum member id. Per superstep:
+    undirected edges ⋈ labels (hash-shuffle join) -> per-batch min
+    partial by dst -> union with current labels -> groupby(node) Min.
+
+    Labels only ever decrease, so sum(labels) is strictly monotone until
+    the fixpoint — the loop stops when the sum stops changing (an O(1)
+    driver check against the materialized per-iteration state, which the
+    next join consumes anyway). Iterations needed = eccentricity of each
+    component's min vertex; dedup clusters are shallow.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    und = undirect(edges_ds).materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        node = batch.column(0).cast(pa.int64())
+        return pa.table({"node": node, "lbl": node})
+
+    labels = nodes_ds.map_batches(
+        init_labels, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def msg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"node": batch["dst"], "lbl": batch["lbl"]})
+        return t.group_by("node").aggregate([("lbl", "min")]).rename_columns(
+            ["node", "lbl"]
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["node"], "lbl": batch["min(lbl)"]})
+
+    prev_sum = None
+    for _ in range(max_iter):
+        joined = hash_equi_join(
+            und, labels, on=("src",), right_on=("node",), num_partitions=num_partitions
+        )
+        msgs = joined.map_batches(
+            msg_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("lbl"))
+            .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
+        )
+        s = labels.sum("lbl")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
 def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None = None):
     """n_iter integer-PageRank supersteps; returns Dataset(node, pr)."""
     from ray.data.aggregate import Sum

@@ -77,6 +77,46 @@ def test_pagerank_every_node_has_inedges():
         assert gcd(EDGE_A[0], n) == 1
 
 
+def test_connected_components_chain_and_bridge(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import connected_components
+
+    # two chains 0-1-2-3 and 10-11-12, bridged 3-10; singleton 20
+    edges = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 10, 11, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 11, 12, 10], pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array([0, 1, 2, 3, 10, 11, 12, 20], pa.int64())})
+    out = connected_components(
+        ray.data.from_arrow(edges), ray.data.from_arrow(nodes), num_partitions=2
+    )
+    got = {r["node"]: r["lbl"] for r in out.take_all()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 11: 0, 12: 0, 20: 20}
+
+
+def test_length_quantiles_vs_numpy(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.pipelines.join_queries import (
+        QUANTILE_PCTS,
+        q_docs_length_quantiles,
+    )
+
+    rng = np.random.RandomState(3)
+    lens = rng.randint(10, 200, size=1000)
+    pq.write_table(
+        pa.table({"n_chars": pa.array(lens, pa.int64())}), tmp_path / "documents.parquet"
+    )
+    out = {r["p"]: r["value"] for r in q_docs_length_quantiles(str(tmp_path)).to_pylist()}
+    s = np.sort(lens)
+    for p in QUANTILE_PCTS:
+        rank = (p * len(s) + 99) // 100  # smallest v with cdf >= ceil(p*n/100)
+        assert out[p] == s[rank - 1]
+
+
 def test_inverted_index_partial_vs_naive():
     from python_rasterstats_ray.pipelines.join_queries import _index_partial
 
