@@ -622,6 +622,81 @@ GROUP BY p ORDER BY p
 """
 
 
+# ------------------------------------------- storage-bucketed join
+
+
+BUCKETED_N = 16
+
+
+def q_bucketed_revenue(sf_dir: str):
+    """Revenue by order priority via a STORAGE-BUCKETED join: both tables
+    are written hash-bucketed by orderkey once (the shuffle happens at
+    write time), then the join runs one task per bucket with a pruned
+    read of exactly that bucket from each side and a local Arrow hash
+    join — zero exchange at join time (stages/bucketed.py)."""
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from python_rasterstats_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    root = tempfile.mkdtemp(prefix="prsr_bucketed_", dir="/tmp")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    pa_dir = write_bucketed(orders, "o_orderkey", BUCKETED_N, f"{root}/orders")
+    pb_dir = write_bucketed(li, "l_orderkey", BUCKETED_N, f"{root}/lineitem")
+
+    j = bucketed_join(
+        pa_dir, pb_dir, "o_orderkey", "l_orderkey", BUCKETED_N,
+        columns_a=["o_orderkey", "o_orderpriority"],
+        columns_b=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table(
+                {
+                    "o_orderpriority": batch["o_orderpriority"],
+                    "rev4": pa.array(
+                        _rev4(batch["l_extendedprice"], batch["l_discount"]), pa.int64()
+                    ),
+                }
+            )
+            .group_by("o_orderpriority")
+            .aggregate([("rev4", "sum")])
+        )
+        return g.rename_columns(["o_orderpriority", "rev4"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "revenue": pa.array(
+                    batch["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4, pa.float64()
+                ),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev4"))
+        .map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("o_orderpriority")
+    )
+
+
+SQL_BUCKETED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 JOIN_QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
@@ -631,6 +706,7 @@ JOIN_QUERIES = {
     "doc_link_components": q_doc_link_components,
     "customers_no_orders": q_customers_no_orders,
     "docs_length_quantiles": q_docs_length_quantiles,
+    "bucketed_revenue": q_bucketed_revenue,
 }
 
 JOIN_ORACLE_SQL = {
@@ -642,4 +718,5 @@ JOIN_ORACLE_SQL = {
     "doc_link_components": SQL_DOC_LINK_COMPONENTS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
+    "bucketed_revenue": SQL_BUCKETED_REVENUE,
 }

@@ -1,0 +1,134 @@
+"""Storage-bucketed (co-located) joins: shuffle once at WRITE time, then
+join any number of times with NO exchange at all.
+
+At 100 TB, tables that join repeatedly on the same key (orders x
+lineitem on orderkey; doc shards x dedup verdicts on doc_id) should be
+laid out hash-bucketed by that key: ``write_bucketed`` partitions rows by
+``splitmix64(key) % n_buckets`` into one parquet directory per bucket.
+``bucketed_join`` then schedules one task per bucket id; each task reads
+ONLY its own bucket from both sides (a targeted parquet read, exactly
+what partition-pruned storage does on a cluster) and joins locally with
+a vectorized Arrow hash join. No all-to-all, no aggregator actors — the
+join parallelism is the bucket count, and re-joining costs zero extra
+shuffles forever after.
+
+Contract: both sides bucketed with the SAME n_buckets and the same
+(deterministic) hash; one bucket from both sides must fit in a worker's
+heap — size ``n_buckets`` to the data, e.g. total_bytes / 256 MB.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        z += np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z ^= z >> np.uint64(31)
+    return z
+
+
+def bucket_of(key: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (_splitmix64(key.astype(np.int64)) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def write_bucketed(ds, key: str, n_buckets: int, path: str) -> str:
+    """Write ``ds`` hash-bucketed by ``key`` into ``path/bucket=<i>/``.
+
+    One streaming pass: map_batches tags each row's bucket, and Ray's
+    partitioned parquet write routes rows to per-bucket directories.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch[key].to_numpy(zero_copy_only=False)
+        return batch.append_column("bucket", pa.array(bucket_of(k, n_buckets)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tagged.write_parquet(path, partition_cols=["bucket"])
+    return path
+
+
+class _BucketJoin:
+    """Actor-pool kernel: each call joins bucket i of both sides locally."""
+
+    def __init__(self, path_a, path_b, key_a, key_b, join_type, columns_a, columns_b):
+        self.path_a, self.path_b = path_a, path_b
+        self.key_a, self.key_b = key_a, key_b
+        self.join_type = join_type
+        self.columns_a, self.columns_b = columns_a, columns_b
+        # joined schema for empty buckets: join two empty tables once
+        ea = self._empty(path_a, columns_a)
+        eb = self._empty(path_b, columns_b)
+        self.empty = ea.join(
+            eb, keys=[key_a], right_keys=[key_b], join_type=join_type
+        )
+
+    @staticmethod
+    def _empty(path: str, columns) -> pa.Table:
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                if f.endswith(".parquet"):
+                    schema = pq.read_schema(os.path.join(root, f))
+                    t = schema.empty_table()
+                    return t.select(columns) if columns else t
+        raise FileNotFoundError(f"no parquet under {path}")
+
+    def _read(self, path, columns, bucket: int):
+        d = os.path.join(path, f"bucket={bucket}")
+        if not os.path.isdir(d):
+            return None
+        return pq.read_table(d, columns=columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = []
+        for bucket in batch["bucket"].to_pylist():
+            a = self._read(self.path_a, self.columns_a, bucket)
+            b = self._read(self.path_b, self.columns_b, bucket)
+            if a is None or b is None or len(a) == 0 or len(b) == 0:
+                continue
+            out.append(
+                a.join(
+                    b,
+                    keys=[self.key_a],
+                    right_keys=[self.key_b],
+                    join_type=self.join_type,
+                )
+            )
+        if not out:
+            return self.empty
+        return pa.concat_tables(out, promote_options="default")
+
+
+def bucketed_join(
+    path_a: str,
+    path_b: str,
+    key_a: str,
+    key_b: str,
+    n_buckets: int,
+    join_type: str = "inner",
+    columns_a=None,
+    columns_b=None,
+    concurrency=(1, 8),
+):
+    """Join two bucketed layouts with zero shuffle: one task per bucket,
+    each a pruned read of bucket i from both sides + a local Arrow join."""
+    import ray.data
+
+    buckets = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(range(n_buckets), pa.int64())})
+    ).repartition(n_buckets)
+    return buckets.map_batches(
+        _BucketJoin,
+        fn_constructor_args=(path_a, path_b, key_a, key_b, join_type, columns_a, columns_b),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

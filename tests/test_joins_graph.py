@@ -30,6 +30,42 @@ def test_hash_equi_join_inner(ray_session):
     ]
 
 
+def test_bucketed_join_matches_local_join(ray_session, tmp_path):
+    import ray.data
+
+    from python_rasterstats_ray.stages.bucketed import (
+        bucket_of,
+        bucketed_join,
+        write_bucketed,
+    )
+
+    rng = np.random.RandomState(11)
+    a = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 50, 200), pa.int64()),
+            "x": pa.array(rng.randint(0, 9, 200), pa.int64()),
+        }
+    )
+    b = pa.table(
+        {
+            "kk": pa.array(rng.randint(0, 50, 300), pa.int64()),
+            "y": pa.array(rng.randint(0, 9, 300), pa.int64()),
+        }
+    )
+    pa_dir = write_bucketed(ray.data.from_arrow(a), "k", 4, str(tmp_path / "a"))
+    pb_dir = write_bucketed(ray.data.from_arrow(b), "kk", 4, str(tmp_path / "b"))
+
+    # same hash on both sides => matching keys land in the same bucket
+    assert (bucket_of(np.arange(50), 4) == bucket_of(np.arange(50), 4)).all()
+
+    out = bucketed_join(pa_dir, pb_dir, "k", "kk", 4, concurrency=(1, 2)).to_pandas()
+    expect = a.join(b, keys=["k"], right_keys=["kk"], join_type="inner").to_pandas()
+    key = ["k", "x", "y"]
+    got = out[key].sort_values(key).reset_index(drop=True)
+    exp = expect[key].sort_values(key).reset_index(drop=True)
+    assert got.equals(exp)
+
+
 def _naive_pagerank(n, n_iter):
     from python_rasterstats_ray.stages.graph import (
         EDGE_A,
