@@ -223,6 +223,21 @@ def bench_knn(sf_dir: str):
     return q_embeddings_knn(sf_dir).count()
 
 
+def bench_joins(sf_dir: str):
+    """Large-large shuffle-join family: TPC-H Q3 (pre-aggregated probe
+    side through the native hash-shuffle join) at bench sf."""
+    from python_rasterstats_ray.pipelines.join_queries import q_tpch_q3
+
+    return q_tpch_q3(sf_dir).count()
+
+
+def bench_pagerank(sf_dir: str):
+    """5 iterative supersteps: hash join (edges x rank) + dst aggregate."""
+    from python_rasterstats_ray.pipelines.join_queries import q_doc_pagerank
+
+    return q_doc_pagerank(sf_dir).count()
+
+
 def bench_point_query():
     import ray.data
 
@@ -266,6 +281,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     n_pages = timed("flagship_pages", bench_flagship, sf_dir)
     extras["flagship_pages_per_sec"] = round(n_pages / timings["flagship_pages"], 2)
     timed("tpch_q1", bench_tpch_q1, sf_dir)
+    timed("tpch_q3_join", bench_joins, sf_dir)
+    timed("pagerank", bench_pagerank, sf_dir)
     timed("dedup_minhash", bench_minhash, sf_dir)
     timed("knn", bench_knn, sf_dir)
     n_pts = timed("point_query", bench_point_query)

@@ -622,6 +622,140 @@ GROUP BY p ORDER BY p
 """
 
 
+# ------------------------------------------------- n-gram LM counts
+
+
+BIGRAM_TOPK = 100
+
+
+def q_docs_bigrams(sf_dir: str):
+    """Corpus bigram counts (LM-data statistics), top-{BIGRAM_TOPK}:
+    per-batch explode-to-adjacent-pairs + local count partials, then one
+    small groupby(bigram) Sum — same hot-key-safe shape as the inverted
+    index (≤1 row per (bigram, block) enters the shuffle) — and a
+    local-top-k + tiny global sort for the final cut."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc, terms = _explode_terms(batch)
+        t = np.asarray(terms.to_pylist(), dtype=object)
+        if len(t) < 2:
+            return pa.table(
+                {"bigram": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        adj = doc[:-1] == doc[1:]
+        big = np.char.add(
+            np.char.add(t[:-1][adj].astype(str), " "), t[1:][adj].astype(str)
+        )
+        g = (
+            pa.table({"bigram": pa.array(big, pa.string())})
+            .group_by("bigram")
+            .aggregate([("bigram", "count")])
+        )
+        return g.rename_columns(["bigram", "c"])
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("c"))
+    )
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        cnt = batch["sum(c)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bg = np.asarray(batch["bigram"].to_pylist(), dtype=object)
+        order = np.lexsort((bg, -cnt))[:BIGRAM_TOPK]
+        return pa.table(
+            {
+                "bigram": pa.array(list(bg[order]), pa.string()),
+                "cnt": pa.array(cnt[order], pa.int64()),
+            }
+        )
+
+    top = agg.map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+    return top.sort(["cnt", "bigram"], descending=[True, False]).limit(BIGRAM_TOPK)
+
+
+SQL_DOCS_BIGRAMS = f"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+bg AS (
+  SELECT unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+  FROM l
+)
+SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT {BIGRAM_TOPK}
+"""
+
+
+# ------------------------------------- grouped histogram quantiles
+
+
+LANG_QUANTILE_PCTS = (50, 90)
+
+
+def q_docs_length_quantiles_by_lang(sf_dir: str):
+    """Per-language exact length percentiles: one groupby((lang, value))
+    histogram shuffle (domain-sized per group), then a driver-side scan
+    over langs x domain — grouped HOLISTIC stats without a holistic
+    shuffle, the same trick the zonal tiled path uses for percentiles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": batch["lang"], "v": batch["n_chars"].cast(pa.int64())})
+            .group_by(["lang", "v"])
+            .aggregate([("v", "count")])
+        )
+        return g.rename_columns(["lang", "v", "c"])
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "v"])
+        .aggregate(Sum("c"))
+        .to_pandas()  # (#langs x domain)-sized, not corpus-sized
+        .sort_values(["lang", "v"])
+    )
+    rows = {"lang": [], "p": [], "value": []}
+    for lang, grp in hist.groupby("lang", sort=True):
+        vals = grp["v"].to_numpy(dtype=np.int64)
+        cum = grp["sum(c)"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        for p in LANG_QUANTILE_PCTS:
+            rank = (p * n + 99) // 100
+            rows["lang"].append(lang)
+            rows["p"].append(p)
+            rows["value"].append(int(vals[np.searchsorted(cum, rank)]))
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], pa.string()),
+            "p": pa.array(rows["p"], pa.int64()),
+            "value": pa.array(rows["value"], pa.int64()),
+        }
+    )
+
+
+SQL_DOCS_LENGTH_QUANTILES_BY_LANG = f"""
+WITH counts AS (SELECT lang, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+cum AS (
+  SELECT lang, v, sum(c) OVER (PARTITION BY lang ORDER BY v) AS cm,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM counts
+),
+ps(p) AS (VALUES {", ".join(f"({p})" for p in LANG_QUANTILE_PCTS)})
+SELECT lang, CAST(p AS BIGINT) AS p, CAST(min(v) AS BIGINT) AS value
+FROM cum, ps WHERE cm >= (p * n + 99) // 100
+GROUP BY lang, p ORDER BY lang, p
+"""
+
+
 # ------------------------------------------- storage-bucketed join
 
 
@@ -707,6 +841,8 @@ JOIN_QUERIES = {
     "customers_no_orders": q_customers_no_orders,
     "docs_length_quantiles": q_docs_length_quantiles,
     "bucketed_revenue": q_bucketed_revenue,
+    "docs_bigrams": q_docs_bigrams,
+    "docs_length_quantiles_by_lang": q_docs_length_quantiles_by_lang,
 }
 
 JOIN_ORACLE_SQL = {
@@ -719,4 +855,6 @@ JOIN_ORACLE_SQL = {
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
     "bucketed_revenue": SQL_BUCKETED_REVENUE,
+    "docs_bigrams": SQL_DOCS_BIGRAMS,
+    "docs_length_quantiles_by_lang": SQL_DOCS_LENGTH_QUANTILES_BY_LANG,
 }

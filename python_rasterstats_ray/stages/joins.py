@@ -66,3 +66,84 @@ def hash_equi_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on is not None else None,
     )
+
+
+DEFAULT_BROADCAST_BYTES = 64 << 20  # one worker-heap-friendly Arrow table
+
+# broadcast-hash is equivalent to shuffle-hash only when the RIGHT side
+# needs no per-row output for its unmatched rows
+_BROADCASTABLE = {"inner", "left_outer", "left_semi", "left_anti"}
+
+
+class _BroadcastJoinKernel:
+    """Actor-pool kernel: right side fetched from the object store once
+    per actor (zero-copy plasma reads), each batch joined locally."""
+
+    def __init__(self, refs, key_l, key_r, join_type):
+        import ray
+
+        import pyarrow as pa
+
+        tables = [t for t in ray.get(list(refs)) if t is not None]
+        self.right = (
+            pa.concat_tables(tables, promote_options="default") if tables else None
+        )
+        self.key_l, self.key_r = list(key_l), list(key_r)
+        self.join_type = join_type.replace("_", " ")  # Arrow spells "left outer"
+
+    def __call__(self, batch):
+        if self.right is None:
+            # no right blocks at all: left rows survive only for
+            # left-preserving types
+            return batch if self.join_type in ("left outer", "left anti") else batch.slice(0, 0)
+        return batch.join(
+            self.right,
+            keys=self.key_l,
+            right_keys=self.key_r,
+            join_type=self.join_type,
+        )
+
+
+def join_auto(
+    left,
+    right,
+    on: Sequence[str],
+    right_on: Optional[Sequence[str]] = None,
+    join_type: str = "inner",
+    broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
+    num_partitions: Optional[int] = None,
+    concurrency=(1, 8),
+):
+    """Plan a join: broadcast the right side if its (metadata-estimated)
+    size fits under ``broadcast_threshold_bytes`` and the join type
+    allows it, else fall back to the hash-shuffle join.
+
+    Mirrors ``zonal_stats_auto``'s planner shape: the cheap estimate
+    (``Dataset.size_bytes`` from parquet metadata — no execution) picks
+    the physical plan; the broadcast path ships the right side ONCE into
+    the object store and every actor joins its batches locally with a
+    vectorized Arrow hash join — no exchange of the (large) left side.
+    """
+    est = None
+    try:
+        est = right.size_bytes()
+    except Exception:
+        est = None
+    if (
+        join_type in _BROADCASTABLE
+        and est is not None
+        and est <= broadcast_threshold_bytes
+    ):
+        r_on = list(right_on) if right_on is not None else list(on)
+        refs = right.to_arrow_refs()
+        return left.map_batches(
+            _BroadcastJoinKernel,
+            fn_constructor_args=(refs, list(on), r_on, join_type),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+    return hash_equi_join(
+        left, right, on=on, right_on=right_on, join_type=join_type,
+        num_partitions=num_partitions,
+    )

@@ -30,6 +30,33 @@ def test_hash_equi_join_inner(ray_session):
     ]
 
 
+@pytest.mark.parametrize("threshold", [0, 1 << 30])
+def test_join_auto_paths_agree(ray_session, threshold):
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import join_auto
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 3, 5], pa.int64()), "a": pa.array(list("abcde"))})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"kk": pa.array([3, 3, 2, 9], pa.int64()), "b": pa.array(list("wxyz"))})
+    )
+    # threshold=0 forces the shuffle plan, 1GB the broadcast plan
+    out = join_auto(
+        left, right, on=("k",), right_on=("kk",),
+        broadcast_threshold_bytes=threshold, num_partitions=2, concurrency=(1, 2),
+    )
+    rows = sorted((r["k"], r["a"], r["b"]) for r in out.take_all())
+    assert rows == [(2, "b", "y"), (3, "c", "w"), (3, "c", "x"), (3, "d", "w"), (3, "d", "x")]
+
+    anti = join_auto(
+        left, right, on=("k",), right_on=("kk",), join_type="left_anti",
+        broadcast_threshold_bytes=threshold, num_partitions=2, concurrency=(1, 2),
+    )
+    assert sorted((r["k"], r["a"]) for r in anti.take_all()) == [(1, "a"), (5, "e")]
+
+
 def test_bucketed_join_matches_local_join(ray_session, tmp_path):
     import ray.data
 
