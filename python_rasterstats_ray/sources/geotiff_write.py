@@ -1,0 +1,218 @@
+"""From-scratch GeoTIFF WRITER (counterpart to sources/geotiff.py).
+
+Writes classic little-endian TIFF, single- or multi-band (contiguous),
+striped, deflate-compressed (or uncompressed), with GeoTIFF georeference
+tags (ModelPixelScale + ModelTiepoint for north-up affines,
+ModelTransformation for general ones) and the GDAL_NODATA ascii tag —
+the subset our reader (and rasterio/GDAL) understands. Used to export
+``raster_out`` mini-rasters and any engine-produced grid; round-trips
+bit-exactly through ``read_geotiff``.
+
+Reference semantics: rasterstats returns mini_raster_array/affine/nodata
+per zone (reference main.py:304-311); this writer turns those into real
+.tif artifacts without GDAL.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+from ..functions.affine import Affine
+
+_SAMPLE_FORMAT = {  # numpy kind -> TIFF SampleFormat
+    "u": 1,
+    "i": 2,
+    "f": 3,
+}
+
+_TYPE_CODES = {
+    "ascii": 2,
+    "short": 3,
+    "long": 4,
+    "rational": 5,
+    "double": 12,
+}
+
+
+def _tag(tag: int, typ: int, values) -> tuple[int, int, list]:
+    return (tag, typ, list(values))
+
+
+def write_geotiff(
+    path: str,
+    array: np.ndarray,
+    affine: Affine,
+    nodata: float | None = None,
+    compression: str = "deflate",
+    rows_per_strip: int = 64,
+) -> str:
+    """Write ``array`` ((h, w) or (bands, h, w)) as a striped GeoTIFF."""
+    arr = np.asarray(array)
+    if arr.ndim == 2:
+        arr = arr[None, :, :]
+    if arr.ndim != 3:
+        raise ValueError("array must be (h, w) or (bands, h, w)")
+    bands, h, w = arr.shape
+    if arr.dtype.kind not in _SAMPLE_FORMAT:
+        raise NotImplementedError(f"dtype {arr.dtype} not supported")
+    if compression not in ("deflate", "none"):
+        raise NotImplementedError(f"compression {compression!r} not supported")
+    comp_code = 8 if compression == "deflate" else 1
+    bits = arr.dtype.itemsize * 8
+    fmt_code = _SAMPLE_FORMAT[arr.dtype.kind]
+
+    # band-interleaved-by-pixel (contiguous) strip payloads
+    pix = np.ascontiguousarray(np.moveaxis(arr, 0, -1))  # (h, w, bands)
+    if pix.dtype.byteorder == ">":
+        pix = pix.astype(pix.dtype.newbyteorder("<"))
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = pix[r0 : r0 + rows_per_strip].tobytes()
+        strips.append(zlib.compress(raw, 6) if comp_code == 8 else raw)
+
+    # ---- tags ------------------------------------------------------
+    north_up = affine.b == 0.0 and affine.d == 0.0 and affine.a > 0 and affine.e < 0
+    tags = [
+        _tag(256, _TYPE_CODES["long"], [w]),
+        _tag(257, _TYPE_CODES["long"], [h]),
+        _tag(258, _TYPE_CODES["short"], [bits] * bands),
+        _tag(259, _TYPE_CODES["short"], [comp_code]),
+        _tag(262, _TYPE_CODES["short"], [1]),  # BlackIsZero
+        # 273/279 strip offsets+counts patched below
+        _tag(277, _TYPE_CODES["short"], [bands]),
+        _tag(278, _TYPE_CODES["long"], [rows_per_strip]),
+        _tag(284, _TYPE_CODES["short"], [1]),  # contiguous
+        _tag(339, _TYPE_CODES["short"], [fmt_code] * bands),
+    ]
+    if north_up:
+        tags.append(_tag(33550, _TYPE_CODES["double"], [affine.a, -affine.e, 0.0]))
+        tags.append(
+            _tag(33922, _TYPE_CODES["double"], [0.0, 0.0, 0.0, affine.c, affine.f, 0.0])
+        )
+    else:
+        # row-major 4x4 ModelTransformation
+        tags.append(
+            _tag(
+                34264,
+                _TYPE_CODES["double"],
+                [
+                    affine.a, affine.b, 0.0, affine.c,
+                    affine.d, affine.e, 0.0, affine.f,
+                    0.0, 0.0, 0.0, 0.0,
+                    0.0, 0.0, 0.0, 1.0,
+                ],
+            )
+        )
+    # minimal GeoKey directory: model=1 (projected), raster type=1 (PixelIsArea)
+    tags.append(
+        _tag(
+            34735,
+            _TYPE_CODES["short"],
+            [1, 1, 0, 2, 1024, 0, 1, 1, 1025, 0, 1, 1],
+        )
+    )
+    if nodata is not None:
+        nd = f"{nodata:.17g}\x00"
+        tags.append((42113, _TYPE_CODES["ascii"], nd))
+
+    # ---- layout: header | strip data | IFD | overflow values --------
+    header_size = 8
+    data_off = header_size
+    strip_offsets, strip_counts = [], []
+    off = data_off
+    for s in strips:
+        strip_offsets.append(off)
+        strip_counts.append(len(s))
+        off += len(s)
+    ifd_off = off + (off % 2)  # word-align the IFD
+
+    tags.append(_tag(273, _TYPE_CODES["long"], strip_offsets))
+    tags.append(_tag(279, _TYPE_CODES["long"], strip_counts))
+    tags.sort(key=lambda t: t[0])
+
+    type_size = {2: 1, 3: 2, 4: 4, 5: 8, 12: 8}
+    type_fmt = {3: "H", 4: "I", 12: "d"}
+
+    n = len(tags)
+    ifd_size = 2 + n * 12 + 4
+    overflow_off = ifd_off + ifd_size
+    entries = b""
+    overflow = b""
+    for tag, typ, values in tags:
+        if typ == 2:
+            payload = values.encode("ascii") if isinstance(values, str) else bytes(values)
+            cnt = len(payload)
+        else:
+            payload = struct.pack(f"<{len(values)}{type_fmt[typ]}", *values)
+            cnt = len(values)
+        if len(payload) <= 4:
+            v = payload + b"\x00" * (4 - len(payload))
+            entries += struct.pack("<HHI", tag, typ, cnt) + v
+        else:
+            pos = overflow_off + len(overflow)
+            if pos % 2:  # keep value offsets word-aligned
+                overflow += b"\x00"
+                pos += 1
+            entries += struct.pack("<HHII", tag, typ, cnt, pos)
+            overflow += payload
+    ifd = struct.pack("<H", n) + entries + struct.pack("<I", 0)
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<2sHI", b"II", 42, ifd_off))
+        for s in strips:
+            f.write(s)
+        f.write(b"\x00" * (ifd_off - off))
+        f.write(ifd)
+        f.write(overflow)
+    return path
+
+def write_zone_rasters(zstats_ds, out_dir: str, prefix: str = "zone"):
+    """Distributed GeoTIFF sink for ``raster_out`` results: one .tif per
+    zone from the mini_raster_* columns (masked cells filled with the
+    zone's nodata), written inside the map_batches task that holds the
+    batch — no driver round-trip; the (tiny) manifest Dataset
+    (zone_id, path, height, width) is the only thing that flows on.
+
+    Files land as ``{out_dir}/{prefix}_{zone_id}.tif`` — a partitioned,
+    resumable layout (re-running overwrites per-zone files atomically
+    via temp+rename, so a killed run can simply be re-driven)."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(batch: pa.Table) -> pa.Table:
+        from ..stages.zonal_dist import np_from_bytes
+
+        zids = batch["zone_id"].to_pylist()
+        arrs = batch["mini_raster_array"].to_pylist()
+        masks = batch["mini_raster_mask"].to_pylist()
+        affs = batch["mini_raster_affine"].to_pylist()
+        nds = batch["mini_raster_nodata"].to_pylist()
+        paths, hs, ws = [], [], []
+        for zid, ab, mb, aff6, nd in zip(zids, arrs, masks, affs, nds):
+            data = np_from_bytes(ab)
+            mask = np_from_bytes(mb)
+            if nd is None:
+                nd = float("nan") if data.dtype.kind == "f" else 0
+            filled = np.where(mask, np.asarray(nd, dtype=data.dtype), data)
+            path = os.path.join(out_dir, f"{prefix}_{zid}.tif")
+            tmp = path + ".tmp"
+            write_geotiff(tmp, filled, Affine(*aff6), nodata=float(nd))
+            os.replace(tmp, path)
+            paths.append(path)
+            hs.append(data.shape[0])
+            ws.append(data.shape[1])
+        return pa.table(
+            {
+                "zone_id": batch["zone_id"],
+                "path": pa.array(paths, pa.string()),
+                "height": pa.array(hs, pa.int64()),
+                "width": pa.array(ws, pa.int64()),
+            }
+        )
+
+    return zstats_ds.map_batches(write_batch, batch_format="pyarrow", zero_copy_batch=True)

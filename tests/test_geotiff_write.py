@@ -1,0 +1,83 @@
+"""GeoTIFF writer roundtrips + the distributed per-zone raster sink."""
+
+import numpy as np
+import pytest
+
+from python_rasterstats_ray.functions.affine import Affine
+from python_rasterstats_ray.sources.geotiff import read_geotiff
+from python_rasterstats_ray.sources.geotiff_write import write_geotiff
+
+
+@pytest.mark.parametrize(
+    "dtype", ["uint8", "int16", "uint16", "int32", "float32", "float64"]
+)
+def test_roundtrip_dtypes(tmp_path, dtype):
+    arr = (np.arange(37 * 23, dtype=np.float64).reshape(37, 23) % 97).astype(dtype)
+    aff = Affine(30.0, 0.0, 1000.0, 0.0, -30.0, 5000.0)
+    p = str(tmp_path / "rt.tif")
+    write_geotiff(p, arr, aff, nodata=7.0)
+    g = read_geotiff(p)
+    assert g.array.dtype == arr.dtype
+    assert (g.array[0] == arr).all()
+    assert g.affine == aff
+    assert g.nodata == 7.0
+
+
+def test_roundtrip_multiband_general_affine_uncompressed(tmp_path):
+    arr = np.random.RandomState(0).rand(3, 50, 40).astype(np.float32)
+    aff = Affine(30.0, 1.5, 10.0, 2.5, -29.0, 99.0)
+    p = str(tmp_path / "rt2.tif")
+    write_geotiff(p, arr, aff, compression="none")
+    g = read_geotiff(p)
+    assert g.array.shape == (3, 50, 40)
+    assert (g.array == arr).all()
+    assert g.affine == aff
+
+
+def test_roundtrip_via_engine_zonal(tmp_path):
+    """A written tif must behave identically to the in-memory raster in
+    the sequential oracle (same masking, same stats)."""
+    from python_rasterstats_ray import zonal_stats
+    from python_rasterstats_ray.sources.synthetic import generate_raster
+
+    arr, aff, nodata = generate_raster((120, 120), kind="holes", seed=9)
+    p = str(tmp_path / "holes.tif")
+    write_geotiff(p, arr, aff, nodata=nodata)
+    geom = {
+        "type": "Polygon",
+        "coordinates": [[(10.0, 10.0), (90.0, 12.0), (80.0, 95.0), (12.0, 70.0), (10.0, 10.0)]],
+    }
+    a = zonal_stats([geom], arr, affine=aff, nodata=nodata, stats="count min max mean sum std")
+    b = zonal_stats([geom], p, stats="count min max mean sum std")
+    assert a == b
+
+
+def test_write_zone_rasters_sink(ray_session, tmp_path):
+    import ray.data
+
+    from python_rasterstats_ray.sources.geotiff_write import write_zone_rasters
+    from python_rasterstats_ray.sources.synthetic import generate_raster, generate_zones
+    from python_rasterstats_ray.stages.zonal_dist import (
+        unpack_mini_raster,
+        zonal_stats_broadcast,
+    )
+
+    arr, affine, nodata = generate_raster((200, 200), kind="classes", seed=3)
+    zones = generate_zones(10, extent=(-15.0, -15.0, 215.0, 215.0), seed=5)
+    out = zonal_stats_broadcast(
+        ray.data.from_arrow(zones), (arr, affine, nodata),
+        stats="count", raster_out=True,
+    )
+    manifest = write_zone_rasters(out, str(tmp_path / "tifs")).to_pandas()
+    assert len(manifest) == 10
+    src = out.to_pandas().set_index("zone_id")
+    for _, row in manifest.iterrows():
+        masked, aff, nod = unpack_mini_raster(src.loc[row["zone_id"]])
+        g = read_geotiff(row["path"])
+        assert g.array.shape[-2:] == masked.shape == (row["height"], row["width"])
+        assert g.affine == aff
+        got = g.array[0]
+        valid = ~np.ma.getmaskarray(masked)
+        assert (got[valid] == np.asarray(masked)[valid]).all()
+        # masked cells were filled with nodata
+        assert (got[~valid] == np.asarray(nod, dtype=got.dtype)).all()
