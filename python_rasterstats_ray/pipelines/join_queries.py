@@ -831,6 +831,57 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------- partitioned-store kNN
+
+
+def q_knn_points_partitioned(sf_dir: str, k: int = 5, n_queries: int = 100):
+    """Same result as knn_points_geo, but through the disk-partitioned
+    point store (state/partitioned_points.py): reference points written
+    once partitioned by spatial block, the kNN kernel loads only each
+    query's block neighbourhood — the bigger-than-memory reference-side
+    path. Shares the exact SQL oracle with the in-memory variant."""
+    import tempfile
+
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.queries import _doc_points, _small_table
+    from python_rasterstats_ray.stages.knn_points import knn_points_from_store
+    from python_rasterstats_ray.state.partitioned_points import (
+        points_write_partitioned,
+    )
+
+    full = _small_table(sf_dir, "documents", columns=["doc_id"])
+    ids = np.asarray(full["doc_id"].to_pylist(), dtype=np.int64)
+    lon, lat = _doc_points(ids)
+    pts = pa.table(
+        {
+            "pt_id": pa.array(ids, pa.int64()),
+            "x": pa.array(lon, pa.float64()),
+            "y": pa.array(lat, pa.float64()),
+        }
+    )
+    store = tempfile.mkdtemp(prefix="prsr_ptstore_", dir="/tmp")
+    block = 30.0  # degrees; ~12x4 occupied blocks over the lon/lat extent
+    points_write_partitioned(ray.data.from_arrow(pts), block, store)
+
+    qmask = ids < n_queries
+    queries = pa.table(
+        {
+            "pt_id": pa.array(ids[qmask], pa.int64()),
+            "x": pa.array(lon[qmask], pa.float64()),
+            "y": pa.array(lat[qmask], pa.float64()),
+        }
+    )
+    out = knn_points_from_store(
+        ray.data.from_arrow(queries), store, block=block, k=k
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["query_id", "neighbor_id", "knn_rank"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 JOIN_QUERIES = {
     "tpch_q3": q_tpch_q3,
     "tpch_q10": q_tpch_q10,
@@ -843,6 +894,7 @@ JOIN_QUERIES = {
     "bucketed_revenue": q_bucketed_revenue,
     "docs_bigrams": q_docs_bigrams,
     "docs_length_quantiles_by_lang": q_docs_length_quantiles_by_lang,
+    "knn_points_partitioned": q_knn_points_partitioned,
 }
 
 JOIN_ORACLE_SQL = {
@@ -851,6 +903,7 @@ JOIN_ORACLE_SQL = {
     "docs_inverted_index": SQL_DOCS_INVERTED_INDEX,
     "docs_tfidf_top": SQL_DOCS_TFIDF_TOP,
     "doc_pagerank": _pagerank_sql(),
+    "knn_points_partitioned": None,  # filled below: shares the in-memory kNN oracle
     "doc_link_components": SQL_DOC_LINK_COMPONENTS,
     "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
     "docs_length_quantiles": SQL_DOCS_LENGTH_QUANTILES,
@@ -858,3 +911,12 @@ JOIN_ORACLE_SQL = {
     "docs_bigrams": SQL_DOCS_BIGRAMS,
     "docs_length_quantiles_by_lang": SQL_DOCS_LENGTH_QUANTILES_BY_LANG,
 }
+
+
+def _fill_shared_oracles():
+    from python_rasterstats_ray.pipelines.queries import SQL_KNN_POINTS_GEO
+
+    JOIN_ORACLE_SQL["knn_points_partitioned"] = SQL_KNN_POINTS_GEO
+
+
+_fill_shared_oracles()

@@ -75,3 +75,53 @@ def knn_points(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+class PartitionedKnnKernel:
+    """Stateful stage over a disk-partitioned point store
+    (state/partitioned_points.py): holds an LRU of spatial blocks, not
+    the reference corpus — the bigger-than-memory kNN path."""
+
+    def __init__(self, store_path: str, block: float, k: int,
+                 x_col: str = "x", y_col: str = "y", id_col: str = "pt_id",
+                 cache_blocks: int = 256):
+        from ..state.partitioned_points import PartitionedPointStore
+
+        self.store = PartitionedPointStore(
+            store_path, block, cache_blocks=cache_blocks
+        )
+        self.k = k
+        self.x_col, self.y_col, self.id_col = x_col, y_col, id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        xs = batch[self.x_col].to_numpy(zero_copy_only=False)
+        ys = batch[self.y_col].to_numpy(zero_copy_only=False)
+        qids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_q, out_n, out_d, out_rank = [], [], [], []
+        for qid, x, y in zip(qids, xs, ys):
+            nids, dists = self.store.knn(float(x), float(y), self.k)
+            out_q.extend([int(qid)] * len(nids))
+            out_n.extend(nids.tolist())
+            out_d.extend(dists.tolist())
+            out_rank.extend(range(1, len(nids) + 1))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "distance_sq": pa.array(out_d, pa.float64()),
+                "knn_rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+
+def knn_points_from_store(queries_ds, store_path: str, block: float, k: int = 5,
+                          concurrency=(1, 8), **cols):
+    """Queries Dataset (pt_id, x, y) against a partitioned point store ->
+    same (query_id, neighbor_id, distance_sq, knn_rank) rows as
+    ``knn_points`` — exact, without ever holding the reference set."""
+    return queries_ds.map_batches(
+        PartitionedKnnKernel,
+        fn_constructor_kwargs=dict(store_path=store_path, block=block, k=k, **cols),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

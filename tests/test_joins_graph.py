@@ -57,6 +57,54 @@ def test_join_auto_paths_agree(ray_session, threshold):
     assert sorted((r["k"], r["a"]) for r in anti.take_all()) == [(1, "a"), (5, "e")]
 
 
+def test_partitioned_knn_matches_inmemory(ray_session, tmp_path):
+    """Disk-partitioned point store must reproduce the in-memory
+    GridIndex kNN exactly — including far-outside queries and boundary
+    ties handled by the strict ring/bound rules."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.knn_points import (
+        knn_points,
+        knn_points_from_store,
+    )
+    from python_rasterstats_ray.state.partitioned_points import (
+        points_write_partitioned,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 400
+    xs = rng.uniform(-100, 100, n)
+    ys = rng.uniform(-50, 50, n)
+    ids = np.arange(n, dtype=np.int64)
+    pts = pa.table(
+        {"pt_id": pa.array(ids), "x": pa.array(xs), "y": pa.array(ys)}
+    )
+    store = str(tmp_path / "store")
+    points_write_partitioned(ray.data.from_arrow(pts), 20.0, store)
+
+    # queries: a sample of the points + grid-edge points + far outside
+    qx = np.r_[xs[:40], [0.0, 20.0, -40.0], [500.0, -500.0]]
+    qy = np.r_[ys[:40], [0.0, 0.0, 20.0], [500.0, -500.0]]
+    qid = np.arange(len(qx), dtype=np.int64)
+    queries = pa.table({"pt_id": pa.array(qid), "x": pa.array(qx), "y": pa.array(qy)})
+
+    a = (
+        knn_points(ray.data.from_arrow(queries), xs, ys, ids, k=7, concurrency=(1, 2))
+        .to_pandas()
+        .sort_values(["query_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        knn_points_from_store(
+            ray.data.from_arrow(queries), store, block=20.0, k=7, concurrency=(1, 2)
+        )
+        .to_pandas()
+        .sort_values(["query_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
 def test_bucketed_join_matches_local_join(ray_session, tmp_path):
     import ray.data
 
