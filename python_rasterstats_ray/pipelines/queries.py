@@ -2172,7 +2172,113 @@ SELECT id_a, id_b FROM (
 """
 
 
+# ------------------------------------- repetition / decontamination
+
+
+def q_docs_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals per document (duplicate
+    word fraction + top-bigram fraction numerators/denominators, all
+    int64): one stateless vectorized map_batches, no shuffle."""
+    from ..stages.text import repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_REPETITION = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+bc AS (
+  SELECT doc_id, bigram, count(*) AS c
+  FROM (
+    SELECT doc_id,
+           unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bigram
+    FROM w
+  )
+  GROUP BY doc_id, bigram
+),
+bs AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_count
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.toks) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(w.toks)) AS BIGINT) AS n_distinct_words,
+       CAST(coalesce(bs.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(bs.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM w LEFT JOIN bs USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
+DECONTAM_NGRAM = 5
+DECONTAM_BENCH_MAX_ID = 20  # docs below this id form the "benchmark" set
+
+
+def q_docs_decontaminate(sf_dir: str):
+    """Test-set decontamination: flag every training document (doc_id >=
+    20) sharing any word-5-gram with the benchmark set (doc_id < 20).
+    The benchmark gram-hash set is tiny by construction (an eval suite),
+    broadcast once via ray.put; training docs stream through an
+    actor-pool kernel with one vectorized membership probe per batch."""
+    import ray
+
+    from ..stages.text import DecontaminateKernel, benchmark_gram_set
+
+    bench = _small_table(sf_dir, "documents", columns=["doc_id", "text"])
+    mask = pc.less(bench["doc_id"], DECONTAM_BENCH_MAX_ID)
+    grams = benchmark_gram_set(
+        bench.filter(mask)["text"].to_pylist(), ngram=DECONTAM_NGRAM
+    )
+    ref = ray.put(grams)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_training(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["doc_id"], DECONTAM_BENCH_MAX_ID))
+
+    return ds.map_batches(
+        keep_training, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        DecontaminateKernel,
+        fn_constructor_kwargs=dict(gram_set_ref=ref, ngram=DECONTAM_NGRAM),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+SQL_DOCS_DECONTAMINATE = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+                 toks[i + 3] || ' ' || toks[i + 4]
+                 for i in range(1, len(toks) - 3)]) AS gram
+  FROM w
+),
+bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < {DECONTAM_BENCH_MAX_ID}
+),
+hits AS (
+  SELECT g.doc_id, count(*) AS n
+  FROM grams g JOIN bench USING (gram)
+  WHERE g.doc_id >= {DECONTAM_BENCH_MAX_ID}
+  GROUP BY g.doc_id
+)
+SELECT w.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_grams
+FROM w LEFT JOIN hits h USING (doc_id)
+WHERE w.doc_id >= {DECONTAM_BENCH_MAX_ID}
+ORDER BY w.doc_id
+"""
+
+
 ORACLE_SQL = {
+    "docs_repetition": SQL_DOCS_REPETITION,
+    "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "knn_points_geo": SQL_KNN_POINTS_GEO,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "simhash_signatures": _simhash_sql(),
@@ -2218,6 +2324,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "docs_repetition": q_docs_repetition,
+    "docs_decontaminate": q_docs_decontaminate,
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,

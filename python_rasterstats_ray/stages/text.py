@@ -158,3 +158,139 @@ def md5_batch(batch: pa.Table, text_col: str = "text", out_col: str = "text_md5"
     texts = batch[text_col].to_pylist()
     h = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
     return batch.append_column(out_col, pa.array(h, pa.string()))
+
+
+# ------------------------------------------- repetition / decontamination
+
+
+def _split_words(text_col) -> tuple[np.ndarray, np.ndarray, "pa.Array"]:
+    """Split a string column on single spaces (DuckDB string_split
+    parity, including empty-string tokens from doubled spaces).
+
+    Returns (doc_idx, codes, dictionary): one row per word, the word
+    dictionary-encoded so downstream set/count logic is integer numpy."""
+    words = pc.split_pattern(text_col, " ")
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(words)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    return doc_idx, codes, enc.dictionary
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document, all-integer so the
+    DuckDB oracle hash is bit-exact:
+
+    - n_words / n_distinct_words: duplicate-word fraction numerator
+      and denominator (dup_frac = 1 - distinct/words)
+    - n_bigrams / top_bigram_count: fraction of all word-bigrams taken
+      by the most frequent one (boilerplate detector)
+
+    Fully vectorized: words dictionary-encoded once per batch, distinct
+    and bigram counting are numpy unique/bincount over integer keys.
+    """
+    doc_idx, codes, dictionary = _split_words(batch[text_col])
+    n = len(batch)
+    C = max(len(dictionary), 1)
+    n_words = np.bincount(doc_idx, minlength=n).astype(np.int64)
+
+    # distinct words per doc: unique over the combined (doc, word) key
+    key = doc_idx * C + codes
+    uniq = np.unique(key)
+    n_distinct = np.bincount(uniq // C, minlength=n).astype(np.int64)
+
+    # consecutive-word bigrams that do not cross a document boundary
+    same = doc_idx[:-1] == doc_idx[1:] if len(doc_idx) else np.zeros(0, bool)
+    bdoc = doc_idx[:-1][same]
+    bkey = (bdoc * C + codes[:-1][same]) * C + codes[1:][same]
+    n_bigrams = np.bincount(bdoc, minlength=n).astype(np.int64)
+    top = np.zeros(n, dtype=np.int64)
+    if len(bkey):
+        ub, cnt = np.unique(bkey, return_counts=True)
+        np.maximum.at(top, (ub // C) // C, cnt)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_distinct_words": pa.array(n_distinct, pa.int64()),
+            "n_bigrams": pa.array(n_bigrams, pa.int64()),
+            "top_bigram_count": pa.array(top, pa.int64()),
+        }
+    )
+
+
+_GRAM_MIX = np.uint64(0x100000001B3)  # FNV prime as the rolling multiplier
+
+
+def _word_hashes(dictionary, codes: np.ndarray) -> np.ndarray:
+    """uint64 FNV-1a per UNIQUE word (Python loop over the small
+    dictionary only), broadcast to every occurrence via the codes."""
+    dict_hashes = np.fromiter(
+        (_fnv1a_bytes(w.encode("utf-8")) for w in dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(dictionary),
+    )
+    return dict_hashes[codes] if len(codes) else np.zeros(0, np.uint64)
+
+
+def ngram_hashes(doc_idx: np.ndarray, word_hashes: np.ndarray, ngram: int):
+    """Rolling-combined uint64 hash of every within-document word
+    ``ngram``; returns (gram_doc_idx, gram_hash), vectorized."""
+    m = len(word_hashes) - ngram + 1
+    if m <= 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.uint64)
+    with np.errstate(over="ignore"):
+        h = word_hashes[:m].copy()
+        for j in range(1, ngram):
+            h = h * _GRAM_MIX + word_hashes[j : j + m]
+    keep = doc_idx[:m] == doc_idx[ngram - 1 :]
+    return doc_idx[:m][keep], h[keep]
+
+
+def benchmark_gram_set(texts, ngram: int = 5) -> np.ndarray:
+    """Sorted unique gram hashes of a (small) benchmark/eval corpus —
+    the broadcast side of decontamination. ``texts``: iterable of str."""
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(list(texts), pa.string())})
+    doc_idx, codes, dictionary = _split_words(tbl["text"])
+    wh = _word_hashes(dictionary, codes)
+    _, grams = ngram_hashes(doc_idx, wh, ngram)
+    return np.unique(grams)
+
+
+class DecontaminateKernel:
+    """Actor-pool stage: flag documents sharing any word-``ngram`` with a
+    benchmark set (test-set decontamination for training corpora).
+
+    The benchmark gram set is tiny by nature (an eval suite), broadcast
+    once via ``ray.put`` and fetched per actor in ``__init__``; documents
+    stream through in Arrow batches; membership is one ``np.isin``
+    (searchsorted against the sorted gram array) per batch.
+
+    Output: doc_id + n_contaminated_grams (int64; 0 = clean).
+    """
+
+    def __init__(self, gram_set_ref, ngram: int = 5, text_col: str = "text"):
+        import ray
+
+        self.grams = ray.get(gram_set_ref)
+        self.ngram = ngram
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _split_words(batch[self.text_col])
+        wh = _word_hashes(dictionary, codes)
+        gdoc, gh = ngram_hashes(doc_idx, wh, self.ngram)
+        hits = np.isin(gh, self.grams)
+        n_hits = np.bincount(gdoc[hits], minlength=len(batch)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_contaminated_grams": pa.array(n_hits, pa.int64()),
+            }
+        )

@@ -1127,6 +1127,64 @@ def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
     return stats_ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def zonal_geojson_out_joined(stats_ds, zones_ds, zone_col: str = "zone_id",
+                             geom_col: str = "geom_wkb",
+                             zone_attr_cols=None):
+    """Shuffle-join variant of :func:`zonal_geojson_out` for when the zone
+    side is NOT broadcastable (the tiled-path scale regime: hundreds of
+    millions of zones with attributes + geometry exceeding one worker's
+    heap). Both sides hash-partition by ``zone_col`` across the native
+    join's aggregator pool and each partition emits its features locally —
+    no driver materialization, no ``ray.put`` of the zone table, identical
+    ``feature_json`` output to the broadcast variant.
+
+    ``zone_attr_cols``: attribute columns of the zone side to carry into
+    ``properties`` (default: every zone column except zone_col/geom_col,
+    discovered from the zone schema — metadata-only for parquet sources).
+    """
+    import json
+
+    from .joins import hash_equi_join
+
+    if zone_attr_cols is None:
+        zone_attr_cols = [
+            c for c in zones_ds.schema().names if c not in (zone_col, geom_col)
+        ]
+    attr_cols = list(zone_attr_cols)
+    zside = zones_ds.select_columns([zone_col, geom_col] + attr_cols)
+    joined = hash_equi_join(stats_ds, zside, on=[zone_col])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        stat_cols = [
+            c for c in batch.column_names
+            if c not in (zone_col, geom_col) and c not in attr_cols
+        ]
+        data = {c: batch[c].to_pylist() for c in batch.column_names}
+        feats = []
+        for i in range(len(batch)):
+            # attrs first, stats second — same property order as the
+            # broadcast variant and the reference's geojson_out merge
+            props = {c: data[c][i] for c in attr_cols}
+            props.update({c: data[c][i] for c in stat_cols})
+            feats.append(
+                json.dumps(
+                    {
+                        "type": "Feature",
+                        "properties": props,
+                        "geometry": from_wkb(data[geom_col][i]).to_geojson(),
+                    }
+                )
+            )
+        return pa.table(
+            {
+                zone_col: batch[zone_col],
+                "feature_json": pa.array(feats, pa.string()),
+            }
+        )
+
+    return joined.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def zonal_stats_auto(
     zones_ds,
     raster,

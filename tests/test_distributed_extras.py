@@ -255,6 +255,35 @@ def test_zonal_geojson_out_distributed(ray_session, class_inputs):
         assert feat["properties"]["zcat"] == zones["zcat"][i].as_py()
 
 
+def test_zonal_geojson_out_joined_matches_broadcast(ray_session, class_inputs):
+    """The shuffle-join geojson_out (zone side not broadcastable) must
+    produce byte-identical feature_json to the broadcast variant."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import (
+        zonal_geojson_out,
+        zonal_geojson_out_joined,
+        zonal_stats_tiled,
+    )
+
+    arr, affine, nodata, zones = class_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=64)
+    stats = zonal_stats_tiled(
+        ray.data.from_arrow(zones), ray.data.from_arrow(tiles), affine, nodata,
+        raster_dtype=str(arr.dtype), stats="count min max", tile_size=64,
+    )
+    a = (
+        zonal_geojson_out(stats, ray.data.from_arrow(zones))
+        .to_pandas().sort_values("zone_id").reset_index(drop=True)
+    )
+    b = (
+        zonal_geojson_out_joined(stats, ray.data.from_arrow(zones))
+        .to_pandas().sort_values("zone_id").reset_index(drop=True)
+    )
+    assert list(a["zone_id"]) == list(b["zone_id"])
+    assert list(a["feature_json"]) == list(b["feature_json"])
+
+
 def test_zone_func_tiled(ray_session, class_inputs):
     """zone_func on the tiled path: stats are recomputed from the
     transformed assembled window, matching the oracle exactly."""

@@ -516,3 +516,67 @@ def test_cms_estimate_bounds(ray_session):
         assert est[h] >= true[h]
         assert est[h] <= true[h] + 50  # collision slack
     assert sum(1 for h in hosts if est[h] == true[h]) >= 90
+
+
+def test_repetition_batch_bruteforce():
+    """Vectorized repetition stats vs a per-doc brute force, including
+    doubled spaces (empty tokens), all-same-word docs and 1-word docs."""
+    from collections import Counter
+
+    from python_rasterstats_ray.stages.text import repetition_batch
+
+    texts = [
+        "a b a b a b",
+        "x",
+        "dup dup dup dup",
+        "a  b c",          # doubled space -> empty token, DuckDB parity
+        "one two three four five six",
+    ]
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = repetition_batch(batch).to_pydict()
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        assert out["n_words"][i] == len(toks), t
+        assert out["n_distinct_words"][i] == len(set(toks)), t
+        assert out["n_bigrams"][i] == len(bigrams), t
+        want_top = max(Counter(bigrams).values()) if bigrams else 0
+        assert out["top_bigram_count"][i] == want_top, t
+
+
+def test_decontaminate_kernel_bruteforce(ray_session):
+    """Gram-hash decontamination vs brute-force string 5-gram overlap."""
+    import ray
+
+    from python_rasterstats_ray.stages.text import (
+        DecontaminateKernel,
+        benchmark_gram_set,
+    )
+
+    bench = ["the quick brown fox jumps over the lazy dog",
+             "pack my box with five dozen liquor jugs"]
+    docs = [
+        "clean text with no overlap at all here today",
+        "she saw the quick brown fox jumps over a fence",   # 1 shared 5-gram? check
+        "pack my box with five dozen liquor jugs again",    # several shared
+        "short doc",                                        # < 5 words
+    ]
+
+    def grams(t):
+        w = t.split(" ")
+        return [" ".join(w[i:i + 5]) for i in range(len(w) - 4)]
+
+    bench_set = set(g for t in bench for g in grams(t))
+    want = [sum(g in bench_set for g in grams(t)) for t in docs]
+
+    ref = ray.put(benchmark_gram_set(bench, ngram=5))
+    batch = pa.table(
+        {"doc_id": pa.array(range(len(docs)), pa.int64()),
+         "text": pa.array(docs, pa.string())}
+    )
+    out = DecontaminateKernel(ref, ngram=5)(batch).to_pydict()
+    assert out["n_contaminated_grams"] == want
+    assert want[2] > 0  # the planted contamination was actually caught
