@@ -32,6 +32,18 @@ import pyarrow.compute as pc
 
 from .joins import hash_equi_join
 
+# one hash-shuffle aggregator per this many edge rows (pool startup is
+# the fixed cost per superstep: at 32 CPUs a 32-aggregator pool costs
+# ~6 s to spin up, so small graphs must not pay for a big pool)
+_ROWS_PER_JOIN_PARTITION = 250_000
+
+
+def _auto_join_partitions(n_rows: int) -> int:
+    from .joins import default_join_partitions
+
+    cap = default_join_partitions()
+    return min(cap, max(8, -(-n_rows // _ROWS_PER_JOIN_PARTITION)))
+
 # affine maps dst_k = (A[k] * src + B[k]) % n ; edge k exists iff src % 4 >= k
 EDGE_A = (7, 13, 31, 57)
 EDGE_B = (1, 5, 11, 2)
@@ -99,6 +111,8 @@ def connected_components(
     from ray.data.aggregate import Min, Sum
 
     und = undirect(edges_ds).materialize()
+    if num_partitions is None:
+        num_partitions = _auto_join_partitions(und.count())
 
     def init_labels(batch: pa.Table) -> pa.Table:
         node = batch.column(0).cast(pa.int64())
@@ -151,11 +165,17 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
 
     # The edge table feeds every superstep's join: pin it once in the
     # object store so the DAG doesn't re-read + re-expand it K times.
-    # The rank vector stays LAZY on purpose — the whole K-superstep
-    # topology then executes as ONE streaming pipeline when consumed
-    # (each join feeds the next; no per-iteration blocking barrier and
-    # no repeated aggregator-pool cold starts).
+    # Each superstep MATERIALIZES its rank vector (a Pregel barrier,
+    # same as connected_components): chaining K lazy hash-shuffle joins
+    # into one streaming DAG spins up K aggregator pools concurrently,
+    # which at high CPU counts starves the cluster into a livelock
+    # (observed at 32 CPUs: 200+ workers blocked in ray.get). One join
+    # pool at a time is also the multi-node-safe shape — the barrier is
+    # tiny (the rank vector is 2 int64 columns per node).
     edges_ds = edges_ds.materialize()
+    if num_partitions is None:
+        # materialized -> count() is block-metadata only, no execution
+        num_partitions = _auto_join_partitions(edges_ds.count())
     pr = nodes_ds.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True)
 
     def contrib_partial(batch: pa.Table) -> pa.Table:
@@ -194,5 +214,6 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
             partial.groupby("dst")
             .aggregate(Sum("c"))
             .map_batches(update, batch_format="pyarrow", zero_copy_batch=True)
+            .materialize()
         )
     return pr
