@@ -103,6 +103,7 @@ def stage_inputs() -> None:
 
     h, w = ZONAL_SHAPE
     arr, affine, nodata = generate_raster((h, w), kind="holes", seed=7)
+    np.save(f"{BENCH_DIR}/raster_{h}.npy", arr)  # see _bench_raster
     tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=ZONAL_TILE)
     write_sharded(tiles, "tiles", 16, 4)
     zones = generate_zones(
@@ -165,10 +166,26 @@ _RASTER_CACHE: dict = {}
 
 
 def _bench_raster():
+    """The 8192^2 bench raster, staged to disk as .npy: this VM's numpy
+    trig runs ~1.4M sin/s (measured), so regenerating the surface costs
+    ~78 s of driver time per process — load the bit-identical staged
+    array instead and pay generation once per staging."""
+    import numpy as np
+
     from python_rasterstats_ray.sources.synthetic import generate_raster
 
     if "r" not in _RASTER_CACHE:
-        _RASTER_CACHE["r"] = generate_raster(ZONAL_SHAPE, kind="holes", seed=7)
+        npy = f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy"
+        affine, nodata = zonal_affine_nodata()
+        if os.path.exists(npy):
+            arr = np.load(npy)
+        else:
+            arr, affine, nodata = generate_raster(ZONAL_SHAPE, kind="holes", seed=7)
+            os.makedirs(BENCH_DIR, exist_ok=True)
+            tmp = npy + ".tmp.npy"  # np.save appends .npy when missing
+            np.save(tmp, arr)
+            os.replace(tmp, npy)
+        _RASTER_CACHE["r"] = (arr, affine, nodata)
     return _RASTER_CACHE["r"]
 
 
@@ -179,15 +196,21 @@ def bench_zonal_broadcast():
 
     arr, affine, nodata = _bench_raster()
     ncpu = _num_cpus()
+    # Fine-grained blocks + capped read concurrency: this VM shows
+    # bimodal per-process memory speed (see BASELINE.md host addendum) —
+    # ~400-row tasks bound each straggler's quantum, and capping reads
+    # keeps CPU slots free for the kernel pool (175 s -> 120 s measured).
     zones = ray.data.read_parquet(
-        f"{BENCH_DIR}/zones", override_num_blocks=ncpu * 4
+        f"{BENCH_DIR}/zones",
+        override_num_blocks=ncpu * 32,
+        concurrency=max(4, ncpu // 4),
     )
     out = zonal_stats_broadcast(
         zones,
         (arr, affine, nodata),
         stats="count min max mean sum std nodata",
         batch_size=512,
-        concurrency=(1, ncpu),
+        concurrency=(1, max(2, ncpu - 4)),
     )
     n = out.count()
     assert n == N_ZONES, n
@@ -244,7 +267,18 @@ def bench_point_query():
     from python_rasterstats_ray.sources.synthetic import generate_raster
     from python_rasterstats_ray.stages.point_dist import point_query_broadcast
 
-    arr, affine, nodata = generate_raster((2048, 2048), kind="holes", seed=21)
+    import numpy as np
+
+    from python_rasterstats_ray.functions.affine import Affine
+
+    npy = f"{BENCH_DIR}/raster_pq_2048.npy"
+    if os.path.exists(npy):
+        arr = np.load(npy)
+        affine = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 2048.0)
+        nodata = -9999.0
+    else:  # slow-trig VM: stage once (see _bench_raster)
+        arr, affine, nodata = generate_raster((2048, 2048), kind="holes", seed=21)
+        np.save(npy, arr)
     pts = ray.data.read_parquet(f"{BENCH_DIR}/points")
     out = point_query_broadcast(
         pts, (arr, affine, nodata), concurrency=(1, _num_cpus()), batch_size=65536
