@@ -2276,7 +2276,155 @@ ORDER BY w.doc_id
 """
 
 
+# --------------------------------------------- PII scrub / unigram LM
+
+
+def _pii_decorated(batch: pa.Table) -> pa.Table:
+    """Deterministically plant PII-shaped spans into the synthetic corpus
+    (which is bare words): docs with doc_id%3==0 get an email, %5==0 a
+    phone, %7==0 an IPv4 — so per-category counts vary 0/1 per document
+    and the redacted length varies with both text and id width. Pure
+    Arrow/numpy (mask + element-wise join), mirrored 1:1 by CASE/|| SQL.
+    """
+    import numpy as np
+
+    did = batch["doc_id"]
+    d = did.to_numpy(zero_copy_only=False)
+    s = pc.cast(did, pa.string())
+
+    def _s(arr):
+        return pc.cast(pa.array(arr, pa.int64()), pa.string())
+
+    def _join(*parts):
+        return pc.binary_join_element_wise(*parts, "")
+
+    email = _join("contact doc", s, "@mail.example.com")
+    phone = _join("call +1 555 010 ", _s(1000 + d % 9000))
+    ipv4 = _join("from 10.", _s(d % 200), ".0.", _s(d % 250))
+    empty = pa.scalar("", pa.string())
+    dec = _join(
+        batch["text"],
+        pc.if_else(pa.array(d % 3 == 0), pc.binary_join_element_wise(" ", email, ""), empty),
+        pc.if_else(pa.array(d % 5 == 0), pc.binary_join_element_wise(" ", phone, ""), empty),
+        pc.if_else(pa.array(d % 7 == 0), pc.binary_join_element_wise(" ", ipv4, ""), empty),
+    )
+    return pa.table({"doc_id": did, "text": dec})
+
+
+def q_docs_pii_scrub(sf_dir: str):
+    """PII scrub pass over the (decorated) corpus: per-document email /
+    phone / IPv4 match counts plus post-redaction length. Two stateless
+    vectorized map_batches (decorate, scrub) — no shuffle, no state."""
+    from ..stages.text import pii_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        _pii_decorated, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(pii_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_PII_SCRUB = r"""
+WITH dec AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact doc' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1 555 010 ' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                 ELSE '' END AS t
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, t,
+         len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+  FROM dec
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}')) AS n_phones,
+         regexp_replace(t1, '\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}', '<PHONE>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ipv4,
+         regexp_replace(t2, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t3
+  FROM s2
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(length(t3) AS BIGINT) AS clean_len
+FROM s3
+ORDER BY doc_id
+"""
+
+
+def q_docs_unigram_lm(sf_dir: str):
+    """CCNet-style unigram-LM quality score per document, two passes:
+
+    1. vocabulary build — per-batch (token, count) partials (only
+       distinct tokens enter the shuffle) -> tiny groupby('token') ->
+       log-probs floored to int64 micronats on the driver. At 100 TB the
+       vocab is capped by a min-count threshold before broadcast;
+       everything below scores as the OOV floor.
+    2. scoring — vocab broadcast once via ray.put, actor-pool kernel
+       maps each batch's dictionary through the lookup and bincounts
+       per-document integer scores (order-independent, SQL-exact).
+    """
+    import ray
+
+    from ..stages.text import UnigramLMKernel, token_count_partials, vocab_micronats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = (
+        ds.map_batches(token_count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("c")
+        .to_pandas()
+    )
+    tokens, micronats = vocab_micronats(vocab["token"].tolist(), vocab["sum(c)"].tolist())
+    ref = ray.put((tokens, micronats))
+    return ds.map_batches(
+        UnigramLMKernel,
+        fn_constructor_kwargs=dict(vocab_ref=ref),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+SQL_DOCS_UNIGRAM_LM = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c) AS t FROM vocab)
+SELECT k.doc_id,
+       count(*) AS n_lm_tokens,
+       CAST(0 AS BIGINT) AS n_oov,
+       sum(CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) * 1000000)
+                AS BIGINT)) AS lm_score_micronats
+FROM toks k
+JOIN vocab v USING (tok)
+CROSS JOIN tot tt
+GROUP BY k.doc_id
+ORDER BY k.doc_id
+"""
+
+
 ORACLE_SQL = {
+    "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
+    "docs_unigram_lm": SQL_DOCS_UNIGRAM_LM,
     "docs_repetition": SQL_DOCS_REPETITION,
     "docs_decontaminate": SQL_DOCS_DECONTAMINATE,
     "knn_points_geo": SQL_KNN_POINTS_GEO,
@@ -2324,6 +2472,8 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "docs_pii_scrub": q_docs_pii_scrub,
+    "docs_unigram_lm": q_docs_unigram_lm,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "knn_points_geo": q_knn_points_geo,

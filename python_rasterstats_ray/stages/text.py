@@ -294,3 +294,126 @@ class DecontaminateKernel:
                 "n_contaminated_grams": pa.array(n_hits, pa.int64()),
             }
         )
+
+
+# ------------------------------------------------------------- PII scrub
+
+# RE2-safe patterns (no lookarounds): pyarrow.compute and DuckDB both run
+# RE2, so per-document match counts and redacted lengths agree bit-exact
+# between the engine and the SQL oracle.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2} [0-9]{3} [0-9]{3} [0-9]{4}"
+PII_IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_PII_RULES = (
+    ("n_emails", PII_EMAIL_RE, "<EMAIL>"),
+    ("n_phones", PII_PHONE_RE, "<PHONE>"),
+    ("n_ipv4", PII_IPV4_RE, "<IP>"),
+)
+
+
+def pii_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Count and redact PII-shaped spans (emails, phone numbers, IPv4
+    addresses) per document — the standard scrub pass of a training-data
+    pipeline. Stateless, fully vectorized (one RE2 count + one RE2
+    replace per rule per batch), no shuffle.
+
+    Redaction order is emails -> phones -> IPv4 so an address inside an
+    already-redacted span is not double-counted; ``clean_len`` is the
+    post-redaction utf8 length (proves the replacement really ran
+    without shipping the full redacted text into the result).
+    """
+    text = batch[text_col]
+    out = pa.table({"doc_id": batch["doc_id"]})
+    clean = text
+    for col, pattern, repl in _PII_RULES:
+        n = pc.cast(pc.count_substring_regex(clean, pattern), pa.int64())
+        out = out.append_column(col, n)
+        clean = pc.replace_substring_regex(clean, pattern, repl)
+    return out.append_column(
+        "clean_len", pc.cast(pc.utf8_length(clean), pa.int64())
+    )
+
+
+# -------------------------------------------------------- unigram LM score
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (token, c) partial counts: the combiner half of the
+    vocabulary build. Only one row per DISTINCT token in the batch enters
+    the downstream ``groupby('token').sum('c')`` shuffle, so the exchange
+    carries vocabulary-sized data (Heaps' law), not corpus-sized."""
+    _, codes, dictionary = _split_words(batch[text_col])
+    cnt = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+    return pa.table(
+        {
+            "token": pc.cast(dictionary, pa.string()),
+            "c": pa.array(cnt, pa.int64()),
+        }
+    )
+
+
+def vocab_micronats(tokens, counts) -> tuple[list, np.ndarray]:
+    """floor(ln(c / total) * 1e6) per token as int64 "micronats".
+
+    ``math.log`` (libm) is used instead of ``np.log`` so the value is
+    computed by the same std::log the DuckDB oracle calls; the floor at
+    1e-6 nat granularity makes the per-document SUM order-independent
+    and bit-exact (integer accumulation, |score| < 2^53 for any real
+    document length)."""
+    import math
+
+    total = int(sum(counts))
+    mn = np.fromiter(
+        (math.floor(math.log(int(c) / total) * 1_000_000) for c in counts),
+        dtype=np.int64,
+        count=len(counts),
+    )
+    return list(tokens), mn
+
+
+class UnigramLMKernel:
+    """Actor-pool stage: per-document unigram-LM quality score (the
+    CCNet-style LM filter, with the n-gram model reduced to unigrams so
+    the oracle is closed-form SQL).
+
+    The (token -> micronat log-prob) table is built once from a corpus
+    pass and broadcast via ``ray.put``; each batch dictionary-encodes its
+    words, maps only the UNIQUE words through the lookup (Python dict hit
+    on the small per-batch dictionary), then scores every document with
+    one ``np.bincount``. At 100 TB the vocabulary is capped by a
+    min-count threshold before broadcast; rare tokens score as OOV.
+    """
+
+    OOV = np.int64(-50_000_000)  # ~e^-50 floor for unseen tokens
+
+    def __init__(self, vocab_ref, text_col: str = "text"):
+        import ray
+
+        tokens, micronats = ray.get(vocab_ref)
+        self.lut = {t: int(m) for t, m in zip(tokens, micronats)}
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _split_words(batch[self.text_col])
+        lut = self.lut
+        dict_mn = np.fromiter(
+            (lut.get(w, self.OOV) for w in dictionary.to_pylist()),
+            dtype=np.int64,
+            count=len(dictionary),
+        )
+        per_tok = dict_mn[codes]
+        n = len(batch)
+        score = np.bincount(doc_idx, weights=per_tok.astype(np.float64), minlength=n)
+        n_tok = np.bincount(doc_idx, minlength=n)
+        n_oov = np.bincount(
+            doc_idx, weights=(per_tok == self.OOV).astype(np.float64), minlength=n
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_lm_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+                "n_oov": pa.array(n_oov.astype(np.int64), pa.int64()),
+                "lm_score_micronats": pa.array(score.astype(np.int64), pa.int64()),
+            }
+        )

@@ -580,3 +580,66 @@ def test_decontaminate_kernel_bruteforce(ray_session):
     out = DecontaminateKernel(ref, ngram=5)(batch).to_pydict()
     assert out["n_contaminated_grams"] == want
     assert want[2] > 0  # the planted contamination was actually caught
+
+
+def test_pii_batch_planted():
+    from python_rasterstats_ray.stages.text import pii_batch
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "mail me at jo.doe+x@sub.example.org or admin@h.co thanks",
+                    "server 192.168.0.1 and backup 10.0.0.255 call +1 555 010 1234",
+                    "nothing sensitive here at all",
+                ]
+            ),
+        }
+    )
+    out = pii_batch(tbl)
+    assert out["n_emails"].to_pylist() == [2, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 2, 0]
+    assert out["n_phones"].to_pylist() == [0, 1, 0]
+    # redaction really shrinks/rewrites: doc0 loses both long emails
+    orig = [len(t) for t in tbl["text"].to_pylist()]
+    clean = out["clean_len"].to_pylist()
+    assert clean[0] < orig[0] and clean[2] == orig[2]
+
+
+def test_unigram_lm_kernel_bruteforce(ray_session):
+    import math
+
+    import ray
+
+    from python_rasterstats_ray.stages.text import (
+        UnigramLMKernel,
+        token_count_partials,
+        vocab_micronats,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["a b b c", "a a a", "c b zz"]),
+        }
+    )
+    part = token_count_partials(tbl)
+    counts = dict(zip(part["token"].to_pylist(), part["c"].to_pylist()))
+    assert counts == {"a": 4, "b": 3, "c": 2, "zz": 1}
+    tokens, mn = vocab_micronats(list(counts), list(counts.values()))
+    ref = ray.put((tokens, mn))
+    out = UnigramLMKernel(ref)(tbl)
+    total = 10
+    exp0 = (
+        math.floor(math.log(4 / total) * 1e6)
+        + 2 * math.floor(math.log(3 / total) * 1e6)
+        + math.floor(math.log(2 / total) * 1e6)
+    )
+    assert out["lm_score_micronats"].to_pylist()[0] == exp0
+    assert out["n_lm_tokens"].to_pylist() == [4, 3, 3]
+    assert out["n_oov"].to_pylist() == [0, 0, 0]
+    # OOV floor path
+    ref2 = ray.put((["a"], np.array([-1], np.int64)))
+    out2 = UnigramLMKernel(ref2)(tbl)
+    assert out2["n_oov"].to_pylist() == [3, 0, 3]
