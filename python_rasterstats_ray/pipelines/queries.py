@@ -2422,7 +2422,109 @@ ORDER BY k.doc_id
 """
 
 
+PACK_SEQ_LEN = 256
+PACK_BUCKETS = 16
+
+
+def q_docs_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing (concat-and-chunk): lay every document's
+    tokens end-to-end in doc_id order and assign each document its global
+    token offset plus the first/last training sequence (length
+    ``PACK_SEQ_LEN``) it lands in.
+
+    The global offset is a distributed ORDERED PREFIX SUM, done without
+    any driver-side per-doc state:
+
+    1. one pruned pass computes per-batch (bucket, tokens) partials over
+       contiguous doc_id ranges -> ``groupby(bucket)`` of PACK_BUCKETS
+       rows -> exclusive cumsum of bucket offsets on the driver (O(#buckets));
+    2. a second pass groups rows by bucket and cumsums WITHIN the bucket
+       (sorted by doc_id) on workers, adding the broadcast bucket offset.
+
+    Partitioning assumption (documented per SURVEY custom-op rule): one
+    bucket's (doc_id, n_tokens) rows fit in a worker — at 10^12 docs
+    pick #buckets so each holds ~10^8 16-byte rows. The token-count scan
+    runs twice rather than materializing a corpus-sized intermediate.
+    """
+    import numpy as np
+
+    max_id = _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    width = (int(max_id) + PACK_BUCKETS) // PACK_BUCKETS
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": n,
+                "bucket": pa.array(did // width, pa.int64()),
+            }
+        )
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        n = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        ub = np.unique(b)
+        sums = np.zeros(len(ub), np.int64)
+        np.add.at(sums, np.searchsorted(ub, b), n)
+        return pa.table({"bucket": pa.array(ub, pa.int64()), "c": pa.array(sums, pa.int64())})
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tot = (
+        base.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("c")
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    csum = tot["sum(c)"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(tot["bucket"].astype(int), csum.astype(int)))
+
+    def pack(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("doc_id")
+        n = group["n_tokens"].to_numpy(np.int64)
+        off = offsets[int(group["bucket"].iloc[0])] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        last = (off + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
+        return pd.DataFrame(
+            {
+                "doc_id": group["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "tok_offset": off,
+                "seq_first": off // PACK_SEQ_LEN,
+                "seq_last": last,
+            }
+        )
+
+    return base.groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+SQL_DOCS_PACK_SEQUENCES = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((tok_offset + greatest(n_tokens, 1) - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last
+FROM c
+ORDER BY doc_id
+"""
+
+
 ORACLE_SQL = {
+    "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_unigram_lm": SQL_DOCS_UNIGRAM_LM,
     "docs_repetition": SQL_DOCS_REPETITION,
@@ -2472,6 +2574,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "docs_pack_sequences": q_docs_pack_sequences,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_unigram_lm": q_docs_unigram_lm,
     "docs_repetition": q_docs_repetition,

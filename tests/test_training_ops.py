@@ -643,3 +643,33 @@ def test_unigram_lm_kernel_bruteforce(ray_session):
     ref2 = ray.put((["a"], np.array([-1], np.int64)))
     out2 = UnigramLMKernel(ref2)(tbl)
     assert out2["n_oov"].to_pylist() == [3, 0, 3]
+
+
+def test_pack_sequences_prefix_sum(ray_session, tmp_path, monkeypatch):
+    """Distributed bucketed prefix-sum must equal the sequential cumsum,
+    including docs that straddle bucket and sequence boundaries."""
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(5)
+    n = 200
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 90, n)]
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+
+    out = (
+        Q.q_docs_pack_sequences(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ntok = np.array([len(t.split()) if t else 0 for t in texts], np.int64)
+    off = np.concatenate(([0], np.cumsum(ntok)[:-1]))
+    assert (out["n_tokens"].to_numpy() == ntok).all()
+    assert (out["tok_offset"].to_numpy() == off).all()
+    assert (out["seq_first"].to_numpy() == off // Q.PACK_SEQ_LEN).all()
+    last = (off + np.maximum(ntok, 1) - 1) // Q.PACK_SEQ_LEN
+    assert (out["seq_last"].to_numpy() == last).all()
