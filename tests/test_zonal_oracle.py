@@ -292,3 +292,57 @@ def test_json_serializable(slope_tif, polygons):
     json.dumps(stats)  # must not raise
     cat = zonal_stats(polygons, f"{REF_DATA}/slope_classes.tif", categorical=True)
     json.dumps(cat)
+
+
+def test_zonal_nodata_and_global_extent(slope_tif, polygons):
+    # tests/test_zonal.py:40-52: nodata=0 leaves slope counts unchanged;
+    # global_src_extent=True is a no-op on results
+    stats = zonal_stats(polygons, slope_tif, nodata=0)
+    assert [s["count"] for s in stats] == [75, 50]
+    assert zonal_stats(polygons, slope_tif, global_src_extent=True) == zonal_stats(
+        polygons, slope_tif
+    )
+
+
+def test_doesnt_exist_and_nonsense(slope_tif, polygons):
+    # tests/test_zonal.py:55-69 error contract
+    with pytest.raises(ValueError):
+        zonal_stats(f"{REF_DATA}/DOESNOTEXIST.shp", slope_tif)
+    with pytest.raises(ValueError):
+        zonal_stats("blaghrlargh", slope_tif)
+    with pytest.raises(OSError):
+        zonal_stats(polygons, "blercherlerch")
+    with pytest.raises(ValueError):
+        zonal_stats(["blaghrlargh"], slope_tif)
+
+
+def test_percentile_nodata_golden(polygons):
+    # tests/test_zonal.py:378-385: nodata=1 empties zone 0 entirely
+    stats = zonal_stats(
+        polygons, f"{REF_DATA}/slope_classes.tif", stats=["percentile_90"], nodata=1
+    )
+    assert [s["percentile_90"] for s in stats] == [None, 5.0]
+
+
+def test_zone_func_constant_return(slope_tif, polygons):
+    # tests/test_zonal.py:349-358: zone_func returning a fresh array wins
+    def ones(zone_arr):
+        return np.ma.masked_array(np.full(zone_arr.shape, 1))
+
+    stats = zonal_stats(polygons, slope_tif, zone_func=ones)
+    assert stats[0]["max"] == stats[0]["min"] == stats[0]["mean"] == 1
+
+
+def test_mini_raster_self_roundtrip(slope_tif, polygons):
+    # tests/test_zonal.py:326-337: feeding the mini raster back in
+    # reproduces itself on exactly the valid pixels
+    stats = zonal_stats(polygons, slope_tif, raster_out=True)
+    stats2 = zonal_stats(
+        polygons,
+        stats[0]["mini_raster_array"],
+        raster_out=True,
+        affine=stats[0]["mini_raster_affine"],
+    )
+    assert (
+        stats[0]["mini_raster_array"] == stats2[0]["mini_raster_array"]
+    ).sum() == stats[0]["count"]
