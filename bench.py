@@ -377,6 +377,64 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     }
 
 
+CONTROL_SHARDS = 32  # 200k of the 400k staged zones
+
+
+def _control_shard(i: int) -> int:
+    """One zone shard through the SEQUENTIAL oracle kernel (pure
+    numpy, no Ray): the Ray-free control leg of the scaling measurement."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.functions.zonal import gen_zonal_stats
+
+    arr = np.load(f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy", mmap_mode="r")
+    affine, nodata = zonal_affine_nodata()
+    tbl = pq.read_table(f"{BENCH_DIR}/zones/part-{i:04d}.parquet", columns=["geom_wkb"])
+    wkbs = tbl["geom_wkb"].to_pylist()
+    list(
+        gen_zonal_stats(
+            wkbs, arr, affine=affine, nodata=nodata, stats="count min max mean sum std"
+        )
+    )
+    return len(wkbs)
+
+
+def run_scaling_control(cpus_lo: int, cpus_hi: int) -> dict:
+    """Hardware-ceiling control: the same zonal job, NO Ray — plain
+    multiprocessing over zone shards with dynamic (chunksize=1) dispatch.
+    Whatever efficiency THIS loses between the two process counts is the
+    box's own memory/turbo/straggler behavior, not engine overhead;
+    read the Ray efficiency relative to it (BASELINE.md protocol)."""
+    import multiprocessing as mp
+
+    stage_inputs()
+    out = {}
+    for n in (cpus_lo, cpus_hi):
+        t0 = time.time()
+        with mp.get_context("fork").Pool(n) as pool:
+            total = sum(pool.imap_unordered(_control_shard, range(CONTROL_SHARDS), 1))
+        dt = time.time() - t0
+        out[n] = {"sec": round(dt, 3), "zones_per_sec": round(total / dt, 2)}
+    eff = (out[cpus_hi]["zones_per_sec"] / out[cpus_lo]["zones_per_sec"]) / (
+        cpus_hi / cpus_lo
+    )
+    return {
+        "metric": "hardware-control scaling efficiency (no Ray)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "queries": {
+            f"control_{cpus_lo}cpu": out[cpus_lo]["sec"],
+            f"control_{cpus_hi}cpu": out[cpus_hi]["sec"],
+        },
+        "sf": 0.0,
+        "num_cpus": cpus_hi,
+        "throughput_lo_zones_per_sec": out[cpus_lo]["zones_per_sec"],
+        "throughput_hi_zones_per_sec": out[cpus_hi]["zones_per_sec"],
+        "cpus": [cpus_lo, cpus_hi],
+    }
+
+
 def scaling_worker(sf_dir: str, num_cpus: int):
     import ray
 
@@ -397,6 +455,11 @@ def main():
     num_cpus = _num_cpus()
     if "--scaling-worker" in sys.argv:
         scaling_worker(sf_dir, num_cpus)
+        return
+    if "--scaling-control" in sys.argv:
+        spec = os.environ.get("BENCH_SCALING_CPUS", "4,16")
+        lo, hi = (int(v) for v in spec.split(","))
+        print(json.dumps(run_scaling_control(lo, hi)))
         return
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
