@@ -2523,7 +2523,137 @@ ORDER BY doc_id
 """
 
 
+DUP_NGRAM = 5
+
+
+def q_docs_dup_ngram_spans(sf_dir: str):
+    """Cross-document duplicated n-gram spans — the exact-substring
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499): per document, how many
+    of its word-5-gram occurrences also appear in ANOTHER document.
+
+    Scale shape (nothing corpus-sized touches the driver or a broadcast):
+
+    - gram rows (doc_id, fnv-rolling-hash) are pre-reduced per batch to
+      (hash, min_doc, max_doc) partials, so the first shuffle groups
+      vocabulary-sized partials; a gram is cross-doc iff global
+      min_doc < max_doc (Min/Max are combinable aggregates).
+    - the duplicated-hash set is materialized (it is the artifact a real
+      pipeline would persist) and routed through ``join_auto``:
+      broadcast when it fits a worker heap, native hash-shuffle join
+      when it does not — occurrences then aggregate per doc.
+    - per-doc totals left-join the dup counts the same way; docs with
+      zero duplicated grams coalesce to 0.
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.joins import join_auto
+    from ..stages.text import _split_words, _word_hashes, ngram_hashes
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _split_words(batch["text"])
+        wh = _word_hashes(dictionary, codes)
+        gdoc, gh = ngram_hashes(doc_idx, wh, DUP_NGRAM)
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(did[gdoc], pa.int64()),
+                "h": pa.array(gh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        d = batch["doc_id"].to_numpy(zero_copy_only=False)
+        uh, inv = np.unique(h, return_inverse=True)
+        mn = np.full(len(uh), np.iinfo(np.int64).max, np.int64)
+        mx = np.full(len(uh), np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, inv, d)
+        np.maximum.at(mx, inv, d)
+        return pa.table(
+            {
+                "h": pa.array(uh, pa.int64()),
+                "mn": pa.array(mn, pa.int64()),
+                "mx": pa.array(mx, pa.int64()),
+            }
+        )
+
+    def only_dup(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(pc.less(batch["min(mn)"], batch["max(mx)"]))
+        return keep.select(["h"])
+
+    def doc_totals(batch: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _split_words(batch["text"])
+        gdoc, _ = ngram_hashes(doc_idx, _word_hashes(dictionary, codes), DUP_NGRAM)
+        n = np.bincount(gdoc, minlength=len(batch)).astype(np.int64)
+        return pa.table({"doc_id": batch["doc_id"], "n_grams": pa.array(n, pa.int64())})
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+    dup = (
+        grams.map_batches(minmax_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("h")
+        .aggregate(Min("mn"), Max("mx"))
+        .map_batches(only_dup, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    dup_counts = (
+        join_auto(grams, dup, on=("h",)).groupby("doc_id").count().materialize()
+    )
+    totals = ds.map_batches(doc_totals, batch_format="pyarrow", zero_copy_batch=True)
+    out = join_auto(totals, dup_counts, on=("doc_id",), join_type="left_outer")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if "count()" in batch.column_names:
+            n_dup = pc.coalesce(
+                pc.cast(batch["count()"], pa.int64()), pa.scalar(0, pa.int64())
+            )
+        else:  # no duplicated gram anywhere: unmatched left-outer keeps schema
+            n_dup = pa.array(np.zeros(len(batch), np.int64), pa.int64())
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_grams": batch["n_grams"],
+                "n_dup_grams": n_dup,
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_DUP_NGRAM_SPANS = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest([toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' ||
+                 toks[i + 3] || ' ' || toks[i + 4]
+                 for i in range(1, len(toks) - 3)]) AS gram
+  FROM w
+),
+gstat AS (
+  SELECT gram, min(doc_id) AS mn, max(doc_id) AS mx
+  FROM (SELECT DISTINCT doc_id, gram FROM grams)
+  GROUP BY gram
+),
+dup AS (SELECT gram FROM gstat WHERE mn < mx),
+dc AS (
+  SELECT g.doc_id, count(*) AS n
+  FROM grams g JOIN dup USING (gram)
+  GROUP BY g.doc_id
+),
+tot AS (
+  SELECT doc_id, CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_grams FROM w
+)
+SELECT t.doc_id, t.n_grams, CAST(coalesce(dc.n, 0) AS BIGINT) AS n_dup_grams
+FROM tot t LEFT JOIN dc USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 ORACLE_SQL = {
+    "docs_dup_ngram_spans": SQL_DOCS_DUP_NGRAM_SPANS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
     "docs_unigram_lm": SQL_DOCS_UNIGRAM_LM,
@@ -2574,6 +2704,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "docs_dup_ngram_spans": q_docs_dup_ngram_spans,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_pii_scrub": q_docs_pii_scrub,
     "docs_unigram_lm": q_docs_unigram_lm,

@@ -673,3 +673,36 @@ def test_pack_sequences_prefix_sum(ray_session, tmp_path, monkeypatch):
     assert (out["seq_first"].to_numpy() == off // Q.PACK_SEQ_LEN).all()
     last = (off + np.maximum(ntok, 1) - 1) // Q.PACK_SEQ_LEN
     assert (out["seq_last"].to_numpy() == last).all()
+
+
+def test_dup_ngram_spans_planted(ray_session, tmp_path):
+    """Docs sharing a 5-gram with ANOTHER doc count it per occurrence;
+    within-doc repeats alone do not count."""
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.pipelines import queries as Q
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = [
+        shared + " tail one",             # doc 0: 1 shared gram window chain
+        "prefix " + shared,               # doc 1: shares with doc 0
+        "zeta eta theta iota kappa zeta eta theta iota kappa",  # doc 2: self-repeat only
+        "totally unique words here now",  # doc 3: nothing shared
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)})
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = (
+        Q.q_docs_dup_ngram_spans(str(d))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc0 "alpha..epsilon tail one": grams at offsets 0..2; only offset-0
+    # gram ("alpha beta gamma delta epsilon") recurs in doc1
+    assert out.loc[0, "n_grams"] == 3 and out.loc[0, "n_dup_grams"] == 1
+    assert out.loc[1, "n_grams"] == 2 and out.loc[1, "n_dup_grams"] == 1
+    # doc2 repeats its own 5-grams (10 words -> 6 windows, window 0 == window 5)
+    assert out.loc[2, "n_grams"] == 6 and out.loc[2, "n_dup_grams"] == 0
+    assert out.loc[3, "n_dup_grams"] == 0
