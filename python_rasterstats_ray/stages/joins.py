@@ -56,6 +56,15 @@ def hash_equi_join(
     Thin, documented wrapper over ``ray.data.Dataset.join`` (Ray 2.49's
     hash-shuffle join). Key columns named identically on both sides are
     merged into one output column (Ray keeps the left name).
+
+    Known Ray 2.49 edge (observed, minimal repro in tests): a join
+    partition that receives NO shard from one side builds a zero-column
+    table and Arrow raises ``No match for FieldRef`` — this happens only
+    for degenerate tiny/streamed sides. When a side may be near-empty,
+    route through :func:`join_auto` with that side materialized (its
+    size estimate then picks the broadcast path). Also size
+    ``num_partitions`` to the data, not the CPU count: aggregator actors
+    for vastly more partitions than CPUs can livelock a small cluster.
     """
     if num_partitions is None:
         num_partitions = default_join_partitions()
