@@ -211,6 +211,7 @@ def bench_zonal_broadcast():
         stats="count min max mean sum std nodata",
         batch_size=512,
         concurrency=(1, max(2, ncpu - 4)),
+        compute="tasks",  # robust to degraded workers; same broadcast plan
     )
     n = out.count()
     assert n == N_ZONES, n

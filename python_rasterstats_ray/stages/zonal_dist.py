@@ -309,6 +309,14 @@ class BroadcastZonalKernel:
         return pa.table(out)
 
 
+# Per-worker-process kernel cache for the task-pool broadcast mode: the
+# raster ObjectRef resolves zero-copy ONCE per worker (same broadcast
+# semantics as the actor pool), keyed by a per-pipeline token. Bounded so
+# back-to-back pipelines don't pin stale plasma objects.
+_TASK_KERNEL_CACHE: dict = {}
+_TASK_KERNEL_CACHE_MAX = 2
+
+
 def zonal_stats_broadcast(
     zones_ds,
     raster,
@@ -325,8 +333,21 @@ def zonal_stats_broadcast(
     geom_col: str = "geom_wkb",
     concurrency=(1, 8),
     batch_size: int = 64,
+    compute: str = "actors",
 ):
-    """zones Dataset x in-memory raster -> stats Dataset (no shuffle)."""
+    """zones Dataset x in-memory raster -> stats Dataset (no shuffle).
+
+    ``compute="actors"`` (default) runs the kernel as an autoscaling
+    actor pool (state built in ``__init__``). ``compute="tasks"`` runs
+    the same kernel as a task-pool map with a per-worker-process cached
+    raster fetch: identical semantics and still broadcast-once, but the
+    scheduler starves slow workers naturally instead of pinning batches
+    to a fixed actor — measurably more robust on clusters with
+    heterogeneous/degraded workers (BASELINE.md host addendum: 124 s vs
+    213 s on the same degraded box).
+    """
+    import uuid
+
     import ray
 
     if isinstance(raster, tuple):
@@ -334,19 +355,37 @@ def zonal_stats_broadcast(
     else:
         arr = raster
     raster_ref = ray.put((arr, affine, nodata))
+    ctor = dict(
+        raster_ref=raster_ref,
+        stats=stats,
+        all_touched=all_touched,
+        categorical=categorical,
+        category_map=category_map,
+        zone_func=zone_func,
+        add_stats=add_stats,
+        raster_out=raster_out,
+        geom_col=geom_col,
+    )
+    if compute == "tasks":
+        token = uuid.uuid4().hex
+
+        def kernel_fn(batch: pa.Table) -> pa.Table:
+            kernel = _TASK_KERNEL_CACHE.get(token)
+            if kernel is None:
+                while len(_TASK_KERNEL_CACHE) >= _TASK_KERNEL_CACHE_MAX:
+                    _TASK_KERNEL_CACHE.pop(next(iter(_TASK_KERNEL_CACHE)))
+                kernel = _TASK_KERNEL_CACHE[token] = BroadcastZonalKernel(**ctor)
+            return kernel(batch)
+
+        return zones_ds.map_batches(
+            kernel_fn,
+            batch_size=batch_size,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     return zones_ds.map_batches(
         BroadcastZonalKernel,
-        fn_constructor_kwargs=dict(
-            raster_ref=raster_ref,
-            stats=stats,
-            all_touched=all_touched,
-            categorical=categorical,
-            category_map=category_map,
-            zone_func=zone_func,
-            add_stats=add_stats,
-            raster_out=raster_out,
-            geom_col=geom_col,
-        ),
+        fn_constructor_kwargs=ctor,
         batch_size=batch_size,
         batch_format="pyarrow",
         concurrency=concurrency,

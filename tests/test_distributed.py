@@ -218,3 +218,35 @@ def test_point_zones_distributed(ray_session):
         assert td.iloc[i]["count"] == orow["count"]
         assert bc.iloc[i]["mean"] == orow["mean"]
         assert td.iloc[i]["mean"] == pytest.approx(orow["mean"], rel=1e-6)
+
+
+def test_broadcast_tasks_mode_identical(ray_session, fixture_inputs):
+    """compute='tasks' (per-worker cached fetch) must produce exactly the
+    actor-pool result — same kernel, different scheduler."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_stats_broadcast
+
+    arr, affine, nodata, zones = fixture_inputs
+    ds = ray.data.from_arrow(zones)
+    a = (
+        zonal_stats_broadcast(ds, (arr, affine, nodata), stats=STATS, batch_size=8)
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    t = (
+        zonal_stats_broadcast(
+            ds, (arr, affine, nodata), stats=STATS, batch_size=8, compute="tasks"
+        )
+        .to_pandas()
+        .sort_values("zone_id")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(t.columns)
+    for c in a.columns:
+        av, tv = a[c].to_numpy(), t[c].to_numpy()
+        if av.dtype.kind == "f":
+            assert np.allclose(av, tv, rtol=0, atol=0, equal_nan=True), c
+        else:
+            assert (av == tv).all() or (a[c].isna() == t[c].isna()).all(), c
