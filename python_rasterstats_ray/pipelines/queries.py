@@ -2652,7 +2652,84 @@ ORDER BY t.doc_id
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 56  # 8-token overlap between consecutive chunks
+
+
+def q_docs_chunk(sf_dir: str):
+    """Fixed-size token-window chunking with overlap (RAG / pretraining
+    prep): flat-expand every document into (chunk_idx, start_tok,
+    n_chunk_tokens, chunk_md5) rows — 64-token windows, stride 56.
+
+    One stateless map_batches doing a row-expanding transform (the
+    flat_map shape); no shuffle, no state. Window arithmetic is numpy;
+    the md5 per chunk is inherently scalar (same status as md5_batch).
+    The md5 of the rejoined token window proves chunk CONTENT parity
+    against the SQL mirror, not just the arithmetic.
+    """
+    import hashlib
+
+    def chunk_rows(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        toks = words.to_pylist()
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        o_doc, o_idx, o_start, o_len, o_md5 = [], [], [], [], []
+        for d, tl in zip(did, toks):
+            n = len(tl)
+            if n > CHUNK_TOKENS:
+                nk = 1 + -(-(n - CHUNK_TOKENS) // CHUNK_STRIDE)
+            else:
+                nk = 1
+            for k in range(nk):
+                s = k * CHUNK_STRIDE
+                seg = tl[s : s + CHUNK_TOKENS]
+                o_doc.append(int(d))
+                o_idx.append(k)
+                o_start.append(s)
+                o_len.append(len(seg))
+                o_md5.append(hashlib.md5(" ".join(seg).encode("utf-8")).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_doc, pa.int64()),
+                "chunk_idx": pa.array(o_idx, pa.int64()),
+                "start_tok": pa.array(o_start, pa.int64()),
+                "n_chunk_tokens": pa.array(o_len, pa.int64()),
+                "chunk_md5": pa.array(o_md5, pa.string()),
+            }
+        )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(chunk_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_CHUNK = f"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+k AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > {CHUNK_TOKENS}
+              THEN 1 + CAST(ceil((len(toks) - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS BIGINT)
+              ELSE 1 END AS nk
+  FROM w
+),
+c AS (
+  SELECT doc_id, toks, n, unnest(generate_series(0, nk - 1)) AS ci FROM k
+)
+SELECT doc_id,
+       CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * {CHUNK_STRIDE} AS BIGINT) AS start_tok,
+       CAST(least({CHUNK_TOKENS}, n - ci * {CHUNK_STRIDE}) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(toks[ci * {CHUNK_STRIDE} + 1 : ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM c
+ORDER BY doc_id, chunk_idx
+"""
+
+
 ORACLE_SQL = {
+    "docs_chunk": SQL_DOCS_CHUNK,
     "docs_dup_ngram_spans": SQL_DOCS_DUP_NGRAM_SPANS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
@@ -2704,6 +2781,7 @@ ORACLE_SQL = {
 }
 
 QUERIES = {
+    "docs_chunk": q_docs_chunk,
     "docs_dup_ngram_spans": q_docs_dup_ngram_spans,
     "docs_pack_sequences": q_docs_pack_sequences,
     "docs_pii_scrub": q_docs_pii_scrub,

@@ -706,3 +706,43 @@ def test_dup_ngram_spans_planted(ray_session, tmp_path):
     # doc2 repeats its own 5-grams (10 words -> 6 windows, window 0 == window 5)
     assert out.loc[2, "n_grams"] == 6 and out.loc[2, "n_dup_grams"] == 0
     assert out.loc[3, "n_dup_grams"] == 0
+
+
+def test_docs_chunk_windows(ray_session, tmp_path):
+    """Chunk boundaries: short doc -> 1 chunk; exact-multiple and
+    straddling lengths produce the documented window starts/lengths."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.pipelines import queries as Q
+
+    texts = {
+        0: " ".join(f"t{i}" for i in range(10)),    # 10 toks -> 1 chunk
+        1: " ".join(f"t{i}" for i in range(64)),    # == CHUNK -> 1 chunk
+        2: " ".join(f"t{i}" for i in range(65)),    # 1 past -> 2 chunks
+        3: " ".join(f"t{i}" for i in range(150)),   # 1 + ceil(86/56) = 3
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)]),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    out = (
+        Q.q_docs_chunk(str(d))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    per_doc = out.groupby("doc_id").size().to_dict()
+    assert per_doc == {0: 1, 1: 1, 2: 2, 3: 3}
+    d3 = out[out["doc_id"] == 3]
+    assert d3["start_tok"].tolist() == [0, 56, 112]
+    assert d3["n_chunk_tokens"].tolist() == [64, 64, 38]
+    toks = texts[3].split(" ")
+    want = hashlib.md5(" ".join(toks[112:150]).encode()).hexdigest()
+    assert d3["chunk_md5"].iloc[-1] == want
