@@ -379,20 +379,29 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
 
 
 CONTROL_SHARDS = 32  # 200k of the 400k staged zones
+CONTROL_SPLITS = 8  # sub-ranges per shard: ~780-zone work units, so the
+# control's task granularity matches the Ray engine's (512-row batches)
+# and the hi-process leg is not quantization-bound (32 coarse units at 16
+# procs = 2 units/proc measured the slowest-chain, not the box)
 
 
-def _control_shard(i: int) -> int:
-    """One zone shard through the SEQUENTIAL oracle kernel (pure
-    numpy, no Ray): the Ray-free control leg of the scaling measurement."""
+def _control_shard(unit: int) -> int:
+    """One ~780-zone sub-range of a zone shard through the SEQUENTIAL
+    oracle kernel (pure numpy, no Ray): a work unit of the Ray-free
+    control leg of the scaling measurement."""
     import numpy as np
     import pyarrow.parquet as pq
 
     from python_rasterstats_ray.functions.zonal import gen_zonal_stats
 
+    shard, split = divmod(unit, CONTROL_SPLITS)
     arr = np.load(f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy", mmap_mode="r")
     affine, nodata = zonal_affine_nodata()
-    tbl = pq.read_table(f"{BENCH_DIR}/zones/part-{i:04d}.parquet", columns=["geom_wkb"])
-    wkbs = tbl["geom_wkb"].to_pylist()
+    tbl = pq.read_table(
+        f"{BENCH_DIR}/zones/part-{shard:04d}.parquet", columns=["geom_wkb"]
+    )
+    step = (len(tbl) + CONTROL_SPLITS - 1) // CONTROL_SPLITS
+    wkbs = tbl["geom_wkb"].slice(split * step, step).to_pylist()
     list(
         gen_zonal_stats(
             wkbs, arr, affine=affine, nodata=nodata, stats="count min max mean sum std"
@@ -414,7 +423,11 @@ def run_scaling_control(cpus_lo: int, cpus_hi: int) -> dict:
     for n in (cpus_lo, cpus_hi):
         t0 = time.time()
         with mp.get_context("fork").Pool(n) as pool:
-            total = sum(pool.imap_unordered(_control_shard, range(CONTROL_SHARDS), 1))
+            total = sum(
+                pool.imap_unordered(
+                    _control_shard, range(CONTROL_SHARDS * CONTROL_SPLITS), 1
+                )
+            )
         dt = time.time() - t0
         out[n] = {"sec": round(dt, 3), "zones_per_sec": round(total / dt, 2)}
     eff = (out[cpus_hi]["zones_per_sec"] / out[cpus_lo]["zones_per_sec"]) / (

@@ -2449,6 +2449,17 @@ def q_docs_pack_sequences(sf_dir: str):
     import numpy as np
 
     max_id = _read(sf_dir, "documents", columns=["doc_id"]).max("doc_id")
+    if max_id is None:  # empty corpus: empty result with the full schema
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    c: pa.array([], pa.int64())
+                    for c in ("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+                }
+            )
+        )
     width = (int(max_id) + PACK_BUCKETS) // PACK_BUCKETS
 
     def counts(batch: pa.Table) -> pa.Table:
@@ -2544,6 +2555,12 @@ def q_docs_dup_ngram_spans(sf_dir: str):
       when it does not — occurrences then aggregate per doc.
     - per-doc totals left-join the dup counts the same way; docs with
       zero duplicated grams coalesce to 0.
+
+    Exactness caveat: grams travel as 64-bit rolling FNV hashes while
+    the oracle compares gram STRINGS — a cross-document hash collision
+    would overcount (probability ~G^2/2^64; negligible at test scale,
+    and at 100 TB the standard remedy is a 128-bit gram hash, same
+    plan shape).
     """
     from ray.data.aggregate import Max, Min
 

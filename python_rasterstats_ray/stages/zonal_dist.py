@@ -313,8 +313,23 @@ class BroadcastZonalKernel:
 # raster ObjectRef resolves zero-copy ONCE per worker (same broadcast
 # semantics as the actor pool), keyed by a per-pipeline token. Bounded so
 # back-to-back pipelines don't pin stale plasma objects.
+#
+# The per-task callable MUST be a functools.partial of this module-level
+# function: cloudpickle then serializes it by module+name, so every task
+# that lands on a worker shares the worker's imported-module globals
+# (a nested closure would capture a private COPY of the cache per task
+# and rebuild the kernel for every batch — verified empirically).
 _TASK_KERNEL_CACHE: dict = {}
 _TASK_KERNEL_CACHE_MAX = 2
+
+
+def _task_kernel_call(batch, *, token: str, ctor: dict):
+    kernel = _TASK_KERNEL_CACHE.get(token)
+    if kernel is None:
+        while len(_TASK_KERNEL_CACHE) >= _TASK_KERNEL_CACHE_MAX:
+            _TASK_KERNEL_CACHE.pop(next(iter(_TASK_KERNEL_CACHE)))
+        kernel = _TASK_KERNEL_CACHE[token] = BroadcastZonalKernel(**ctor)
+    return kernel(batch)
 
 
 def zonal_stats_broadcast(
@@ -346,10 +361,13 @@ def zonal_stats_broadcast(
     heterogeneous/degraded workers (BASELINE.md host addendum: 124 s vs
     213 s on the same degraded box).
     """
+    import functools
     import uuid
 
     import ray
 
+    if compute not in ("actors", "tasks"):
+        raise ValueError(f"compute must be 'actors' or 'tasks', got {compute!r}")
     if isinstance(raster, tuple):
         arr, affine, nodata = raster
     else:
@@ -367,21 +385,13 @@ def zonal_stats_broadcast(
         geom_col=geom_col,
     )
     if compute == "tasks":
-        token = uuid.uuid4().hex
-
-        def kernel_fn(batch: pa.Table) -> pa.Table:
-            kernel = _TASK_KERNEL_CACHE.get(token)
-            if kernel is None:
-                while len(_TASK_KERNEL_CACHE) >= _TASK_KERNEL_CACHE_MAX:
-                    _TASK_KERNEL_CACHE.pop(next(iter(_TASK_KERNEL_CACHE)))
-                kernel = _TASK_KERNEL_CACHE[token] = BroadcastZonalKernel(**ctor)
-            return kernel(batch)
-
+        max_tasks = concurrency[1] if isinstance(concurrency, tuple) else concurrency
         return zones_ds.map_batches(
-            kernel_fn,
+            functools.partial(_task_kernel_call, token=uuid.uuid4().hex, ctor=ctor),
             batch_size=batch_size,
             batch_format="pyarrow",
             zero_copy_batch=True,
+            concurrency=max_tasks,
         )
     return zones_ds.map_batches(
         BroadcastZonalKernel,

@@ -249,4 +249,6 @@ def test_broadcast_tasks_mode_identical(ray_session, fixture_inputs):
         if av.dtype.kind == "f":
             assert np.allclose(av, tv, rtol=0, atol=0, equal_nan=True), c
         else:
-            assert (av == tv).all() or (a[c].isna() == t[c].isna()).all(), c
+            na_a, na_t = a[c].isna().to_numpy(), t[c].isna().to_numpy()
+            assert (na_a == na_t).all(), c
+            assert (av[~na_a] == tv[~na_t]).all(), c
