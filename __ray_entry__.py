@@ -95,10 +95,11 @@ def _q_media_features(sf_dir: str):
 
     from python_rasterstats_ray.stages.multimodal import (
         media_feature_pipeline,
-        synth_media_table,
+        synth_png_media_table,
     )
 
-    return media_feature_pipeline(ray.data.from_arrow(synth_media_table(200)))
+    # REAL decode path: payloads are actual PNGs (from-scratch codec)
+    return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
 def _q_flagship_checkpointed(sf_dir: str):

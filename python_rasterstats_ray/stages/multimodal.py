@@ -1,6 +1,8 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is a
+PNG image payloads DECODE FOR REAL via the from-scratch pure-stdlib
+codec in sources/png.py (DEFLATE + scanline filters; no PIL/libpng).
+The container has no JPEG/audio/video codecs, so those decode through a
 deterministic fake behind the same interface a real libjpeg/ffmpeg-backed
 kernel would have (clearly marked below); everything Ray-side — schema,
 actor-pool signatures, batch sizing for large binary payloads, output
@@ -50,13 +52,61 @@ def synth_media_table(n: int, kind: str = "image", seed: int = 42,
 
 
 def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB DECODER — deterministic fake standing in for libjpeg/PIL.
+    """STUB DECODER — deterministic fake standing in for libjpeg/ffmpeg.
     A real deployment replaces ONLY this function (same ndarray contract:
     HxWx3 uint8)."""
     h = hashlib.blake2b(payload, digest_size=8).digest()
     seed = int.from_bytes(h, "little")
     rng = np.random.default_rng(seed)
     return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+
+
+def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
+    """Decode a media payload to HxWx3 uint8.
+
+    PNG payloads decode for REAL via the from-scratch pure-stdlib codec
+    (sources/png.py: DEFLATE + all five scanline filters, CRC-checked);
+    anything else (JPEG/video) falls back to the clearly-marked stub —
+    the sandbox has no codecs, a deployment swaps only `_fake_decode`.
+    """
+    from ..sources.png import is_png, png_decode
+
+    if is_png(payload):
+        img = png_decode(payload)
+        if img.ndim == 2:  # grayscale -> 3-channel contract
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img[:, :, :3]  # drop alpha if present
+    return _fake_decode(payload, width, height)
+
+
+def synth_png_media_table(n: int, size: tuple[int, int] = (64, 48), seed: int = 42) -> pa.Table:
+    """Deterministic REAL-PNG media rows: per-id gradient + hash-seeded
+    noise thumbnails, encoded with the from-scratch PNG writer (filter
+    type cycles 0..4 per row-id so decode exercises every filter)."""
+    from ..sources.png import png_encode
+
+    w, h = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    payloads = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        base = (xx * 255 // max(w - 1, 1) + yy * (i % 7)) % 256
+        img = np.stack(
+            [base, (base + 85) % 256, rng.integers(0, 256, (h, w))], axis=2
+        ).astype(np.uint8)
+        payloads.append(png_encode(img, filter_type=i % 5))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["png"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, w, dtype=np.int32)),
+            "height": pa.array(np.full(n, h, dtype=np.int32)),
+            "sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "n_frames": pa.array(np.ones(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 class DecodeImageKernel:
@@ -82,7 +132,7 @@ class DecodeImageKernel:
         heights = batch["height"].to_numpy(zero_copy_only=False)
         out_pixels, out_w, out_h, mean_lum = [], [], [], []
         for p, w, h in zip(payloads, widths, heights):
-            img = _fake_decode(p, int(w), int(h))
+            img = decode_image(p, int(w), int(h))
             if self.target_size:
                 img = self._resize_nearest(img, *self.target_size)
             out_pixels.append(np.ascontiguousarray(img).tobytes())

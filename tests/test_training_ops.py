@@ -746,3 +746,53 @@ def test_docs_chunk_windows(ray_session, tmp_path):
     toks = texts[3].split(" ")
     want = hashlib.md5(" ".join(toks[112:150]).encode()).hexdigest()
     assert d3["chunk_md5"].iloc[-1] == want
+
+
+def test_png_codec_roundtrip_all_filters():
+    from python_rasterstats_ray.sources.png import png_decode, png_encode
+
+    rng = np.random.default_rng(9)
+    for ch in (1, 2, 3, 4):
+        shape = (13, 17) if ch == 1 else (13, 17, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        for ft in range(5):
+            back = png_decode(png_encode(img, filter_type=ft))
+            assert back.shape == img.shape and (back == img).all(), (ch, ft)
+
+
+def test_png_codec_rejects_corruption():
+    import pytest as _pt
+
+    from python_rasterstats_ray.sources.png import png_decode, png_encode
+
+    data = bytearray(png_encode(np.zeros((4, 4, 3), np.uint8)))
+    with _pt.raises(ValueError):
+        png_decode(b"NOTAPNG" + bytes(data))
+    data[40] ^= 0xFF  # flip a byte inside a chunk -> CRC mismatch
+    with _pt.raises(ValueError):
+        png_decode(bytes(data))
+
+
+def test_media_pipeline_real_png_decode(ray_session):
+    """DecodeImageKernel must reproduce the EXACT pixels for PNG payloads
+    (not the stub): mean luminance equals the source image's mean."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.png import png_decode
+    from python_rasterstats_ray.stages.multimodal import (
+        media_feature_pipeline,
+        synth_png_media_table,
+    )
+
+    tbl = synth_png_media_table(12, size=(20, 10), seed=5)
+    out = (
+        media_feature_pipeline(ray.data.from_arrow(tbl), target_size=None)
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    for i in range(12):
+        img = png_decode(tbl["payload"][i].as_py())
+        assert out.loc[i, "mean_luminance"] == float(img.mean())
+        pix = np.frombuffer(out.loc[i, "pixels"], np.uint8).reshape(10, 20, 3)
+        assert (pix == img).all()
