@@ -102,6 +102,18 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
+def _q_audio_features(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.multimodal import (
+        audio_feature_pipeline,
+        synth_wav_media_table,
+    )
+
+    # REAL decode path: payloads are actual RIFF/PCM16 WAV clips
+    return audio_feature_pipeline(ray.data.from_arrow(synth_wav_media_table(200)))
+
+
 def _q_flagship_checkpointed(sf_dir: str):
     import tempfile
 
@@ -132,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "doc_fingerprint": _q_fingerprint,
             "flagship_zone_stats": _q_flagship_zone_stats,
             "media_features": _q_media_features,
+            "audio_features": _q_audio_features,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,
         }

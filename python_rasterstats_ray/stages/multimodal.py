@@ -190,3 +190,81 @@ def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=(1, 4),
         batch_size=batch_size,
         zero_copy_batch=True,
     )
+
+
+def synth_wav_media_table(n: int, seconds: float = 0.25, rate: int = 16000,
+                          seed: int = 42) -> pa.Table:
+    """Deterministic REAL-WAV media rows: per-id sine + noise PCM16,
+    encoded with the from-scratch RIFF writer."""
+    from ..sources.wav import wav_encode
+
+    t = np.arange(int(seconds * rate)) / rate
+    payloads = []
+    for i in range(n):
+        rng = np.random.default_rng(seed + i)
+        freq = 110.0 * (1 + i % 16)
+        wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+        payloads.append(
+            wav_encode((np.clip(wave, -1, 1) * 32767).astype(np.int16), rate)
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["wav"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.zeros(n, dtype=np.int32)),
+            "height": pa.array(np.zeros(n, dtype=np.int32)),
+            "sample_rate": pa.array(np.full(n, rate, dtype=np.int32)),
+            "n_frames": pa.array(np.zeros(n, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class AudioFeatureKernel:
+    """Actor-pool kernel: WAV payloads -> per-clip features, REAL decode
+    via the from-scratch RIFF/PCM reader (sources/wav.py). Features are
+    the standard cheap audio-curation signals: duration, RMS energy,
+    peak amplitude, zero-crossing rate — all vectorized numpy per clip."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.wav import wav_decode
+
+        out = {k: [] for k in
+               ("media_id", "n_samples", "sample_rate", "duration_s",
+                "rms", "peak", "zero_crossing_rate")}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples, rate = wav_decode(payload)
+            mono = samples.mean(axis=1)
+            n = len(mono)
+            out["media_id"].append(mid)
+            out["n_samples"].append(n)
+            out["sample_rate"].append(rate)
+            out["duration_s"].append(n / rate)
+            out["rms"].append(float(np.sqrt(np.mean(mono**2))))
+            out["peak"].append(float(np.abs(samples).max()))
+            out["zero_crossing_rate"].append(
+                float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+            )
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "duration_s": pa.array(out["duration_s"], pa.float64()),
+                "rms": pa.array(out["rms"], pa.float64()),
+                "peak": pa.array(out["peak"], pa.float64()),
+                "zero_crossing_rate": pa.array(out["zero_crossing_rate"], pa.float64()),
+            }
+        )
+
+
+def audio_feature_pipeline(media_ds, concurrency=(1, 4), batch_size: int = 32):
+    return media_ds.map_batches(
+        AudioFeatureKernel,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -796,3 +796,44 @@ def test_media_pipeline_real_png_decode(ray_session):
         assert out.loc[i, "mean_luminance"] == float(img.mean())
         pix = np.frombuffer(out.loc[i, "pixels"], np.uint8).reshape(10, 20, 3)
         assert (pix == img).all()
+
+
+def test_wav_codec_roundtrip():
+    from python_rasterstats_ray.sources.wav import wav_decode, wav_encode
+
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32767, 500, dtype=np.int16)
+    s, r = wav_decode(wav_encode(mono, 8000))
+    assert r == 8000 and s.shape == (500, 1) and (s[:, 0] == mono).all()
+    stereo = rng.integers(-32768, 32767, (300, 2), dtype=np.int16)
+    s, r = wav_decode(wav_encode(stereo, 44100))
+    assert r == 44100 and (s == stereo).all()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        wav_decode(b"nope" * 10)
+
+
+def test_audio_pipeline_real_wav(ray_session):
+    import ray.data
+
+    from python_rasterstats_ray.sources.wav import wav_decode
+    from python_rasterstats_ray.stages.multimodal import (
+        audio_feature_pipeline,
+        synth_wav_media_table,
+    )
+
+    tbl = synth_wav_media_table(8, seconds=0.1, rate=8000, seed=2)
+    out = (
+        audio_feature_pipeline(ray.data.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    assert (out["n_samples"] == 800).all() and (out["sample_rate"] == 8000).all()
+    samples, _ = wav_decode(tbl["payload"][0].as_py())
+    mono = samples.mean(axis=1)
+    assert out.loc[0, "rms"] == float(np.sqrt(np.mean(mono**2)))
+    assert out.loc[0, "peak"] == float(np.abs(samples).max())
+    # a 110 Hz tone at 8 kHz crosses zero ~220x/s -> zcr ~ 0.0275
+    assert 0.005 < out.loc[0, "zero_crossing_rate"] < 0.2
