@@ -837,3 +837,27 @@ def test_audio_pipeline_real_wav(ray_session):
     assert out.loc[0, "peak"] == float(np.abs(samples).max())
     # a 110 Hz tone at 8 kHz crosses zero ~220x/s -> zcr ~ 0.0275
     assert 0.005 < out.loc[0, "zero_crossing_rate"] < 0.2
+
+
+def test_png_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_rasterstats_ray.sources.png import png_decode, png_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        ch=st.sampled_from([1, 2, 3, 4]),
+        ft=st.integers(0, 4),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip(w, h, ch, ft, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        back = png_decode(png_encode(img, filter_type=ft))
+        assert back.shape == img.shape and (back == img).all()
+
+    roundtrip()
