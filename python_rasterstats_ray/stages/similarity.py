@@ -17,6 +17,21 @@ import numpy as np
 import pyarrow as pa
 
 
+def _pool_cap(max_default: int = 4) -> int:
+    """Actor-pool size cap that leaves CPU headroom for the read/sort
+    operators feeding the pool. The IVF plan chains TWO actor pools
+    before a sort; at small clusters two pools each allowed cpus/2
+    actors starve the upstream read and the plan stalls (observed hard
+    at num_cpus=4). Cap each pool at a quarter of the cluster, min 1."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(1, min(max_default, cpus // 4))
+
+
 def _unit_rows(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -140,7 +155,10 @@ def ivf_assign(emb_ds, centroids: np.ndarray, id_col: str = "vec_id",
             return batch.append_column("ivf_list", pa.array(part.astype(np.int64)))
 
     return emb_ds.map_batches(
-        AssignKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        AssignKernel,
+        batch_format="pyarrow",
+        concurrency=(1, _pool_cap()),
+        zero_copy_batch=True,
     )
 
 
@@ -254,7 +272,10 @@ def _probe_topk(assigned_ds, qids, qunit, probes, k, id_col, emb_col):
             )
 
     partials = assigned_ds.map_batches(
-        ProbeKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        ProbeKernel,
+        batch_format="pyarrow",
+        concurrency=(1, _pool_cap()),
+        zero_copy_batch=True,
     )
 
     def merge(group: pa.Table) -> pa.Table:
