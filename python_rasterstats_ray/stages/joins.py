@@ -34,13 +34,23 @@ _DEF_PARTITIONS_MIN = 8
 
 
 def default_join_partitions() -> int:
+    """Partition count for the hash-shuffle join, sized to the cluster.
+
+    On small clusters partitions must NOT exceed the CPU count: each
+    partition reserves a slice of aggregator-actor CPU, and a plan with
+    two joins at 8 partitions each was observed to stall indefinitely at
+    num_cpus=4 (aggregators + the downstream actor pool + reads oversubscribe
+    the 4 slots; with partitions = cpus the same plan finishes in 20 s).
+    At >=8 CPUs this returns the CPU count, as before."""
     import ray
 
     try:
         cpus = int(ray.cluster_resources().get("CPU", _DEF_PARTITIONS_MIN))
     except Exception:  # pragma: no cover - uninitialised ray
         cpus = _DEF_PARTITIONS_MIN
-    return max(cpus, _DEF_PARTITIONS_MIN)
+    if cpus < _DEF_PARTITIONS_MIN:
+        return max(2, cpus)
+    return cpus
 
 
 def hash_equi_join(
