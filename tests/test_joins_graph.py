@@ -273,3 +273,17 @@ def test_tfidf_rank_is_deterministic(ray_session, tmp_path):
     top0 = a[(a.doc_id == 0) & (a.rnk == 1)].iloc[0]
     # doc0: tf(alpha)=2 and df(alpha)=3 -> 666666; beta 1/4, gamma 1/3
     assert top0["term"] == "alpha" and top0["score"] == 2 * 1_000_000 // 3
+
+
+def test_q10_two_join_plan_completes_on_small_cluster(ray_session):
+    """Regression guard for the small-cluster join livelock: a plan with
+    TWO hash-shuffle joins (TPC-H Q10) must finish at the 4-CPU test
+    session — with partitions > cpus the aggregator actors plus the
+    downstream pool oversubscribed the slots and the plan never ran."""
+    from python_rasterstats_ray.pipelines.join_queries import q_tpch_q10
+    from python_rasterstats_ray.stages.joins import default_join_partitions
+
+    assert default_join_partitions() <= 4  # session is 4 CPUs
+    df = q_tpch_q10("/root/testdata/sf0.01").to_pandas()
+    assert len(df) == 20
+    assert (df["revenue"].to_numpy()[:-1] >= df["revenue"].to_numpy()[1:]).all()
