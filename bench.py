@@ -379,16 +379,17 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
 
 
 CONTROL_SHARDS = 32  # 200k of the 400k staged zones
-CONTROL_SPLITS = 8  # sub-ranges per shard: ~780-zone work units, so the
-# control's task granularity matches the Ray engine's (512-row batches)
-# and the hi-process leg is not quantization-bound (32 coarse units at 16
-# procs = 2 units/proc measured the slowest-chain, not the box)
+CONTROL_SPLITS = 8  # row-group work units per shard (~780 zones each,
+# zone shards are written with row_group_size=2048 but small final
+# groups): granularity comparable to the Ray engine's 512-row batches so
+# the hi-process leg is not quantization-bound, and each unit reads ONLY
+# its row group (no whole-file re-read per unit)
 
 
 def _control_shard(unit: int) -> int:
-    """One ~780-zone sub-range of a zone shard through the SEQUENTIAL
-    oracle kernel (pure numpy, no Ray): a work unit of the Ray-free
-    control leg of the scaling measurement."""
+    """One row-group of a zone shard through the SEQUENTIAL oracle
+    kernel (pure numpy, no Ray): a work unit of the Ray-free control
+    leg of the scaling measurement."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -397,11 +398,11 @@ def _control_shard(unit: int) -> int:
     shard, split = divmod(unit, CONTROL_SPLITS)
     arr = np.load(f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy", mmap_mode="r")
     affine, nodata = zonal_affine_nodata()
-    tbl = pq.read_table(
-        f"{BENCH_DIR}/zones/part-{shard:04d}.parquet", columns=["geom_wkb"]
-    )
-    step = (len(tbl) + CONTROL_SPLITS - 1) // CONTROL_SPLITS
-    wkbs = tbl["geom_wkb"].slice(split * step, step).to_pylist()
+    pf = pq.ParquetFile(f"{BENCH_DIR}/zones/part-{shard:04d}.parquet")
+    groups = [g for g in range(pf.metadata.num_row_groups) if g % CONTROL_SPLITS == split]
+    if not groups:
+        return 0
+    wkbs = pf.read_row_groups(groups, columns=["geom_wkb"])["geom_wkb"].to_pylist()
     list(
         gen_zonal_stats(
             wkbs, arr, affine=affine, nodata=nodata, stats="count min max mean sum std"

@@ -92,6 +92,11 @@ def png_decode(data: bytes) -> np.ndarray:
     while pos + 12 <= len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + ln > len(data):
+            raise ValueError(
+                f"truncated {tag!r} chunk: declares {ln} bytes, "
+                f"{len(data) - pos - 12} remain"
+            )
         payload = data[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
         if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:

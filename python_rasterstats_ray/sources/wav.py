@@ -46,9 +46,16 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if pos + 8 + ln > len(data):
+            raise ValueError(
+                f"truncated {tag!r} chunk: declares {ln} bytes, "
+                f"{len(data) - pos - 8} remain"
+            )
         payload = data[pos + 8 : pos + 8 + ln]
         pos += 8 + ln + (ln & 1)  # chunks are word-aligned
         if tag == b"fmt ":
+            if ln < 16:
+                raise ValueError(f"fmt chunk too short ({ln} bytes)")
             audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", payload[:16])
             if audio_fmt != 1 or bits != 16:
                 raise NotImplementedError(
@@ -58,5 +65,7 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
             pcm = payload
     if ch is None or pcm is None:
         raise ValueError("missing fmt/data chunk")
+    if len(pcm) % (2 * ch):
+        raise ValueError("data chunk not a whole number of PCM16 frames")
     samples = np.frombuffer(pcm, "<i2")
     return samples.reshape(-1, ch), rate

@@ -18,7 +18,9 @@ Scale notes (100 TB discipline):
   (e.g. TPC-H Q3 groups by ``l_orderkey``: lineitem can be collapsed to
   one row per orderkey BEFORE joining orders, shrinking the probe side
   ~4x).
-- ``num_partitions`` sizes the aggregator pool; default = max(cpus, 8).
+- ``num_partitions`` sizes the aggregator pool; default = the cluster
+  CPU count, never exceeding it on small clusters (aggregators beyond
+  the CPU count livelock multi-join plans — see default_join_partitions).
   At multi-node scale raise it so each partition's build side fits in a
   worker's heap.
 - Skew: hash partitioning by key spreads TPC-H-style keys fine; for a
@@ -42,12 +44,9 @@ def default_join_partitions() -> int:
     num_cpus=4 (aggregators + the downstream actor pool + reads oversubscribe
     the 4 slots; with partitions = cpus the same plan finishes in 20 s).
     At >=8 CPUs this returns the CPU count, as before."""
-    import ray
+    from ._cluster import cluster_cpus
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", _DEF_PARTITIONS_MIN))
-    except Exception:  # pragma: no cover - uninitialised ray
-        cpus = _DEF_PARTITIONS_MIN
+    cpus = cluster_cpus(_DEF_PARTITIONS_MIN)
     if cpus < _DEF_PARTITIONS_MIN:
         return max(2, cpus)
     return cpus

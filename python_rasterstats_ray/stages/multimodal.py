@@ -75,7 +75,9 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         img = png_decode(payload)
         if img.ndim == 2:  # grayscale -> 3-channel contract
             img = np.repeat(img[:, :, None], 3, axis=2)
-        return img[:, :, :3]  # drop alpha if present
+        elif img.shape[2] == 2:  # gray+alpha: luminance channel, alpha dropped
+            img = np.repeat(img[:, :, :1], 3, axis=2)
+        return img[:, :, :3]  # RGBA -> alpha dropped
     return _fake_decode(payload, width, height)
 
 
@@ -237,16 +239,24 @@ class AudioFeatureKernel:
             batch["media_id"].to_pylist(), batch["payload"].to_pylist()
         ):
             samples, rate = wav_decode(payload)
-            mono = samples.mean(axis=1)
+            # int32 first: np.abs(int16 -32768) wraps; int16**2 overflows
+            mono = samples.astype(np.int32).mean(axis=1)
             n = len(mono)
             out["media_id"].append(mid)
             out["n_samples"].append(n)
             out["sample_rate"].append(rate)
             out["duration_s"].append(n / rate)
+            if n == 0:  # structurally valid zero-length clip
+                out["rms"].append(0.0)
+                out["peak"].append(0.0)
+                out["zero_crossing_rate"].append(0.0)
+                continue
             out["rms"].append(float(np.sqrt(np.mean(mono**2))))
-            out["peak"].append(float(np.abs(samples).max()))
+            out["peak"].append(float(np.abs(samples.astype(np.int32)).max()))
             out["zero_crossing_rate"].append(
                 float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1])))
+                if n > 1
+                else 0.0
             )
         return pa.table(
             {

@@ -23,13 +23,9 @@ def _pool_cap(max_default: int = 4) -> int:
     before a sort; at small clusters two pools each allowed cpus/2
     actors starve the upstream read and the plan stalls (observed hard
     at num_cpus=4). Cap each pool at a quarter of the cluster, min 1."""
-    import ray
+    from ._cluster import cluster_cpus
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        cpus = 4
-    return max(1, min(max_default, cpus // 4))
+    return max(1, min(max_default, cluster_cpus(4) // 4))
 
 
 def _unit_rows(m: np.ndarray) -> np.ndarray:

@@ -861,3 +861,45 @@ def test_png_codec_property_roundtrip():
         assert back.shape == img.shape and (back == img).all()
 
     roundtrip()
+
+
+def test_decode_image_channel_contract():
+    """decode_image must return HxWx3 for every PNG color type."""
+    from python_rasterstats_ray.sources.png import png_encode
+    from python_rasterstats_ray.stages.multimodal import decode_image
+
+    rng = np.random.default_rng(7)
+    for ch in (1, 2, 3, 4):
+        shape = (5, 6) if ch == 1 else (5, 6, ch)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = decode_image(png_encode(img), 6, 5)
+        assert out.shape == (5, 6, 3), ch
+
+
+def test_wav_features_edge_cases():
+    """Full-scale negative peak must not wrap; zero-length clips must
+    produce zeros, not crash; truncated WAVs raise ValueError."""
+    import pytest as _pt
+
+    from python_rasterstats_ray.sources.wav import wav_decode, wav_encode
+    from python_rasterstats_ray.stages.multimodal import AudioFeatureKernel
+
+    clip = wav_encode(np.array([-32768, 5, -5], np.int16), 8000)
+    empty = wav_encode(np.zeros(0, np.int16), 8000)
+    tbl = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "payload": pa.array([clip, empty], pa.binary()),
+        }
+    )
+    out = AudioFeatureKernel()(tbl)
+    assert out["peak"].to_pylist() == [32768.0, 0.0]
+    assert out["rms"].to_pylist()[1] == 0.0
+    assert out["zero_crossing_rate"].to_pylist()[1] == 0.0
+    with _pt.raises(ValueError):
+        wav_decode(clip[:-6])  # truncated data chunk
+    from python_rasterstats_ray.sources.png import png_decode, png_encode
+
+    with _pt.raises(ValueError):
+        # cut into IDAT (past IEND's 12 bytes) -> declared length overruns
+        png_decode(png_encode(np.zeros((4, 4, 3), np.uint8))[:-20])
