@@ -6,9 +6,17 @@ here (or in the library) calls ray.init()/ray.shutdown().
 - ``entry()``: flagship web-pages pipeline on /root/testdata/sf0.001 —
   geotagged documents point-in-polygon joined to synthetic world zones,
   per-zone aggregates with a byte-identity sha digest per zone.
-- ``queries()``: one callable per implemented pipeline (SURVEY.md §2
-  inventory + training-data ops). SQL-expressible ones have a DuckDB
-  oracle in ``oracle_sql()``; the rest are rows-only checks.
+- ``queries()``: EXACTLY 50 entries (the driver's round-2 correctness
+  gate evaluated the first 50 in dict order, so the registry is an
+  explicit priority list): the zonal/point-query family FIRST — the
+  reason this repo exists — then flagship/checkpoint, then one entry
+  per distinct training-data operator family. SQL-expressible ones
+  have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
+- ``extra_queries()``: the 27 near-duplicate / variant pipelines pruned
+  from the driver window (VERDICT r2 #1). NOT part of the driver
+  contract — every one still runs against its DuckDB oracle in
+  ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
+  so pruning loses no verification, only a driver slot.
 """
 
 from __future__ import annotations
@@ -17,6 +25,105 @@ from collections.abc import Callable
 from typing import Any
 
 SF_SMOKE = "/root/testdata/sf0.001"
+
+# Driver registry: priority-ordered, exactly 50 names. Zonal/point first.
+DRIVER_QUERY_ORDER = [
+    # -- zonal / point-query family (SURVEY §2 core; 13)
+    "zonal_synthetic_tiled",
+    "zonal_synthetic_broadcast",
+    "zonal_all_touched",
+    "zonal_categorical",
+    "zonal_histogram",
+    "zonal_auto",
+    "zonal_edge",
+    "zonal_udfs",
+    "zonal_irregular_tiled",
+    "zonal_irregular_broadcast",
+    "point_query_synthetic",
+    "point_query_nearest",
+    "point_query_features",
+    # -- flagship north-rule pipelines (3)
+    "flagship_rect_zones",
+    "pages_pipeline",
+    "flagship_checkpointed",
+    # -- multimodal (1; PNG/WAV decode variants are pytest-gated extras)
+    "media_frame_sample",
+    # -- similarity / point index (3)
+    "embeddings_knn",
+    "knn_ivf_exact",
+    "knn_points_geo",
+    # -- dedup family (5)
+    "docs_exact_dedup",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "embedding_neardup",
+    "url_canonical_dedup",
+    # -- curation composite (1)
+    "corpus_curation",
+    # -- training-data text ops (7)
+    "docs_chunk",
+    "docs_dup_ngram_spans",
+    "docs_pack_sequences",
+    "docs_pii_scrub",
+    "docs_unigram_lm",
+    "docs_repetition",
+    "docs_decontaminate",
+    # -- text analysis (3)
+    "docs_token_stats",
+    "docs_quality",
+    "lang_id",
+    # -- sketches (2)
+    "docs_hll_sketch",
+    "pages_host_cms",
+    # -- temporal (5)
+    "events_windowed",
+    "events_hopping",
+    "events_sessions",
+    "events_asof_orders",
+    "events_session_attribution",
+    # -- joins (5)
+    "tpch_q1",
+    "tpch_q3",
+    "customers_no_orders",
+    "bucketed_revenue",
+    "orders_by_nation",
+    # -- graph (2)
+    "doc_pagerank",
+    "doc_link_components",
+]
+
+# Pruned variants: verified by pytest differential oracles instead of a
+# driver slot (near-duplicates of a driver entry, or weaker rows-only
+# versions of an oracle-backed driver entry).
+EXTRA_QUERY_ORDER = [
+    "docs_jaccard_pairs",
+    "orders_by_region",
+    "parts_by_brand",
+    "top_orders",
+    "top_docs_per_lang",
+    "docs_stratified_sample",
+    "pages_host_stats",
+    "customer_segments",
+    "events_by_type",
+    "events_sessionize",
+    "docs_dedup_filtered",
+    "docs_geocells",
+    "docs_pip_zones",
+    "tpch_q10",
+    "docs_inverted_index",
+    "docs_tfidf_top",
+    "docs_length_quantiles",
+    "docs_length_quantiles_by_lang",
+    "docs_bigrams",
+    "knn_points_partitioned",
+    "doc_fingerprint",
+    "flagship_zone_stats",
+    "minhash_pairs",
+    "simhash_signatures",
+    "knn_ivf",
+    "media_features",
+    "audio_features",
+]
 
 
 def entry() -> Any:
@@ -128,14 +235,14 @@ def _q_flagship_checkpointed(sf_dir: str):
     )
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
+def _all_queries() -> dict[str, Callable[[str], Any]]:
     from python_rasterstats_ray.pipelines.join_queries import JOIN_QUERIES
     from python_rasterstats_ray.pipelines.queries import QUERIES
-
     from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_QUERIES
 
     out = dict(QUERIES)
     out.update(JOIN_QUERIES)
+    out.update(ZONAL_QUERIES)
     out.update(
         {
             "minhash_pairs": _q_minhash_pairs,
@@ -149,10 +256,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pages_pipeline": _q_pages_pipeline,
         }
     )
-    # SQL-exact zonal / point-query family (rect zones + exploded pixel
-    # oracle; replaces the old rows-only synthetic variants by name)
-    out.update(ZONAL_QUERIES)
     return out
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    alls = _all_queries()
+    return {name: alls[name] for name in DRIVER_QUERY_ORDER}
+
+
+def extra_queries() -> dict[str, Callable[[str], Any]]:
+    alls = _all_queries()
+    return {name: alls[name] for name in EXTRA_QUERY_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -162,7 +276,18 @@ def oracle_sql() -> dict[str, str]:
     from python_rasterstats_ray.sources.oracle_fixtures import ensure_fixtures
 
     ensure_fixtures()  # the zonal oracles read exploded-pixel parquet
-    out = dict(ORACLE_SQL)
-    out.update(JOIN_ORACLE_SQL)
-    out.update(ZONAL_ORACLE_SQL)
-    return out
+    alls = dict(ORACLE_SQL)
+    alls.update(JOIN_ORACLE_SQL)
+    alls.update(ZONAL_ORACLE_SQL)
+    # Driver contract: oracles for the registered 50 only, in the same
+    # priority order. extra_oracle_sql() serves the pytest-gated rest.
+    return {n: alls[n] for n in DRIVER_QUERY_ORDER if n in alls}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    from python_rasterstats_ray.pipelines.join_queries import JOIN_ORACLE_SQL
+    from python_rasterstats_ray.pipelines.queries import ORACLE_SQL
+
+    alls = dict(ORACLE_SQL)
+    alls.update(JOIN_ORACLE_SQL)
+    return {n: alls[n] for n in EXTRA_QUERY_ORDER if n in alls}

@@ -83,6 +83,12 @@ def stage_inputs() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
     marker = f"{BENCH_DIR}/_staged_v2_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
     if os.path.exists(marker):
+        # The npy was added after the v2 marker: a host staged on the older
+        # layout would early-return without it and the broadcast bench /
+        # scaling control would FileNotFoundError — self-heal via
+        # _bench_raster (generates and saves the bit-identical array).
+        if not os.path.exists(f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy"):
+            _bench_raster()
         return
 
     def write_sharded(tbl: pa.Table, dirname: str, n_shards: int, row_group_size: int):
@@ -342,8 +348,12 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     n_zones = timed("zonal_tiled", bench_zonal_tiled)
     extras["zonal_tiled_zones_per_sec"] = round(n_zones / timings["zonal_tiled"], 2)
     t_warm = time.time()
-    warm_zonal_broadcast()  # untimed: see its docstring
-    extras["zonal_broadcast_warmup_sec"] = round(time.time() - t_warm, 3)
+    warm_zonal_broadcast()  # see its docstring
+    # The first full pass IS the cold run (every worker faults the mmap'd
+    # raster pages). Publish BOTH numbers: cold first-pass and the
+    # steady-state timed pass below (VERDICT r2 asked for the pair).
+    extras["zonal_broadcast_cold_sec"] = round(time.time() - t_warm, 3)
+    extras["zonal_broadcast_warmup_sec"] = extras["zonal_broadcast_cold_sec"]
     timed("zonal_broadcast", bench_zonal_broadcast)
     extras["zonal_broadcast_zones_per_sec"] = round(
         n_zones / timings["zonal_broadcast"], 2

@@ -2412,8 +2412,8 @@ tot AS (SELECT sum(c) AS t FROM vocab)
 SELECT k.doc_id,
        count(*) AS n_lm_tokens,
        CAST(0 AS BIGINT) AS n_oov,
-       sum(CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) * 1000000)
-                AS BIGINT)) AS lm_score_micronats
+       CAST(sum(CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) * 1000000)
+                AS BIGINT)) AS BIGINT) AS lm_score_micronats
 FROM toks k
 JOIN vocab v USING (tok)
 CROSS JOIN tot tt

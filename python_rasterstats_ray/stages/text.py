@@ -404,16 +404,20 @@ class UnigramLMKernel:
         )
         per_tok = dict_mn[codes]
         n = len(batch)
-        score = np.bincount(doc_idx, weights=per_tok.astype(np.float64), minlength=n)
+        # Integer scatter-add: float64 bincount weights are exact only
+        # while partial sums stay under 2^53 (~1.8e8 tokens/doc at the
+        # OOV floor); np.add.at on int64 keeps the bit-exact guarantee
+        # unconditionally.
+        score = np.zeros(n, dtype=np.int64)
+        np.add.at(score, doc_idx, per_tok)
         n_tok = np.bincount(doc_idx, minlength=n)
-        n_oov = np.bincount(
-            doc_idx, weights=(per_tok == self.OOV).astype(np.float64), minlength=n
-        )
+        n_oov = np.zeros(n, dtype=np.int64)
+        np.add.at(n_oov, doc_idx, (per_tok == self.OOV).astype(np.int64))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "n_lm_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
-                "n_oov": pa.array(n_oov.astype(np.int64), pa.int64()),
-                "lm_score_micronats": pa.array(score.astype(np.int64), pa.int64()),
+                "n_oov": pa.array(n_oov, pa.int64()),
+                "lm_score_micronats": pa.array(score, pa.int64()),
             }
         )

@@ -56,6 +56,15 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> list[str]:
     if len(ray_df) != len(sql_df):
         problems.append(f"row count differ: ray={len(ray_df)} sql={len(sql_df)}")
         return problems
+    # Representation gate (VERDICT r2 #3): the driver hashes raw values, so
+    # an int64-vs-float64 column with identical values still hash-mismatches
+    # (the docs_unigram_lm amber). Fail locally on any dtype divergence.
+    for c in sorted(ray_df.columns):
+        ad, bd = ray_df[c].dtype, sql_df[c].dtype
+        if str(ad) != str(bd):
+            problems.append(f"col {c} dtype differs: ray={ad} vs sql={bd}")
+    if problems:
+        return problems
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
@@ -75,8 +84,9 @@ def compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--no-extras"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import ray
 
@@ -92,8 +102,11 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = dict(entrymod.queries())
+    oracles = dict(entrymod.oracle_sql())
+    if "--no-extras" not in sys.argv:
+        qs.update(entrymod.extra_queries())
+        oracles.update(entrymod.extra_oracle_sql())
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
