@@ -64,11 +64,14 @@ class _BucketJoin:
         self.key_a, self.key_b = key_a, key_b
         self.join_type = join_type
         self.columns_a, self.columns_b = columns_a, columns_b
-        # joined schema for empty buckets: join two empty tables once
-        ea = self._empty(path_a, columns_a)
-        eb = self._empty(path_b, columns_b)
-        self.empty = ea.join(
-            eb, keys=[key_a], right_keys=[key_b], join_type=join_type
+        # empty per-side schemas: a bucket missing on ONE side must still
+        # join (left/full outer, anti joins keep the present side's rows);
+        # joining against the empty table gives the right semantics for
+        # every Arrow join_type instead of silently dropping rows.
+        self.empty_a = self._empty(path_a, columns_a)
+        self.empty_b = self._empty(path_b, columns_b)
+        self.empty = self.empty_a.join(
+            self.empty_b, keys=[key_a], right_keys=[key_b], join_type=join_type
         )
 
     @staticmethod
@@ -92,16 +95,20 @@ class _BucketJoin:
         for bucket in batch["bucket"].to_pylist():
             a = self._read(self.path_a, self.columns_a, bucket)
             b = self._read(self.path_b, self.columns_b, bucket)
-            if a is None or b is None or len(a) == 0 or len(b) == 0:
+            if (a is None or len(a) == 0) and (b is None or len(b) == 0):
                 continue
-            out.append(
-                a.join(
-                    b,
-                    keys=[self.key_a],
-                    right_keys=[self.key_b],
-                    join_type=self.join_type,
-                )
+            if a is None or len(a) == 0:
+                a = self.empty_a
+            if b is None or len(b) == 0:
+                b = self.empty_b
+            joined = a.join(
+                b,
+                keys=[self.key_a],
+                right_keys=[self.key_b],
+                join_type=self.join_type,
             )
+            if len(joined):
+                out.append(joined)
         if not out:
             return self.empty
         return pa.concat_tables(out, promote_options="default")

@@ -141,6 +141,45 @@ def test_bucketed_join_matches_local_join(ray_session, tmp_path):
     assert got.equals(exp)
 
 
+@pytest.mark.parametrize(
+    "join_type", ["left outer", "left anti", "full outer", "left semi"]
+)
+def test_bucketed_join_one_sided_buckets(ray_session, tmp_path, join_type):
+    """Buckets present on only ONE side must still honor outer/anti
+    semantics: a tiny right side leaves most bucket dirs missing, and a
+    left-preserving join must keep the left rows there (previously those
+    buckets were skipped entirely)."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    rng = np.random.RandomState(7)
+    a = pa.table(
+        {
+            "k": pa.array(rng.randint(0, 50, 200), pa.int64()),
+            "x": pa.array(rng.randint(0, 9, 200), pa.int64()),
+        }
+    )
+    # right side has a single key => only one bucket dir exists on disk
+    b = pa.table(
+        {
+            "kk": pa.array([7, 7, 9], pa.int64()),
+            "y": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    pa_dir = write_bucketed(ray.data.from_arrow(a), "k", 8, str(tmp_path / "a"))
+    pb_dir = write_bucketed(ray.data.from_arrow(b), "kk", 8, str(tmp_path / "b"))
+
+    out = bucketed_join(
+        pa_dir, pb_dir, "k", "kk", 8, join_type=join_type, concurrency=(1, 2)
+    ).to_pandas()
+    expect = a.join(b, keys=["k"], right_keys=["kk"], join_type=join_type).to_pandas()
+    cols = sorted(expect.columns)
+    got = out[cols].sort_values(cols).reset_index(drop=True)
+    exp = expect[cols].sort_values(cols).reset_index(drop=True)
+    assert got.equals(exp), f"{join_type}: {len(got)} vs {len(exp)} rows"
+
+
 def _naive_pagerank(n, n_iter):
     from python_rasterstats_ray.stages.graph import (
         EDGE_A,
