@@ -96,6 +96,8 @@ def q_tpch_q3(sf_dir: str):
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.less(batch["o_orderdate"], pa.scalar(Q3_CUTOFF)))
+            if len(self.bkeys) == 0:  # no BUILDING customers: filter all
+                return t.slice(0, 0).drop_columns(["o_custkey"])
             ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.searchsorted(self.bkeys, ck)
             pos[pos >= len(self.bkeys)] = 0

@@ -97,22 +97,31 @@ class _BroadcastJoinKernel:
     """Actor-pool kernel: right side fetched from the object store once
     per actor (zero-copy plasma reads), each batch joined locally."""
 
-    def __init__(self, refs, key_l, key_r, join_type):
+    def __init__(self, refs, key_l, key_r, join_type, right_schema=None):
         import ray
 
         import pyarrow as pa
 
-        tables = [t for t in ray.get(list(refs)) if t is not None]
-        self.right = (
-            pa.concat_tables(tables, promote_options="default") if tables else None
-        )
+        # zero-row blocks can carry a degenerate (column-less) schema in
+        # Ray 2.49 — treat them as absent and rebuild from right_schema
+        tables = [t for t in ray.get(list(refs)) if t is not None and len(t)]
+        if tables:
+            self.right = pa.concat_tables(tables, promote_options="default")
+        elif isinstance(right_schema, pa.Schema):
+            # zero right blocks: join against the empty table so the
+            # output schema (null-filled right columns for left outer)
+            # matches the non-empty and hash-shuffle plans
+            self.right = right_schema.empty_table()
+        else:
+            self.right = None
         self.key_l, self.key_r = list(key_l), list(key_r)
         self.join_type = join_type.replace("_", " ")  # Arrow spells "left outer"
 
     def __call__(self, batch):
         if self.right is None:
-            # no right blocks at all: left rows survive only for
-            # left-preserving types
+            # no right blocks AND no schema: left rows survive only for
+            # left-preserving types (left outer loses the right columns
+            # here — callers pass right_schema to avoid this)
             return batch if self.join_type in ("left outer", "left anti") else batch.slice(0, 0)
         return batch.join(
             self.right,
@@ -131,6 +140,7 @@ def join_auto(
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
     num_partitions: Optional[int] = None,
     concurrency=(1, 8),
+    right_schema=None,
 ):
     """Plan a join: broadcast the right side if its (metadata-estimated)
     size fits under ``broadcast_threshold_bytes`` and the join type
@@ -141,6 +151,11 @@ def join_auto(
     the physical plan; the broadcast path ships the right side ONCE into
     the object store and every actor joins its batches locally with a
     vectorized Arrow hash join — no exchange of the (large) left side.
+
+    ``right_schema`` (a ``pyarrow.Schema``) keeps a left-outer join's
+    output schema stable when the right side can be EMPTY: normally it
+    is auto-captured from ``right``, but a fully row-lambda-filtered
+    Dataset loses its schema in Ray 2.49 — pass it explicitly there.
     """
     est = None
     try:
@@ -154,9 +169,17 @@ def join_auto(
     ):
         r_on = list(right_on) if right_on is not None else list(on)
         refs = right.to_arrow_refs()
+        rschema = right_schema
+        if rschema is None:
+            try:  # cheap post-materialize; keeps the empty-right schema stable
+                rschema = getattr(
+                    right.schema(fetch_if_missing=False), "base_schema", None
+                )
+            except Exception:
+                rschema = None
         return left.map_batches(
             _BroadcastJoinKernel,
-            fn_constructor_args=(refs, list(on), r_on, join_type),
+            fn_constructor_args=(refs, list(on), r_on, join_type, rschema),
             batch_format="pyarrow",
             zero_copy_batch=True,
             concurrency=concurrency,

@@ -57,6 +57,39 @@ def test_join_auto_paths_agree(ray_session, threshold):
     assert sorted((r["k"], r["a"]) for r in anti.take_all()) == [(1, "a"), (5, "e")]
 
 
+def test_join_auto_broadcast_empty_right_schema(ray_session):
+    """Broadcast left-outer join against a ZERO-row right side must still
+    emit the right side's null-filled columns — same schema as the
+    non-empty broadcast and hash-shuffle plans."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import join_auto
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2], pa.int64()), "a": pa.array(["p", "q"])})
+    )
+    rt = pa.table({"kk": pa.array([], pa.int64()), "b": pa.array([], pa.string())})
+    # auto-captured schema: an empty (zero-row) Arrow-backed right side
+    out = join_auto(
+        left, ray.data.from_arrow(rt), on=("k",), right_on=("kk",),
+        join_type="left_outer", broadcast_threshold_bytes=1 << 30,
+        concurrency=(1, 2),
+    ).to_pandas()
+    assert sorted(out.columns) == ["a", "b", "k"]
+    assert len(out) == 2 and out["b"].isna().all()
+
+    # Ray loses the schema of a fully row-lambda-filtered Dataset —
+    # the explicit right_schema override covers that degenerate case
+    gone = ray.data.from_arrow(rt).filter(lambda r: False)
+    out2 = join_auto(
+        left, gone, on=("k",), right_on=("kk",), join_type="left_outer",
+        broadcast_threshold_bytes=1 << 30, concurrency=(1, 2),
+        right_schema=rt.schema,
+    ).to_pandas()
+    assert sorted(out2.columns) == ["a", "b", "k"]
+    assert len(out2) == 2 and out2["b"].isna().all()
+
+
 def test_partitioned_knn_matches_inmemory(ray_session, tmp_path):
     """Disk-partitioned point store must reproduce the in-memory
     GridIndex kNN exactly — including far-outside queries and boundary
