@@ -31,6 +31,7 @@ from collections.abc import Callable
 
 from .. import __version__
 from .webpages import xor_digest
+from ..stages._cluster import pool
 
 
 def _lineage_path(out_dir: str, name: str) -> str:
@@ -192,7 +193,7 @@ def checkpointed_flagship(
             PIPZoneKernel,
             fn_constructor_kwargs=dict(zones_ref=zones_ref),
             batch_format="pyarrow",
-            concurrency=(1, 4),
+            concurrency=pool(),
             zero_copy_batch=True,
         )
 

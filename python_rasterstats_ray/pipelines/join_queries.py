@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
+from ..stages._cluster import pool
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -104,7 +105,7 @@ def q_tpch_q3(sf_dir: str):
             return t.filter(pa.array(self.bkeys[pos] == ck)).drop_columns(["o_custkey"])
 
     orders_f = orders.map_batches(
-        OrderFilter, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        OrderFilter, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
     )
 
     joined = hash_equi_join(li_agg, orders_f, on=("l_orderkey",), right_on=("o_orderkey",))
@@ -251,7 +252,7 @@ def q_tpch_q10(sf_dir: str):
             )
 
     top = j2.map_batches(
-        Finish, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4)
+        Finish, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
     )
     return top.sort(["revenue", "c_custkey"], descending=[True, False]).limit(20)
 
@@ -393,7 +394,7 @@ def q_docs_tfidf_top(sf_dir: str):
             )
 
     return ds.map_batches(
-        TfIdfTop, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        TfIdfTop, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
     )
 
 

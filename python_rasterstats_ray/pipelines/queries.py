@@ -22,6 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+from ..stages._cluster import pool
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data
@@ -182,7 +184,7 @@ def q_orders_by_nation(sf_dir: str):
             )
 
     partials = ds.map_batches(
-        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        Lookup, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
     def final(g: pa.Table) -> pa.Table:
@@ -248,7 +250,7 @@ def q_parts_by_brand(sf_dir: str):
             )
 
     partials = ds.map_batches(
-        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        Lookup, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
     def final(g: pa.Table) -> pa.Table:
@@ -1014,7 +1016,7 @@ def q_docs_pip_zones(sf_dir: str):
             )
 
     partials = ds.map_batches(
-        PIPKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        PIPKernel, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
     def final(g: pa.Table) -> pa.Table:
@@ -1273,7 +1275,7 @@ def q_orders_by_region(sf_dir: str):
             )
 
     partials = ds.map_batches(
-        Lookup, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        Lookup, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
     def final(g: pa.Table) -> pa.Table:
@@ -1486,7 +1488,7 @@ def _md5_verified_pairs(pairs_ds, base: pa.Table, dup: pa.Table):
             return batch.filter(pa.array(keep)).select(["id_a", "id_b"])
 
     return pairs_ds.map_batches(
-        Verify, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+        Verify, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
 
 
@@ -1514,7 +1516,7 @@ def q_simhash_dup_pairs(sf_dir: str):
     base, dup = _planted_dup_docs(sf_dir)
     ds = ray.data.from_arrow(base).union(ray.data.from_arrow(dup))
     sigs = ds.map_batches(
-        SimHashKernel, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+        SimHashKernel, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
 
     def sig_pairs(group: pa.Table) -> pa.Table:
@@ -1586,7 +1588,7 @@ def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200)
             return out.filter(pa.array(keep))
 
     return cands.map_batches(
-        Verify, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+        Verify, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
 
 
@@ -1627,7 +1629,7 @@ def q_media_frame_sample(sf_dir: str):
         f"{ORACLE_DIR}/media.parquet", columns=["media_id", "payload", "n_frames"]
     )
     out = ds.map_batches(
-        FrameSampleKernel, batch_format="pyarrow", concurrency=(1, 2), zero_copy_batch=True
+        FrameSampleKernel, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
 
     def to_hex(batch: pa.Table) -> pa.Table:
@@ -1672,7 +1674,7 @@ def q_lang_id(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(
-        LangIdKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        LangIdKernel, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
     def project(batch: pa.Table) -> pa.Table:
@@ -1738,7 +1740,7 @@ def q_flagship_rect_zones(sf_dir: str):
         PIPZoneKernel,
         fn_constructor_kwargs=dict(zones_ref=zones_ref),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool(),
         zero_copy_batch=True,
     )
 
@@ -2244,7 +2246,7 @@ def q_docs_decontaminate(sf_dir: str):
         DecontaminateKernel,
         fn_constructor_kwargs=dict(gram_set_ref=ref, ngram=DECONTAM_NGRAM),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool(),
         zero_copy_batch=True,
     )
 
@@ -2396,7 +2398,7 @@ def q_docs_unigram_lm(sf_dir: str):
         UnigramLMKernel,
         fn_constructor_kwargs=dict(vocab_ref=ref),
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=pool(),
         zero_copy_batch=True,
     )
 

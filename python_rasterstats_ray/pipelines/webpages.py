@@ -30,6 +30,7 @@ import pyarrow as pa
 from ..functions.geometry import from_wkb
 from ..functions.pip import points_in_geom
 from ..sources.synthetic import generate_zones
+from ..stages._cluster import pool
 
 
 def sha256_hex(texts: list[str]) -> list[str]:
@@ -125,7 +126,7 @@ def pages_pipeline(
     n_pages: int = 20_000,
     n_zones: int = 24,
     seed: int = 42,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """The north-rule pipeline over the exact input-hint schema
     (url:string, warc_ts:timestamp, html:binary, text:string, lang:string):
@@ -169,7 +170,7 @@ def pages_pipeline(
         PIPZoneKernel,
         fn_constructor_kwargs=dict(zones_ref=zones_ref),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or pool(),
         zero_copy_batch=True,
     )
 
@@ -221,7 +222,7 @@ def flagship_pipeline(
     n_zones: int = 24,
     id_col: str = "doc_id",
     text_col: str = "text",
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """documents table as the page corpus -> enriched + zone-joined rows.
 
@@ -247,7 +248,7 @@ def flagship_pipeline(
         PIPZoneKernel,
         fn_constructor_kwargs=dict(zones_ref=zones_ref),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=concurrency or pool(),
         zero_copy_batch=True,
     )
 

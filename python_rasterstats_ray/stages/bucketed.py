@@ -123,11 +123,15 @@ def bucketed_join(
     join_type: str = "inner",
     columns_a=None,
     columns_b=None,
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Join two bucketed layouts with zero shuffle: one task per bucket,
     each a pruned read of bucket i from both sides + a local Arrow join."""
     import ray.data
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     buckets = ray.data.from_arrow(
         pa.table({"bucket": pa.array(range(n_buckets), pa.int64())})

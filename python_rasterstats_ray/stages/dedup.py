@@ -158,7 +158,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     text_col: str = "text",
     id_col: str = "doc_id",
-    concurrency=(1, 8),
+    concurrency=None,
     max_bucket_size: int = 512,
 ):
     """Candidate near-duplicate pairs via MinHash LSH banding: docs whose
@@ -166,6 +166,10 @@ def minhash_lsh_pairs(
     id_a < id_b. Buckets larger than ``max_bucket_size`` emit a chain
     instead of all pairs (see bucket_pairs) so one hot bucket cannot
     explode quadratically."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     banded = docs_ds.map_batches(
         MinHashKernel,
         fn_constructor_kwargs=dict(

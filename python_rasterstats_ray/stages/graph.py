@@ -154,7 +154,15 @@ def connected_components(
 
 
 def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None = None):
-    """n_iter integer-PageRank supersteps; returns Dataset(node, pr)."""
+    """n_iter integer-PageRank supersteps; returns Dataset(node, pr).
+
+    General graphs: out-degree is computed FROM the edge table (one
+    edge-sized join at setup, amortized over all supersteps), and every
+    node seeds each superstep's aggregate with a zero contribution, so
+    source nodes (zero in-edges) keep their teleport rank and sink nodes
+    (zero out-edges) simply contribute nothing — no rows are dropped.
+    pr_{t+1}(v) = TELEPORT + DAMP * sum_{(u,v) in E} pr_t(u) // outdeg(u).
+    """
     from ray.data.aggregate import Sum
 
     def init_pr(batch: pa.Table) -> pa.Table:
@@ -176,16 +184,48 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
     if num_partitions is None:
         # materialized -> count() is block-metadata only, no execution
         num_partitions = _auto_join_partitions(edges_ds.count())
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"src": batch["src"]})
+        return (
+            t.group_by("src").aggregate([([], "count_all")])
+            .rename_columns(["src", "deg"])
+        )
+
+    outdeg = (
+        edges_ds.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("src")
+        .aggregate(Sum("deg"))
+    )
+
+    def deg_finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["src"], "deg": batch["sum(deg)"].cast(pa.int64())})
+
+    outdeg = outdeg.map_batches(deg_finish, batch_format="pyarrow", zero_copy_batch=True)
+    # one edge-sized join, ONCE — every superstep then reads (src, dst, deg)
+    edges_deg = hash_equi_join(
+        edges_ds, outdeg, on=("src",), right_on=("node",), num_partitions=num_partitions
+    ).materialize()
+
+    def zero_seed(batch: pa.Table) -> pa.Table:
+        node = batch.column(0).cast(pa.int64())
+        return pa.table(
+            {"dst": node, "c": pa.array(np.zeros(len(batch), np.int64))}
+        )
+
+    zeros = nodes_ds.map_batches(
+        zero_seed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
     pr = nodes_ds.map_batches(init_pr, batch_format="pyarrow", zero_copy_batch=True)
 
     def contrib_partial(batch: pa.Table) -> pa.Table:
-        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         prv = batch["pr"].to_numpy(zero_copy_only=False).astype(np.int64)
-        outdeg = 1 + src % 4
+        deg = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
         t = pa.table(
             {
                 "dst": batch["dst"],
-                "c": pa.array(prv // outdeg, pa.int64()),
+                "c": pa.array(prv // deg, pa.int64()),
             }
         )
         return (
@@ -205,13 +245,14 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
 
     for _ in range(n_iter):
         joined = hash_equi_join(
-            edges_ds, pr, on=("src",), right_on=("node",), num_partitions=num_partitions
+            edges_deg, pr, on=("src",), right_on=("node",), num_partitions=num_partitions
         )
         partial = joined.map_batches(
             contrib_partial, batch_format="pyarrow", zero_copy_batch=True
         )
         pr = (
-            partial.groupby("dst")
+            partial.union(zeros)
+            .groupby("dst")
             .aggregate(Sum("c"))
             .map_batches(update, batch_format="pyarrow", zero_copy_batch=True)
             .materialize()

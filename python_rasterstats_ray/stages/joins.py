@@ -139,7 +139,7 @@ def join_auto(
     join_type: str = "inner",
     broadcast_threshold_bytes: int = DEFAULT_BROADCAST_BYTES,
     num_partitions: Optional[int] = None,
-    concurrency=(1, 8),
+    concurrency=None,
     right_schema=None,
 ):
     """Plan a join: broadcast the right side if its (metadata-estimated)
@@ -157,6 +157,10 @@ def join_auto(
     is auto-captured from ``right``, but a fully row-lambda-filtered
     Dataset loses its schema in Ray 2.49 — pass it explicitly there.
     """
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     est = None
     try:
         est = right.size_bytes()

@@ -56,12 +56,16 @@ def knn_points(
     ref_ids: np.ndarray,
     k: int = 5,
     cell: float | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     **cols,
 ):
     """Queries Dataset (pt_id, x, y) x reference points -> top-k rows
     (query_id, neighbor_id, distance_sq, knn_rank)."""
     import ray
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     if cell is None:
         # ~1 point per grid bucket on average
@@ -114,10 +118,14 @@ class PartitionedKnnKernel:
 
 
 def knn_points_from_store(queries_ds, store_path: str, block: float, k: int = 5,
-                          concurrency=(1, 8), **cols):
+                          concurrency=None, **cols):
     """Queries Dataset (pt_id, x, y) against a partitioned point store ->
     same (query_id, neighbor_id, distance_sq, knn_rank) rows as
     ``knn_points`` — exact, without ever holding the reference set."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     return queries_ds.map_batches(
         PartitionedKnnKernel,
         fn_constructor_kwargs=dict(store_path=store_path, block=block, k=k, **cols),

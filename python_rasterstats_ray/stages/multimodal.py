@@ -180,10 +180,14 @@ class FrameSampleKernel:
         )
 
 
-def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=(1, 4),
+def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=None,
                            batch_size: int = 32):
     """read -> actor-pool decode/resize -> per-item features. batch_size is
     deliberately small: payload x batch x concurrency bounds worker heap."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     return media_ds.map_batches(
         DecodeImageKernel,
         fn_constructor_kwargs=dict(target_size=target_size),
@@ -271,7 +275,11 @@ class AudioFeatureKernel:
         )
 
 
-def audio_feature_pipeline(media_ds, concurrency=(1, 4), batch_size: int = 32):
+def audio_feature_pipeline(media_ds, concurrency=None, batch_size: int = 32):
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     return media_ds.map_batches(
         AudioFeatureKernel,
         batch_format="pyarrow",

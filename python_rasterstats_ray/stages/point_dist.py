@@ -139,11 +139,15 @@ def point_query_features(
     *,
     interpolate: str = "bilinear",
     geom_col: str = "geom_wkb",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 1024,
 ):
     """Features Dataset (with WKB geometry) -> per-vertex value lists."""
     import ray
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     if isinstance(raster, tuple):
         arr, affine, nodata = raster
@@ -171,12 +175,16 @@ def point_query_broadcast(
     interpolate: str = "bilinear",
     x_col: str = "x",
     y_col: str = "y",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 4096,
 ):
     """Points Dataset x in-memory raster -> Dataset with a ``value`` column
     (null where masked/off-grid, matching oracle None semantics)."""
     import ray
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     if isinstance(raster, tuple):
         arr, affine, nodata = raster

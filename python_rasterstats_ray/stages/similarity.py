@@ -17,15 +17,17 @@ import numpy as np
 import pyarrow as pa
 
 
-def _pool_cap(max_default: int = 4) -> int:
+def _pool_cap() -> int:
     """Actor-pool size cap that leaves CPU headroom for the read/sort
     operators feeding the pool. The IVF plan chains TWO actor pools
     before a sort; at small clusters two pools each allowed cpus/2
     actors starve the upstream read and the plan stalls (observed hard
-    at num_cpus=4). Cap each pool at a quarter of the cluster, min 1."""
-    from ._cluster import cluster_cpus
+    at num_cpus=4). Cap each pool at a quarter of the cluster, min 1 —
+    sized from the cluster, no absolute ceiling (a fixed cap would idle
+    most of a multi-node fleet)."""
+    from ._cluster import pool_cap
 
-    return max(1, min(max_default, cluster_cpus(4) // 4))
+    return pool_cap(divisor=4)
 
 
 def _unit_rows(m: np.ndarray) -> np.ndarray:
@@ -75,12 +77,16 @@ def knn_embeddings(
     k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Global cosine top-k per query. ``queries`` = (query_ids, query_matrix).
     Returns Dataset (query_id, neighbor_id, cosine, rank) with rank 1..k by
     descending cosine (ties broken by neighbor_id ascending)."""
     import ray
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     queries_ref = ray.put(queries)
     partials = emb_ds.map_batches(

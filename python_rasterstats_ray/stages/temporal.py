@@ -263,7 +263,7 @@ def asof_join(
     build_ts_col: str,
     build_id_col: str,
     build_key_col: str | None = None,
-    concurrency=(1, 4),
+    concurrency=None,
 ):
     """Probe Dataset x small build table -> probe rows + ``asof_id``.
 
@@ -272,6 +272,10 @@ def asof_join(
     wins (deterministic and SQL-reproducible via ORDER BY ts DESC, id
     DESC)."""
     import ray
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
 
     bkey = build_key_col or key_col
     build: dict[int, tuple[np.ndarray, np.ndarray]] = {}

@@ -358,7 +358,7 @@ def zonal_stats_broadcast(
     add_stats=None,
     raster_out: bool = False,
     geom_col: str = "geom_wkb",
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 64,
     compute: str = "actors",
     cache_token: str | None = None,
@@ -388,6 +388,10 @@ def zonal_stats_broadcast(
 
     import ray
 
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
     if compute not in ("actors", "tasks"):
         raise ValueError(f"compute must be 'actors' or 'tasks', got {compute!r}")
     if isinstance(raster, tuple):
@@ -1131,24 +1135,33 @@ def attach_zone_columns(stats_ds, zones_ds, columns: list[str], zone_col: str = 
     and map it onto the stats rows — no shuffle join."""
     import ray
 
-    zmap_tbl = zones_ds.select_columns([zone_col] + columns).to_pandas()
-    lookup = dict(
-        zip(
-            (int(z) for z in zmap_tbl[zone_col]),
-            zip(*(zmap_tbl[c] for c in columns)),
-        )
+    zmap_tbl = (
+        zones_ds.select_columns([zone_col] + columns)
+        .to_pandas()
+        .sort_values(zone_col)
+        .reset_index(drop=True)
     )
-    ref = ray.put(lookup)
+    zkeys = zmap_tbl[zone_col].to_numpy().astype(np.int64)
+    ztab = pa.Table.from_pandas(zmap_tbl[columns], preserve_index=False)
+    ref = ray.put((zkeys, ztab))
 
     def attach(batch: pa.Table) -> pa.Table:
         import ray as _r
 
-        m = _r.get(ref)
-        zids = batch[zone_col].to_numpy(zero_copy_only=False)
+        zkeys, ztab = _r.get(ref)
+        zids = batch[zone_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # sorted-key searchsorted gather (no per-row Python): missing
+        # zone_ids take a masked index -> null columns
+        if len(zkeys):
+            pos = np.clip(np.searchsorted(zkeys, zids), 0, len(zkeys) - 1)
+            hit = zkeys[pos] == zids
+        else:
+            pos = np.zeros(len(zids), dtype=np.int64)
+            hit = np.zeros(len(zids), dtype=bool)
+        idx = pa.array(pos, pa.int64(), mask=~hit)
         out = batch
-        for ci, cname in enumerate(columns):
-            vals = [m.get(int(z), (None,) * len(columns))[ci] for z in zids]
-            out = out.append_column(cname, pa.array(vals))
+        for cname in columns:
+            out = out.append_column(cname, ztab[cname].take(idx))
         return out
 
     return stats_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
@@ -1277,7 +1290,7 @@ def zonal_stats_auto(
     window_px_budget: int = 4_000_000,
     tile_size: int = DEFAULT_TILE_SIZE,
     geom_col: str = "geom_wkb",
-    concurrency=(1, 8),
+    concurrency=None,
 ):
     """Hybrid physical plan: zones whose snapped window exceeds
     ``window_px_budget`` pixels (mega-polygons — whole-window stragglers on
@@ -1290,6 +1303,11 @@ def zonal_stats_auto(
 
     from ..sources.tiles import raster_to_tiles_table
 
+    if concurrency is None:
+        # both the broadcast and tiled sub-plans run in this one plan
+        from ._cluster import pool
+
+        concurrency = pool(divisor=2)
     if isinstance(raster, tuple):
         arr, affine, nodata = raster
     else:

@@ -249,6 +249,48 @@ def test_pagerank_matches_naive(ray_session):
     assert out == _naive_pagerank(n, 3)
 
 
+def test_pagerank_sink_source_isolated(ray_session):
+    """General graphs: a source (no in-edges) keeps its teleport rank, a
+    sink (no out-edges) contributes nothing, an isolated node still gets
+    a rank row — none of them may drop out of the iterative joins."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT,
+        PR_TELEPORT,
+        pagerank_int,
+    )
+
+    # 0 -> 1, 0 -> 2, 1 -> 2 ; node 0 source, node 2 sink, node 3 isolated
+    edge_list = [(0, 1), (0, 2), (1, 2)]
+    n = 4
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edge_list], pa.int64()),
+                "dst": pa.array([e[1] for e in edge_list], pa.int64()),
+            }
+        )
+    )
+    n_iter = 3
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank_int(edges, nodes, n_iter=n_iter, num_partitions=2).take_all()
+    }
+
+    deg = {0: 2, 1: 1, 2: 0, 3: 0}
+    pr = {d: PR_INIT for d in range(n)}
+    for _ in range(n_iter):
+        acc = {d: 0 for d in range(n)}
+        for s, t in edge_list:
+            acc[t] += pr[s] // deg[s]
+        pr = {d: PR_TELEPORT + (PR_DAMP_NUM * acc[d]) // PR_DAMP_DEN for d in range(n)}
+    assert out == pr
+
+
 def test_pagerank_every_node_has_inedges():
     # map k=0 is a bijection mod n (gcd(EDGE_A[0], n)=1 for our corpus
     # sizes) so no rank row ever drops out of the iterative joins
