@@ -423,13 +423,60 @@ FROM agg
 
 
 def _irregular_sql(zset: str) -> str:
-    """Aggregate the sequential-oracle exploded membership rows; empty
-    zones survive through the LEFT JOIN against the zone list."""
+    """Closed-form SQL for IRREGULAR polygon zones: membership is derived
+    by even-odd edge-crossing parity at pixel centers over the
+    generator-written vertex table — the engine's rasterizer is NOT in
+    the loop (it used to write an exploded membership parquet; now both
+    sides compute the mask independently).
+
+    Mirrors ``_fill_polygon_evenodd`` exactly (single-polygon zones):
+    pixel (r, c) is inside iff the count of ring edges crossing the
+    horizontal line y = H - r - 0.5 at x <= c + 0.5 is odd, with the
+    half-open rule (y0 < cy) != (y1 < cy). Fixture jitter keeps vertices
+    off pixel-center ordinates, so strict-vs-nonstrict never bites.
+    The window enumerated per zone replicates ``bounds_window`` (floor on
+    (w, n), ceil on (e, s)); beyond-extent pixels fail the LEFT JOIN to
+    the pixel table and count as boundless nodata fill, matching the
+    engine's boundless_array semantics."""
+    h = HOLES_H
     return f"""
-WITH m AS (
-  SELECT zone_id, val, is_nodata
-  FROM read_parquet('{ORACLE_DIR}/irregular_membership.parquet')
+WITH v AS (
+  SELECT zone_id, ring_idx, vertex_idx, x, y
+  FROM read_parquet('{ORACLE_DIR}/irregular_vertices.parquet')
   WHERE zset = '{zset}'
+),
+edges AS (
+  SELECT a.zone_id, a.x AS x0, a.y AS y0, b.x AS x1, b.y AS y1
+  FROM v a JOIN v b
+    ON a.zone_id = b.zone_id AND a.ring_idx = b.ring_idx
+   AND b.vertex_idx = a.vertex_idx + 1
+),
+bb AS (
+  SELECT zone_id, min(x) AS xmin, min(y) AS ymin, max(x) AS xmax, max(y) AS ymax
+  FROM v GROUP BY zone_id
+),
+series AS (SELECT range AS i FROM range(-256, 1024)),
+cells AS (
+  SELECT bb.zone_id, r.i AS row, c.i AS col
+  FROM bb
+  JOIN series r ON r.i >= CAST(floor({h} - bb.ymax) AS BIGINT)
+               AND r.i <  CAST(ceil({h} - bb.ymin) AS BIGINT)
+  JOIN series c ON c.i >= CAST(floor(bb.xmin) AS BIGINT)
+               AND c.i <  CAST(ceil(bb.xmax) AS BIGINT)
+),
+inside AS (
+  SELECT cl.zone_id, cl.row, cl.col
+  FROM cells cl JOIN edges e ON e.zone_id = cl.zone_id
+  WHERE ((e.y0 < ({h} - cl.row - 0.5)) != (e.y1 < ({h} - cl.row - 0.5)))
+    AND e.x0 + (({h} - cl.row - 0.5) - e.y0) * (e.x1 - e.x0) / (e.y1 - e.y0)
+        <= (cl.col + 0.5)
+  GROUP BY cl.zone_id, cl.row, cl.col
+  HAVING count(*) % 2 = 1
+),
+m AS (
+  SELECT i.zone_id, p.val, coalesce(p.is_nodata, TRUE) AS is_nodata
+  FROM inside i
+  LEFT JOIN {_px("holes")} p ON p.row = i.row AND p.col = i.col
 ),
 z AS (
   SELECT zone_id FROM read_parquet('{ORACLE_DIR}/irregular_zones.parquet')

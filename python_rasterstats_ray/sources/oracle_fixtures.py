@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..functions.affine import Affine
 from ..functions.geometry import make_box, to_wkb
 
-ORACLE_DIR = "/tmp/prsr_oracle_v4"
+ORACLE_DIR = "/tmp/prsr_oracle_v5"
 
 HOLES_SHAPE = (512, 512)
 CLASSES_SHAPE = (384, 384)
@@ -240,50 +240,47 @@ def irregular_zone_table(zset: str) -> pa.Table:
     return t.select(["zone_id", "geom_wkb"])
 
 
-def _write_irregular_membership(tmp_dir: str) -> None:
-    """Explode per-zone geometry-mask pixels with the SEQUENTIAL oracle
-    path (boundless window read + scanline rasterize — functions/, the
-    code the reference goldens and rect-arithmetic tests pin), so DuckDB
-    can aggregate irregular-polygon zonal stats with the distributed
-    tiling/shuffle/merge machinery fully out of the oracle loop.
+def _write_irregular_vertices(tmp_dir: str) -> None:
+    """Write the irregular zones' CLOSED ring vertex streams so the SQL
+    oracle can derive pixel membership itself via even-odd edge-crossing
+    parity at pixel centers (the ``docs_pip_zones`` trick) — NO engine
+    rasterization anywhere in the oracle loop. The vertices are exactly
+    the generator's (``generate_zones``) ring coordinates, round-tripped
+    through the property-tested WKB codec.
 
-    Rows: (zset, zone_id, val DOUBLE, is_nodata BOOL) — one per pixel
-    under the geometry mask, including boundless out-of-extent nodata
-    fill (they count toward the reference's nodata stat)."""
-    from ..functions.rasterize import rasterize_geom
-    from ..functions.windows import boundless_array, bounds_window, window_affine
+    Rows: (zset, zone_id, ring_idx, vertex_idx, x, y); consecutive
+    vertex_idx within a (zone, ring) form an edge, last == first."""
     from ..functions.geometry import from_wkb
 
-    arr, affine, nodata = oracle_raster("holes")
-    zs, zid_col, val_col, nod_col = [], [], [], []
+    zs, zid_col, ring_col, vidx_col, x_col, y_col = [], [], [], [], [], []
     for zset in ("tiled", "broadcast"):
         tbl = irregular_zone_table(zset)
         for zid, wkb in zip(tbl["zone_id"].to_pylist(), tbl["geom_wkb"].to_pylist()):
             g = from_wkb(wkb)
-            win = bounds_window(g.bounds, affine)
-            (r0, r1), (c0, c1) = win
-            if r1 <= r0 or c1 <= c0:
-                continue
-            block = boundless_array(arr, win, nodata=nodata)
-            rv = rasterize_geom(g, block.shape, window_affine(win, affine), False)
-            vals = block[rv].astype(np.float64)
-            n = len(vals)
-            if not n:
-                continue
-            zs.extend([zset] * n)
-            zid_col.extend([zid] * n)
-            val_col.append(vals)
-            nod_col.append(vals == nodata)
+            for poly in g.polys:
+                for ri, ring in enumerate(poly):
+                    ring = np.asarray(ring, dtype=np.float64)
+                    if not np.array_equal(ring[0], ring[-1]):
+                        ring = np.vstack([ring, ring[:1]])
+                    n = len(ring)
+                    zs.extend([zset] * n)
+                    zid_col.extend([zid] * n)
+                    ring_col.extend([ri] * n)
+                    vidx_col.extend(range(n))
+                    x_col.append(ring[:, 0])
+                    y_col.append(ring[:, 1])
     pq.write_table(
         pa.table(
             {
                 "zset": pa.array(zs, pa.string()),
                 "zone_id": pa.array(zid_col, pa.int64()),
-                "val": pa.array(np.concatenate(val_col), pa.float64()),
-                "is_nodata": pa.array(np.concatenate(nod_col)),
+                "ring_idx": pa.array(ring_col, pa.int64()),
+                "vertex_idx": pa.array(vidx_col, pa.int64()),
+                "x": pa.array(np.concatenate(x_col), pa.float64()),
+                "y": pa.array(np.concatenate(y_col), pa.float64()),
             }
         ),
-        os.path.join(tmp_dir, "irregular_membership.parquet"),
+        os.path.join(tmp_dir, "irregular_vertices.parquet"),
     )
     zrows = [
         (zset, zid)
@@ -381,7 +378,7 @@ def ensure_fixtures() -> str:
         os.path.join(tmp, "query_points.parquet"),
     )
 
-    _write_irregular_membership(tmp)
+    _write_irregular_vertices(tmp)
 
     # media fixture: the engine consumes the binary payload, the SQL
     # oracle the parallel hex encoding (this DuckDB has no BLOB substring)
