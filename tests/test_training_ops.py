@@ -863,6 +863,37 @@ def test_png_codec_property_roundtrip():
     roundtrip()
 
 
+def test_wav_codec_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_rasterstats_ray.sources.wav import is_wav, wav_decode, wav_encode
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(0, 2000),
+        ch=st.sampled_from([1, 2, 4]),
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        mono_1d=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip(n, ch, rate, mono_1d, seed):
+        rng = np.random.default_rng(seed)
+        if ch == 1 and mono_1d:
+            samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+            expect = samples[:, None]
+        else:
+            samples = rng.integers(-32768, 32768, (n, ch), dtype=np.int16)
+            expect = samples
+        data = wav_encode(samples, rate)
+        assert is_wav(data)
+        back, back_rate = wav_decode(data)
+        assert back_rate == rate
+        assert back.shape == expect.shape and (back == expect).all()
+
+    roundtrip()
+
+
 def test_decode_image_channel_contract():
     """decode_image must return HxWx3 for every PNG color type."""
     from python_rasterstats_ray.sources.png import png_encode
