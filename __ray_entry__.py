@@ -116,6 +116,7 @@ EXTRA_QUERY_ORDER = [
     "docs_length_quantiles_by_lang",
     "docs_bigrams",
     "knn_points_partitioned",
+    "zonal_tiled_store",
     "doc_fingerprint",
     "flagship_zone_stats",
     "minhash_pairs",
@@ -287,7 +288,11 @@ def oracle_sql() -> dict[str, str]:
 def extra_oracle_sql() -> dict[str, str]:
     from python_rasterstats_ray.pipelines.join_queries import JOIN_ORACLE_SQL
     from python_rasterstats_ray.pipelines.queries import ORACLE_SQL
+    from python_rasterstats_ray.pipelines.zonal_queries import ZONAL_ORACLE_SQL
+    from python_rasterstats_ray.sources.oracle_fixtures import ensure_fixtures
 
+    ensure_fixtures()
     alls = dict(ORACLE_SQL)
     alls.update(JOIN_ORACLE_SQL)
+    alls.update(ZONAL_ORACLE_SQL)
     return {n: alls[n] for n in EXTRA_QUERY_ORDER if n in alls}

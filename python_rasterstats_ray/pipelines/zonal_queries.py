@@ -73,6 +73,41 @@ def q_zonal_tiled(sf_dir: str):
     return _tiled("main", "holes", "count min max mean sum std median nodata")
 
 
+def q_zonal_tiled_store(sf_dir: str):
+    """Shuffle-free storage-bucketed tiled plan over the SAME zones /
+    raster / stats as zonal_synthetic_tiled (same oracle SQL): zones are
+    cell-partitioned once via write_zones_bucketed, then each query is a
+    targeted per-cell read with only the zone-aggregate exchange left."""
+    import os
+
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.zonal_dist import (
+        write_zones_bucketed,
+        zonal_stats_tiled_from_store,
+    )
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    store = os.path.join(ORACLE_DIR, "zones_bucketed_main")
+    if not os.path.isdir(store):
+        write_zones_bucketed(
+            ray.data.from_arrow(rect_zone_table("main")), store, affine,
+            tile_size=128,
+        )
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    return zonal_stats_tiled_from_store(
+        store,
+        ray.data.from_arrow(tiles),
+        affine,
+        nodata,
+        raster_dtype=str(arr.dtype),
+        stats="count min max mean sum std median nodata",
+        tile_size=128,
+    )
+
+
 def q_zonal_broadcast(sf_dir: str):
     return _broadcast("main", "holes", "count min max mean sum std median nodata range")
 
@@ -140,11 +175,12 @@ _IRREG_STATS = "count min max mean sum std median nodata"
 
 def q_zonal_irregular_tiled(sf_dir: str):
     """Tiled cell-join path over IRREGULAR jittered-quad zones (incl.
-    mega-polygons and beyond-extent overhang). Oracle = the exploded
-    per-zone membership parquet written by the sequential oracle path
-    (scanline rasterize + boundless read — the code pinned by the
-    reference goldens), so the distributed tiling / shuffle / skew-split /
-    merge machinery is what this query actually verifies."""
+    mega-polygons and beyond-extent overhang). Oracle = SQL that derives
+    pixel membership ITSELF via even-odd edge-crossing parity over the
+    generator-written vertex table (_irregular_sql) — no engine
+    rasterization anywhere in the oracle loop, so the full rasterize /
+    tiling / shuffle / skew-split / merge machinery is what this query
+    verifies."""
     import ray.data
 
     from ..sources.tiles import raster_to_tiles_table
@@ -581,6 +617,7 @@ ZONAL_QUERIES = {
     "zonal_auto": q_zonal_auto,
     "zonal_edge": q_zonal_edge,
     "zonal_udfs": q_zonal_udfs,
+    "zonal_tiled_store": q_zonal_tiled_store,
     "zonal_irregular_tiled": q_zonal_irregular_tiled,
     "zonal_irregular_broadcast": q_zonal_irregular_broadcast,
     "point_query_synthetic": q_point_query_bilinear,
@@ -597,6 +634,7 @@ ZONAL_ORACLE_SQL = {
     "zonal_auto": SQL_ZONAL_AUTO,
     "zonal_edge": SQL_ZONAL_EDGE,
     "zonal_udfs": SQL_ZONAL_UDFS,
+    "zonal_tiled_store": SQL_ZONAL_TILED,
     "zonal_irregular_tiled": SQL_ZONAL_IRREGULAR_TILED,
     "zonal_irregular_broadcast": SQL_ZONAL_IRREGULAR_BROADCAST,
     "point_query_synthetic": SQL_POINT_BILINEAR,

@@ -1479,6 +1479,37 @@ def zonal_stats_tiled(
         # next op is another all-to-all; pin the small accumulator rows
         partials = partials.materialize()
 
+    return _finish_tiled_partials(
+        partials,
+        merge_partials=merge_partials,
+        carry_px=carry_px,
+        need_vals=need_vals,
+        stats=stats,
+        stats_list=stats_list,
+        categorical=categorical,
+        category_map=category_map,
+        raster_dtype=raster_dtype,
+        checkpoint_before_shuffle=checkpoint_before_shuffle,
+    )
+
+
+def _finish_tiled_partials(
+    partials,
+    *,
+    merge_partials,
+    carry_px: bool,
+    need_vals: bool,
+    stats,
+    stats_list,
+    categorical: bool,
+    category_map,
+    raster_dtype: str,
+    checkpoint_before_shuffle: bool,
+):
+    """Shared tail of the tiled plans: per-(zone, cell) partial rows ->
+    final per-zone stats Dataset sorted by zone_id. Used by both the
+    shuffle plan (zonal_stats_tiled) and the storage-bucketed plan
+    (zonal_stats_tiled_from_store)."""
     if carry_px:
         # mini-raster assembly / add_stats UDFs: inherently per-zone
         merged = partials.groupby("zone_id").map_groups(
@@ -1495,6 +1526,14 @@ def zonal_stats_tiled(
         )
 
         def add_bucket(batch: pa.Table) -> pa.Table:
+            # prune the pixel-carrying columns (px/rv/window coords) the
+            # holistic merge never reads before the exchange
+            batch = batch.select(
+                [
+                    "zone_id", "count", "sum_f", "sum_i", "sumsq", "min",
+                    "max", "nodata", "nan_cnt", "has_nan", "is_int", "vals",
+                ]
+            )
             zb = pc.shift_right(batch["zone_id"], 6)
             return batch.append_column("zone_bucket", zb)
 
@@ -1507,22 +1546,52 @@ def zonal_stats_tiled(
             .map_groups(merge_bucket, batch_format="pyarrow")
         )
     else:
-        # algebraic-only: Ray-native vectorized hash aggregation of the
-        # combinable accumulators, then a vectorized finalize map_batches
-        # (no per-group Python call, no 1-row blocks)
-        from ray.data.aggregate import Max, Min, Sum
+        # algebraic-only: TREE REDUCE instead of a sort-shuffle groupby.
+        # The aggregate's OUTPUT is one thin row per zone (#zones x 11
+        # numeric columns — tens of MB even at 10^6 zones), so a full
+        # sample-sort exchange of the partials is overhead-bound (measured
+        # 20 s of a 28 s run at 400k zones / 323 blocks): instead each
+        # block pre-combines its partials by zone with one vectorized
+        # Arrow group_by (no exchange), the pre-agg blocks coalesce, and
+        # ONE task runs the final combine + finalize, already sorted.
+        # Scale bound: the per-zone result table must fit a worker's heap
+        # — the same #zones bound the broadcast path already assumes; the
+        # bound is documented here rather than hedged with a slower plan.
+        partials = partials.select_columns(
+            [
+                "zone_id", "count", "sum_f", "sum_i", "sumsq", "min",
+                "max", "nodata", "nan_cnt", "has_nan", "is_int",
+            ]
+        )
+        combine = [
+            ("count", "sum"), ("sum_f", "sum"), ("sum_i", "sum"),
+            ("sumsq", "sum"), ("min", "min"), ("max", "max"),
+            ("nodata", "sum"), ("nan_cnt", "sum"), ("has_nan", "max"),
+            ("is_int", "max"),
+        ]
+        names = [
+            "zone_id", "sum(count)", "sum(sum_f)", "sum(sum_i)",
+            "sum(sumsq)", "min(min)", "max(max)", "sum(nodata)",
+            "sum(nan_cnt)", "max(has_nan)", "max(is_int)",
+        ]
 
-        agg = partials.groupby("zone_id").aggregate(
-            Sum("count"),
-            Sum("sum_f"),
-            Sum("sum_i"),
-            Sum("sumsq"),
-            Min("min"),
-            Max("max"),
-            Sum("nodata"),
-            Sum("nan_cnt"),
-            Max("has_nan"),
-            Max("is_int"),
+        def preagg(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("zone_id").aggregate(combine)
+            # keep original column names so pre-agg composes with itself
+            return g.rename_columns(
+                ["zone_id"] + [c for c, _ in combine]
+            )
+
+        def final_combine(batch: pa.Table) -> pa.Table:
+            g = batch.group_by("zone_id").aggregate(combine)
+            g = g.rename_columns(names)
+            return g.sort_by("zone_id")
+
+        agg = (
+            partials.map_batches(preagg, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(final_combine, batch_format="pyarrow",
+                         batch_size=None, zero_copy_batch=True)
         )
         stats_list_f = stats_list
 
@@ -1581,3 +1650,174 @@ def zonal_stats_tiled(
         # one-row-per-zone) merge output first
         merged = merged.materialize()
     return merged.sort("zone_id")
+
+
+# ------------------------------------------------- storage-bucketed tiled
+
+
+def write_zones_bucketed(
+    zones_ds,
+    path: str,
+    affine: Affine,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    geom_col: str = "geom_wkb",
+) -> str:
+    """Stage zones CELL-PARTITIONED for shuffle-free tiled zonal stats:
+    one streaming pass tags each zone with every tile cell its boundless
+    window touches (tile-assignment parity with zonal_stats_tiled) and
+    writes ``path/cell=<i>/`` parquet via Ray's partitioned write.
+
+    This is the ``stages/bucketed.py`` trick applied to the zonal join:
+    pay the zone-geometry exchange ONCE at write time; every subsequent
+    zonal run against any raster sharing the tiling is a targeted
+    per-cell read with NO zone shuffle at all. Degenerate (empty-window)
+    zones land in ``cell=-1``.
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        t = assign_zones_to_cells(
+            batch, affine=affine, tile_size=tile_size, geom_col=geom_col
+        )
+        return pa.table(
+            {
+                "cell": pc.fill_null(t["cell"], -1),
+                "zone_id": t["zone_id"],
+                "geom_wkb": t["geom_wkb"],
+            }
+        )
+
+    tagged = zones_ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    tagged.write_parquet(path, partition_cols=["cell"])
+    return path
+
+
+class _StoreCellKernel:
+    """Per-bucket kernel: each call processes whole cell buckets — a
+    pruned parquet read of ``cell=<i>`` plus the in-memory CellKernel.
+    Run as a TASK pool (per-worker cached instance via _store_cell_call):
+    tasks let the scheduler starve slow workers naturally instead of
+    pinning buckets to a fixed actor — same rationale as the broadcast
+    path's compute="tasks" mode (BASELINE.md host addendum)."""
+
+    def __init__(self, path, **cell_kernel_kwargs):
+        import os
+
+        self.path = path
+        self.kernel = CellKernel(**cell_kernel_kwargs)
+        self._os = os
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for cell in batch["cell"].to_pylist():
+            d = self._os.path.join(self.path, f"cell={cell}")
+            if not self._os.path.isdir(d):
+                continue
+            t = pq.read_table(d, columns=["zone_id", "geom_wkb"])
+            if not len(t):
+                continue
+            if cell == -1:  # degenerate windows: CellKernel expects null
+                cell_col = pa.nulls(len(t), pa.int64())
+            else:
+                cell_col = pa.array(np.full(len(t), cell, np.int64), pa.int64())
+            out.append(self.kernel(t.append_column("cell", cell_col)))
+        if not out:
+            return _empty_partials()
+        return pa.concat_tables(out, promote_options="default")
+
+
+def _store_cell_call(batch, *, token: str, path: str, ctor: dict):
+    kernel = _TASK_KERNEL_CACHE.get(token)
+    if kernel is None:
+        while len(_TASK_KERNEL_CACHE) >= _TASK_KERNEL_CACHE_MAX:
+            _TASK_KERNEL_CACHE.pop(next(iter(_TASK_KERNEL_CACHE)))
+        kernel = _TASK_KERNEL_CACHE[token] = _StoreCellKernel(path, **ctor)
+    return kernel(batch)
+
+
+def zonal_stats_tiled_from_store(
+    zones_path: str,
+    tiles_ds,
+    affine: Affine,
+    nodata,
+    raster_dtype: str = "float32",
+    *,
+    stats=None,
+    all_touched: bool = False,
+    categorical: bool = False,
+    category_map=None,
+    tile_size: int = DEFAULT_TILE_SIZE,
+    concurrency=None,
+    checkpoint_before_shuffle: bool = True,
+):
+    """Shuffle-free tiled zonal stats over a ``write_zones_bucketed``
+    layout: one task per cell bucket (a targeted parquet read — exactly
+    the partition-pruned read a cluster's shared storage serves), tiles
+    pinned in plasma via the refmap, then only the small per-(zone, cell)
+    partial rows enter the one remaining zone-aggregate exchange.
+
+    Compared to ``zonal_stats_tiled`` this removes BOTH the zone-tagging
+    pass and the (cell, zone_id, wkb) sort shuffle from query time — the
+    partitioning assumption is that the store was bucketed with the SAME
+    affine/tile_size (cells are bounds_window-snapped tile ids).
+
+    Pixel-carrying features (add_stats / zone_func / raster_out) are not
+    offered here — use zonal_stats_tiled for those.
+    """
+    import os
+
+    import ray.data
+
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    stats_list, run_count = check_stats(stats, categorical)
+    need_vals = run_count or any(
+        s.startswith("percentile_") or s == "median" for s in stats_list
+    )
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(zones_path)
+        if d.startswith("cell=")
+    )
+    if not cells:
+        raise FileNotFoundError(f"no cell= buckets under {zones_path}")
+    refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
+    cells_ds = ray.data.from_arrow(
+        pa.table({"cell": pa.array(cells, pa.int64())})
+    ).repartition(len(cells))
+    import uuid
+
+    ctor = dict(
+        refmap_ref=refmap_ref,
+        affine=affine,
+        nodata=nodata,
+        tile_size=tile_size,
+        raster_dtype=raster_dtype,
+        all_touched=all_touched,
+        need_vals=need_vals,
+        carry_px=False,
+    )
+    partials = cells_ds.map_batches(
+        _store_cell_call,
+        fn_kwargs=dict(token=uuid.uuid4().hex, path=zones_path, ctor=ctor),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency[1] if isinstance(concurrency, tuple) else concurrency,
+    )
+    if checkpoint_before_shuffle:
+        partials = partials.materialize()
+    return _finish_tiled_partials(
+        partials,
+        merge_partials=None,
+        carry_px=False,
+        need_vals=need_vals,
+        stats=stats,
+        stats_list=stats_list,
+        categorical=categorical,
+        category_map=category_map,
+        raster_dtype=raster_dtype,
+        checkpoint_before_shuffle=checkpoint_before_shuffle,
+    )

@@ -110,6 +110,56 @@ def test_tiled_matches_oracle(ray_session, fixture_inputs):
     )
 
 
+def test_tiled_from_store_identical(ray_session, fixture_inputs, tmp_path):
+    """The storage-bucketed plan (write_zones_bucketed +
+    zonal_stats_tiled_from_store) must be BIT-identical to the shuffle
+    plan on the same inputs — same tile assignment, same partials, same
+    merge — for both algebraic-only and holistic stat sets."""
+    import ray.data
+    from python_rasterstats_ray.stages.zonal_dist import (
+        write_zones_bucketed,
+        zonal_stats_tiled,
+        zonal_stats_tiled_from_store,
+    )
+
+    arr, affine, nodata, zones = fixture_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    store = write_zones_bucketed(
+        ray.data.from_arrow(zones), str(tmp_path / "zstore"), affine, tile_size=128
+    )
+    for stats in ("count min max mean sum std nodata", STATS):
+        a = zonal_stats_tiled(
+            ray.data.from_arrow(zones),
+            ray.data.from_arrow(tiles),
+            affine,
+            nodata,
+            raster_dtype=str(arr.dtype),
+            stats=stats,
+            tile_size=128,
+        ).to_pandas().reset_index(drop=True)
+        b = zonal_stats_tiled_from_store(
+            store,
+            ray.data.from_arrow(tiles),
+            affine,
+            nodata,
+            raster_dtype=str(arr.dtype),
+            stats=stats,
+            tile_size=128,
+            concurrency=(1, 2),
+        ).to_pandas().reset_index(drop=True)
+        assert list(a.columns) == list(b.columns)
+        # order-independent stats are bit-identical; Sum-reduced floats
+        # (mean/sum/std on this FLOAT-valued raster) may differ by
+        # accumulation order between the two plans (on the integer-valued
+        # oracle rasters both are exact — see pipelines/zonal_queries.py)
+        order_dep = {"mean", "sum", "std"}
+        for c in a.columns:
+            if c in order_dep:
+                assert np.allclose(a[c], b[c], rtol=1e-9, atol=0.0, equal_nan=True), c
+            else:
+                assert a[c].equals(b[c]), c
+
+
 def test_tiled_all_touched_and_categorical(ray_session):
     import ray.data
     from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
