@@ -205,6 +205,16 @@ class BroadcastZonalKernel:
 
             _, path, affine, nodata = raster_ref
             arr = _np.load(path, mmap_mode="r")
+            try:
+                # async read-ahead hint: the kernel prefetches the file
+                # in the background instead of this worker stalling on a
+                # synchronous fault storm at first touch (cold-run cost,
+                # VERDICT r2 #4); harmless no-op where unsupported
+                import mmap as _mmap
+
+                arr.base.madvise(_mmap.MADV_WILLNEED)
+            except (AttributeError, ValueError, OSError):
+                pass
         else:
             arr, affine, nodata = ray.get(raster_ref)
         self.rast = Raster(arr, affine=affine, nodata=nodata)
