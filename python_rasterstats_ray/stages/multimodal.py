@@ -1,12 +1,14 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-PNG image payloads DECODE FOR REAL via the from-scratch pure-stdlib
-codec in sources/png.py (DEFLATE + scanline filters; no PIL/libpng).
-The container has no JPEG/audio/video codecs, so those decode through a
-deterministic fake behind the same interface a real libjpeg/ffmpeg-backed
-kernel would have (clearly marked below); everything Ray-side — schema,
-actor-pool signatures, batch sizing for large binary payloads, output
-layout — is real and tested.
+PNG and baseline-JPEG image payloads DECODE FOR REAL via the
+from-scratch pure-stdlib codecs in sources/png.py (DEFLATE + scanline
+filters) and sources/jpeg.py (T.81 baseline sequential DCT: Huffman,
+dequantize, batched-matmul IDCT, 4:4:4/4:2:2/4:2:0, restart markers) —
+no PIL/libjpeg. The container has no video/compressed-audio codecs, so
+those decode through a deterministic fake behind the same interface a
+real ffmpeg-backed kernel would have (clearly marked below); everything
+Ray-side — schema, actor-pool signatures, batch sizing for large binary
+payloads, output layout — is real and tested.
 
 Media row schema: (media_id:int64, kind:string, payload:binary,
 width:int32, height:int32, sample_rate:int32, n_frames:int32).
@@ -64,11 +66,12 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a media payload to HxWx3 uint8.
 
-    PNG payloads decode for REAL via the from-scratch pure-stdlib codec
-    (sources/png.py: DEFLATE + all five scanline filters, CRC-checked);
-    anything else (JPEG/video) falls back to the clearly-marked stub —
-    the sandbox has no codecs, a deployment swaps only `_fake_decode`.
+    PNG and baseline-JPEG payloads decode for REAL via the from-scratch
+    pure-stdlib codecs (sources/png.py, sources/jpeg.py); anything else
+    (video, progressive JPEG) falls back to the clearly-marked stub —
+    a deployment swaps only `_fake_decode`.
     """
+    from ..sources.jpeg import is_jpeg, jpeg_decode
     from ..sources.png import is_png, png_decode
 
     if is_png(payload):
@@ -78,6 +81,11 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
         elif img.shape[2] == 2:  # gray+alpha: luminance channel, alpha dropped
             img = np.repeat(img[:, :, :1], 3, axis=2)
         return img[:, :, :3]  # RGBA -> alpha dropped
+    if is_jpeg(payload):
+        img = jpeg_decode(payload)  # baseline JFIF, from-scratch codec
+        if img.ndim == 2:
+            img = np.repeat(img[:, :, None], 3, axis=2)
+        return img
     return _fake_decode(payload, width, height)
 
 

@@ -863,6 +863,99 @@ def test_png_codec_property_roundtrip():
     roundtrip()
 
 
+def test_jpeg_codec_property_roundtrip():
+    """Lossy roundtrip bound: at quality >= 92 the per-pixel error of the
+    from-scratch baseline JPEG codec stays within a small bound for any
+    image (quantization error of the scaled Annex-K tables), across both
+    subsamplings, grayscale, odd sizes and restart intervals."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from python_rasterstats_ray.sources.jpeg import is_jpeg, jpeg_decode, jpeg_encode
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        gray=st.booleans(),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        ri=st.sampled_from([0, 2]),
+        seed=st.integers(0, 2**31),
+    )
+    def roundtrip(w, h, gray, sub, ri, seed):
+        rng = np.random.default_rng(seed)
+        # smooth image: JPEG's own error bound is only tight for
+        # band-limited content; pure noise is checked separately below
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (
+            128.0
+            + 100.0 * np.sin(yy / 9.0 + rng.uniform(0, 6))
+            * np.cos(xx / 7.0 + rng.uniform(0, 6))
+        )
+        base2 = 128.0 + 90.0 * np.cos(yy / 11.0 + 1.0) * np.sin(xx / 13.0 + 2.0)
+        if gray:
+            img = np.clip(base, 0, 255).astype(np.uint8)
+        else:
+            img = np.clip(
+                np.stack([base, 255 - base, base2], axis=2), 0, 255
+            ).astype(np.uint8)
+        data = jpeg_encode(img, quality=92, subsampling=sub, restart_interval=ri)
+        assert is_jpeg(data)
+        back = jpeg_decode(data)
+        assert back.shape == img.shape
+        err = np.abs(back.astype(np.int64) - img.astype(np.int64))
+        if sub == "4:2:0" and not gray:
+            # chroma subsampling discards real information: bound the
+            # MEAN tightly, the max only loosely (steep chroma edges)
+            assert err.mean() <= 8 and err.max() <= 64, (err.mean(), err.max())
+        else:
+            assert err.max() <= 16, (err.max(), sub, gray)
+
+    roundtrip()
+
+
+def test_jpeg_codec_edges():
+    import pytest as _pt
+
+    from python_rasterstats_ray.sources.jpeg import is_jpeg, jpeg_decode, jpeg_encode
+
+    # constant image roundtrips exactly (all AC coefficients are zero)
+    img = np.full((16, 24, 3), 77, np.uint8)
+    assert (jpeg_decode(jpeg_encode(img, quality=90)) == img).all()
+
+    # noise at quality=100 stays within the unit-quant error
+    rng = np.random.default_rng(5)
+    n = rng.integers(0, 256, (24, 24, 3), np.uint8)
+    err = np.abs(
+        jpeg_decode(jpeg_encode(n, quality=100)).astype(int) - n.astype(int)
+    )
+    assert err.max() <= 8
+
+    assert not is_jpeg(b"\x89PNG\r\n")
+    with _pt.raises(ValueError):
+        jpeg_decode(b"not a jpeg")
+    # progressive SOF2 is an honest NotImplementedError, not a wrong result
+    data = bytearray(jpeg_encode(img))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2
+    with _pt.raises(NotImplementedError):
+        jpeg_decode(bytes(data))
+
+
+def test_decode_image_jpeg_payload():
+    """decode_image must route JPEG payloads through the real codec and
+    keep the HxWx3 contract (incl. grayscale JPEG expansion)."""
+    from python_rasterstats_ray.sources.jpeg import jpeg_encode
+    from python_rasterstats_ray.stages.multimodal import decode_image
+
+    img = np.full((12, 10, 3), 100, np.uint8)
+    out = decode_image(jpeg_encode(img, quality=95), 10, 12)
+    assert out.shape == (12, 10, 3) and (out == img).all()
+    g = np.full((8, 9), 42, np.uint8)
+    outg = decode_image(jpeg_encode(g, quality=95), 9, 8)
+    assert outg.shape == (8, 9, 3) and (outg == 42).all()
+
+
 def test_wav_codec_property_roundtrip():
     from hypothesis import given, settings
     from hypothesis import strategies as st
