@@ -192,19 +192,37 @@ def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None
             .rename_columns(["src", "deg"])
         )
 
-    outdeg = (
-        edges_ds.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("src")
-        .aggregate(Sum("deg"))
+    # out-degree WITHOUT an exchange: per-block Arrow group_by partials,
+    # combined into one node-sized table (the rank vector itself is
+    # node-sized, so this adds no new scale bound), broadcast once, and
+    # gathered onto the pinned edge table by a vectorized searchsorted —
+    # no groupby shuffle and no edge-sized hash join at setup.
+    import ray as _ray
+
+    deg_parts = edges_ds.map_batches(
+        deg_partial, batch_format="pyarrow", zero_copy_batch=True
     )
+    deg_tbl = pa.concat_tables(
+        [t for t in _ray.get(deg_parts.to_arrow_refs()) if t is not None and len(t)],
+        promote_options="default",
+    )
+    deg_tbl = (
+        deg_tbl.group_by("src").aggregate([("deg", "sum")])
+        .rename_columns(["src", "deg"])
+    )
+    dkeys = deg_tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dvals = deg_tbl["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(dkeys)
+    deg_ref = _ray.put((dkeys[order], dvals[order]))
 
-    def deg_finish(batch: pa.Table) -> pa.Table:
-        return pa.table({"node": batch["src"], "deg": batch["sum(deg)"].cast(pa.int64())})
+    def attach_deg(batch: pa.Table) -> pa.Table:
+        k, d = _ray.get(deg_ref)
+        src = batch["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k, src)  # every edge src has a degree >= 1
+        return batch.append_column("deg", pa.array(d[pos], pa.int64()))
 
-    outdeg = outdeg.map_batches(deg_finish, batch_format="pyarrow", zero_copy_batch=True)
-    # one edge-sized join, ONCE — every superstep then reads (src, dst, deg)
-    edges_deg = hash_equi_join(
-        edges_ds, outdeg, on=("src",), right_on=("node",), num_partitions=num_partitions
+    edges_deg = edges_ds.map_batches(
+        attach_deg, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     def zero_seed(batch: pa.Table) -> pa.Table:
