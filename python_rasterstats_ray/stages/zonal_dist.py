@@ -1795,9 +1795,16 @@ def zonal_stats_tiled_from_store(
     if not cells:
         raise FileNotFoundError(f"no cell= buckets under {zones_path}")
     refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
+    # one task per cell up to a few tasks per CPU; beyond that, group
+    # cells into blocks (a 100k-cell store must not become 100k 1-row
+    # blocks — each task then works several buckets, batch_size=1 keeps
+    # the per-call unit at one bucket)
+    from ._cluster import cluster_cpus
+
+    n_blocks = min(len(cells), max(cluster_cpus() * 16, 1))
     cells_ds = ray.data.from_arrow(
         pa.table({"cell": pa.array(cells, pa.int64())})
-    ).repartition(len(cells))
+    ).repartition(n_blocks)
     import uuid
 
     ctor = dict(
