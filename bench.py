@@ -377,10 +377,26 @@ def bench_joins(sf_dir: str):
 
 
 def bench_pagerank(sf_dir: str):
-    """5 iterative supersteps: hash join (edges x rank) + dst aggregate."""
+    """5 iterative supersteps; auto plan = broadcast-SpMV at this node
+    count (zero shuffles). bench publishes the shuffle-join plan's
+    timing alongside as ``pagerank_shuffle_sec`` (r2's "pagerank"
+    timing corresponds to that number)."""
     from python_rasterstats_ray.pipelines.join_queries import q_doc_pagerank
 
     return q_doc_pagerank(sf_dir).count()
+
+
+def bench_pagerank_shuffle(sf_dir: str):
+    import pyarrow.parquet as _pq
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.join_queries import PR_ITERS
+    from python_rasterstats_ray.stages.graph import pagerank_int, synth_edges
+
+    n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    edges = synth_edges(nodes, n_nodes)
+    return pagerank_int(edges, nodes, n_iter=PR_ITERS).sort("node").count()
 
 
 def bench_point_query():
@@ -451,6 +467,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("tpch_q1", bench_tpch_q1, sf_dir)
     timed("tpch_q3_join", bench_joins, sf_dir)
     timed("pagerank", bench_pagerank, sf_dir)
+    t_pr = time.time()
+    bench_pagerank_shuffle(sf_dir)
+    extras["pagerank_shuffle_sec"] = round(time.time() - t_pr, 3)
     timed("dedup_minhash", bench_minhash, sf_dir)
     timed("knn", bench_knn, sf_dir)
     n_pts = timed("point_query", bench_point_query)

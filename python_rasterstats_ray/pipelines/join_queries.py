@@ -426,16 +426,17 @@ PR_ITERS = 5
 
 def q_doc_pagerank(sf_dir: str):
     """5 integer-PageRank supersteps over the deterministic doc link
-    graph (stages/graph.py): per iteration one hash-shuffle join
-    (edges ⋈ pr) + one partial-then-final aggregate by dst."""
+    graph (stages/graph.py). Auto plan: broadcast-SpMV (rank vector is
+    the small side; zero shuffles) while the node vector fits a worker
+    heap, hash-shuffle join plan beyond — both bit-exact."""
     import pyarrow.parquet as _pq
 
-    from python_rasterstats_ray.stages.graph import pagerank_int, synth_edges
+    from python_rasterstats_ray.stages.graph import pagerank, synth_edges
 
     n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     nodes = _read(sf_dir, "documents", columns=["doc_id"])
     edges = synth_edges(nodes, n_nodes)
-    return pagerank_int(edges, nodes, n_iter=PR_ITERS).sort("node")
+    return pagerank(edges, nodes, n_iter=PR_ITERS, n_nodes=n_nodes).sort("node")
 
 
 def _pagerank_sql() -> str:

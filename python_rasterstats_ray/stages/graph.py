@@ -153,6 +153,155 @@ def connected_components(
     return labels
 
 
+def pagerank_broadcast(edges_ds, nodes_ds, n_iter: int = 5):
+    """Broadcast-rank PageRank: bit-exact to ``pagerank_int`` without a
+    single shuffle.
+
+    The rank vector is the SMALL side of every superstep's join (one
+    int64 per node vs many edges per node), so instead of K hash-shuffle
+    joins the plan broadcasts the dense rank vector each superstep and
+    runs a distributed SpMV over edge blocks pinned once in the object
+    store:
+
+      setup  : per edge block, precompute src/dst gather positions into
+               the sorted node-id array ONCE (searchsorted; the block's
+               join is thereby done for all supersteps).
+      superstep: task per block group — c = pr[src_pos] // deg[src_pos],
+               np.add.at(dense, dst_pos, c) — then a tree-sum of the
+               dense int64 contribution vectors. Integer adds are
+               order-independent, so the result is bit-identical to the
+               shuffle plan and the DuckDB oracle.
+
+    Raw ``@ray.remote`` tasks are used for the per-superstep SpMV
+    because the Dataset API cannot express "re-map the same pinned
+    blocks K times against a per-iteration broadcast value" without
+    rebuilding a Dataset (plan + executor spin-up) per superstep.
+
+    Scale bound (why this is not the only plan): the dense node vector
+    (8 B x n_nodes) must fit every worker's heap and the driver —
+    the same small-side contract as the zonal broadcast path. Beyond
+    ``pagerank()``'s ``broadcast_max_nodes`` the auto dispatcher falls
+    back to the shuffle-join plan, which has no such bound.
+
+    Precondition (shared with the synthetic graphs and documented for
+    the library API): edge endpoints are drawn from ``nodes_ds``;
+    out-of-vocabulary edges are dropped (the shuffle plan's inner join
+    drops unknown src the same way).
+    """
+    import ray as _ray
+
+    # --- gather the node-id vector (node-sized by contract)
+    node_tbls = [
+        t
+        for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": b.column(0).cast(pa.int64())}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t is not None and len(t)
+    ]
+    keys = np.sort(
+        pa.concat_tables(node_tbls)["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n = len(keys)
+    keys_ref = _ray.put(keys)
+
+    # --- per-block setup: gather positions + per-edge out-degree
+    edge_refs = [
+        r
+        for r in edges_ds.materialize().to_arrow_refs()
+    ]
+
+    @_ray.remote
+    def _block_setup(tbl: pa.Table, keys: np.ndarray):
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = np.searchsorted(keys, src)
+        dp = np.searchsorted(keys, dst)
+        ok = (
+            (sp < len(keys))
+            & (dp < len(keys))
+            & (keys[np.minimum(sp, len(keys) - 1)] == src)
+            & (keys[np.minimum(dp, len(keys) - 1)] == dst)
+        )
+        sp, dp = sp[ok], dp[ok]
+        # out-degree partial: count of kept edges per src position
+        deg_part = np.bincount(sp, minlength=len(keys)).astype(np.int64)
+        return sp, dp, deg_part
+
+    setups = [_block_setup.remote(r, keys_ref) for r in edge_refs]
+    deg = np.zeros(n, np.int64)
+    pos_refs = []
+    for fut in setups:
+        sp, dp, dpart = _ray.get(fut)
+        deg += dpart
+        pos_refs.append(_ray.put((sp, dp)))
+    deg_ref = _ray.put(deg)
+
+    @_ray.remote
+    def _spmv(pr: np.ndarray, deg: np.ndarray, *pos_pairs):
+        dense = np.zeros(len(pr), np.int64)
+        for sp, dp in pos_pairs:
+            np.add.at(dense, dp, pr[sp] // deg[sp])
+        return dense
+
+    @_ray.remote
+    def _vsum(*vecs):
+        out = vecs[0].copy()
+        for v in vecs[1:]:
+            out += v
+        return out
+
+    _GROUP = 16  # blocks per SpMV task / vectors per tree-sum task
+    pr = np.full(n, PR_INIT, np.int64)
+    for _ in range(n_iter):
+        pr_ref = _ray.put(pr)
+        futs = [
+            _spmv.remote(pr_ref, deg_ref, *pos_refs[i : i + _GROUP])
+            for i in range(0, len(pos_refs), _GROUP)
+        ]
+        while len(futs) > 1:
+            futs = [
+                _vsum.remote(*futs[i : i + _GROUP])
+                for i in range(0, len(futs), _GROUP)
+            ]
+        insum = _ray.get(futs[0]) if futs else np.zeros(n, np.int64)
+        pr = PR_TELEPORT + (PR_DAMP_NUM * insum) // PR_DAMP_DEN
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table({"node": pa.array(keys, pa.int64()), "pr": pa.array(pr, pa.int64())})
+    )
+
+
+# broadcast plan bound: 8 B x nodes must fit worker + driver heaps with
+# slack (16M nodes = 128 MB dense vector); beyond it the shuffle-join
+# plan has no small-side requirement.
+BROADCAST_MAX_NODES = 16_000_000
+
+
+def pagerank(
+    edges_ds,
+    nodes_ds,
+    n_iter: int = 5,
+    num_partitions: int | None = None,
+    n_nodes: int | None = None,
+    broadcast_max_nodes: int = BROADCAST_MAX_NODES,
+):
+    """Auto-dispatching PageRank: broadcast-SpMV plan while the rank
+    vector fits a worker heap (``broadcast_max_nodes``), hash-shuffle
+    join plan beyond it. Both are bit-exact integer PageRank; pass
+    ``n_nodes`` (e.g. from parquet metadata) to avoid an extra count."""
+    if n_nodes is None:
+        n_nodes = nodes_ds.count()
+    if n_nodes <= broadcast_max_nodes:
+        return pagerank_broadcast(edges_ds, nodes_ds, n_iter=n_iter)
+    return pagerank_int(edges_ds, nodes_ds, n_iter=n_iter, num_partitions=num_partitions)
+
+
 def pagerank_int(edges_ds, nodes_ds, n_iter: int = 5, num_partitions: int | None = None):
     """n_iter integer-PageRank supersteps; returns Dataset(node, pr).
 

@@ -291,6 +291,78 @@ def test_pagerank_sink_source_isolated(ray_session):
     assert out == pr
 
 
+def test_pagerank_broadcast_matches_naive_and_shuffle(ray_session):
+    """The broadcast-SpMV plan must be bit-identical to both the naive
+    reference and the shuffle-join plan (integer adds are
+    order-independent, so 'close' is not good enough)."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import (
+        pagerank,
+        pagerank_broadcast,
+        pagerank_int,
+        synth_edges,
+    )
+
+    n = 101
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = synth_edges(nodes, n)
+    bcast = {r["node"]: r["pr"] for r in pagerank_broadcast(edges, nodes, n_iter=3).take_all()}
+    assert bcast == _naive_pagerank(n, 3)
+    edges2 = synth_edges(nodes, n)
+    shuf = {r["node"]: r["pr"] for r in pagerank_int(edges2, nodes, n_iter=3,
+                                                     num_partitions=2).take_all()}
+    assert bcast == shuf
+    # auto dispatch picks broadcast below the bound, shuffle above it
+    edges3 = synth_edges(nodes, n)
+    auto = {r["node"]: r["pr"] for r in pagerank(edges3, nodes, n_iter=3,
+                                                 n_nodes=n).take_all()}
+    assert auto == bcast
+    edges4 = synth_edges(nodes, n)
+    forced = {r["node"]: r["pr"] for r in pagerank(edges4, nodes, n_iter=3, n_nodes=n,
+                                                   broadcast_max_nodes=10).take_all()}
+    assert forced == bcast
+
+
+def test_pagerank_broadcast_sink_source_isolated(ray_session):
+    """Broadcast plan on a graph with a source, a sink and an isolated
+    node — same general-graph guarantees as the shuffle plan."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT,
+        PR_TELEPORT,
+        pagerank_broadcast,
+    )
+
+    edge_list = [(0, 1), (0, 2), (1, 2)]
+    n = 4
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([e[0] for e in edge_list], pa.int64()),
+                "dst": pa.array([e[1] for e in edge_list], pa.int64()),
+            }
+        )
+    )
+    n_iter = 3
+    out = {
+        r["node"]: r["pr"]
+        for r in pagerank_broadcast(edges, nodes, n_iter=n_iter).take_all()
+    }
+    deg = {0: 2, 1: 1, 2: 0, 3: 0}
+    pr = {d: PR_INIT for d in range(n)}
+    for _ in range(n_iter):
+        acc = {d: 0 for d in range(n)}
+        for s, t in edge_list:
+            acc[t] += pr[s] // deg[s]
+        pr = {d: PR_TELEPORT + (PR_DAMP_NUM * acc[d]) // PR_DAMP_DEN for d in range(n)}
+    assert out == pr
+
+
 def test_pagerank_every_node_has_inedges():
     # map k=0 is a bijection mod n (gcd(EDGE_A[0], n)=1 for our corpus
     # sizes) so no rank row ever drops out of the iterative joins
