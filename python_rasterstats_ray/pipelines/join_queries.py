@@ -484,11 +484,12 @@ def q_doc_link_components(sf_dir: str):
     """Connected components over a deterministic crawl-adjacency graph
     (chains of 4 consecutive docs bridged at multiples of 16): the
     post-LSH dedup step that turns near-dup PAIRS into CLUSTERS via
-    iterative min-label propagation (stages/graph.py) — each superstep a
-    hash-shuffle join + min aggregate, loop ends on label-sum fixpoint."""
+    iterative min-label propagation (stages/graph.py). Auto plan:
+    broadcast min-scatter (zero shuffles) while the label vector fits a
+    worker heap; hash-shuffle join + min aggregate per superstep beyond."""
     import pyarrow.parquet as _pq
 
-    from python_rasterstats_ray.stages.graph import connected_components
+    from python_rasterstats_ray.stages.graph import components_auto
 
     n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     nodes = _read(sf_dir, "documents", columns=["doc_id"])
@@ -506,7 +507,7 @@ def q_doc_link_components(sf_dir: str):
         )
 
     edges = nodes.map_batches(mk_edges, batch_format="pyarrow", zero_copy_batch=True)
-    cc = connected_components(edges, nodes)
+    cc = components_auto(edges, nodes, n_nodes=n_nodes)
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "component": batch["lbl"]})

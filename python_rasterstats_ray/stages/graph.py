@@ -153,6 +153,143 @@ def connected_components(
     return labels
 
 
+def _broadcast_graph_setup(edges_ds, nodes_ds):
+    """Shared small-graph setup for the broadcast (SpMV-style) plans:
+    gather the sorted node-id vector (node-sized by the broadcast
+    contract), pin the edge blocks, and precompute per-block gather
+    positions into the node vector ONCE — the per-superstep "join" is
+    thereby already done for every iteration. Out-of-vocabulary edges
+    are dropped (documented precondition). Returns
+    (keys, pos_refs, deg) where deg is the per-node out-degree of the
+    kept edges."""
+    import ray as _ray
+
+    node_tbls = [
+        t
+        for t in _ray.get(
+            nodes_ds.map_batches(
+                lambda b: pa.table({"node": b.column(0).cast(pa.int64())}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if t is not None and len(t)
+    ]
+    keys = np.sort(
+        pa.concat_tables(node_tbls)["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    n = len(keys)
+    keys_ref = _ray.put(keys)
+    edge_refs = list(edges_ds.materialize().to_arrow_refs())
+
+    @_ray.remote
+    def _block_setup(tbl: pa.Table, keys: np.ndarray):
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = np.searchsorted(keys, src)
+        dp = np.searchsorted(keys, dst)
+        ok = (
+            (sp < len(keys))
+            & (dp < len(keys))
+            & (keys[np.minimum(sp, len(keys) - 1)] == src)
+            & (keys[np.minimum(dp, len(keys) - 1)] == dst)
+        )
+        sp, dp = sp[ok], dp[ok]
+        deg_part = np.bincount(sp, minlength=len(keys)).astype(np.int64)
+        return sp, dp, deg_part
+
+    setups = [_block_setup.remote(r, keys_ref) for r in edge_refs]
+    deg = np.zeros(n, np.int64)
+    pos_refs = []
+    for fut in setups:
+        sp, dp, dpart = _ray.get(fut)
+        deg += dpart
+        pos_refs.append(_ray.put((sp, dp)))
+    return keys, pos_refs, deg
+
+
+_GROUP = 16  # blocks per SpMV task / vectors per tree-combine task
+
+
+def components_broadcast(edges_ds, nodes_ds, max_iter: int = 25):
+    """Broadcast min-label connected components: bit-exact to
+    ``connected_components`` without a shuffle.
+
+    Same plan shape as ``pagerank_broadcast`` (the label vector is the
+    small side): per-block gather positions are precomputed once; each
+    superstep scatters ``np.minimum.at`` in BOTH edge directions into a
+    dense int64 label vector (min is order-independent, so the result
+    is bit-identical to the shuffle plan), tree-mins the per-task
+    vectors, and stops at the fixpoint. Scale bound: the dense node
+    vector must fit worker + driver heaps — beyond
+    ``BROADCAST_MAX_NODES`` the dispatcher uses the shuffle plan.
+    Returns Dataset(node, lbl).
+    """
+    import ray as _ray
+
+    keys, pos_refs, _deg = _broadcast_graph_setup(edges_ds, nodes_ds)
+    n = len(keys)
+    sentinel = np.iinfo(np.int64).max
+
+    @_ray.remote
+    def _min_scatter(lbl: np.ndarray, *pos_pairs):
+        dense = np.full(len(lbl), sentinel, np.int64)
+        for sp, dp in pos_pairs:
+            np.minimum.at(dense, dp, lbl[sp])
+            np.minimum.at(dense, sp, lbl[dp])
+        return dense
+
+    @_ray.remote
+    def _vmin(*vecs):
+        out = vecs[0].copy()
+        for v in vecs[1:]:
+            np.minimum(out, v, out=out)
+        return out
+
+    lbl = keys.copy()
+    for _ in range(max_iter):
+        lbl_ref = _ray.put(lbl)
+        futs = [
+            _min_scatter.remote(lbl_ref, *pos_refs[i : i + _GROUP])
+            for i in range(0, len(pos_refs), _GROUP)
+        ]
+        while len(futs) > 1:
+            futs = [_vmin.remote(*futs[i : i + _GROUP]) for i in range(0, len(futs), _GROUP)]
+        msgs = _ray.get(futs[0]) if futs else np.full(n, sentinel, np.int64)
+        new = np.minimum(lbl, msgs)
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+
+    import ray.data as _rd
+
+    return _rd.from_arrow(
+        pa.table({"node": pa.array(keys, pa.int64()), "lbl": pa.array(lbl, pa.int64())})
+    )
+
+
+def components_auto(
+    edges_ds,
+    nodes_ds,
+    max_iter: int = 25,
+    num_partitions: int | None = None,
+    n_nodes: int | None = None,
+    broadcast_max_nodes: int | None = None,
+):
+    """Auto-dispatching connected components: broadcast min-label plan
+    while the label vector fits a worker heap, shuffle-join plan beyond
+    it. Pass ``n_nodes`` (e.g. from parquet metadata) to avoid a count."""
+    if broadcast_max_nodes is None:
+        broadcast_max_nodes = BROADCAST_MAX_NODES
+    if n_nodes is None:
+        n_nodes = nodes_ds.count()
+    if n_nodes <= broadcast_max_nodes:
+        return components_broadcast(edges_ds, nodes_ds, max_iter=max_iter)
+    return connected_components(
+        edges_ds, nodes_ds, max_iter=max_iter, num_partitions=num_partitions
+    )
+
+
 def pagerank_broadcast(edges_ds, nodes_ds, n_iter: int = 5):
     """Broadcast-rank PageRank: bit-exact to ``pagerank_int`` without a
     single shuffle.
@@ -190,54 +327,8 @@ def pagerank_broadcast(edges_ds, nodes_ds, n_iter: int = 5):
     """
     import ray as _ray
 
-    # --- gather the node-id vector (node-sized by contract)
-    node_tbls = [
-        t
-        for t in _ray.get(
-            nodes_ds.map_batches(
-                lambda b: pa.table({"node": b.column(0).cast(pa.int64())}),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).to_arrow_refs()
-        )
-        if t is not None and len(t)
-    ]
-    keys = np.sort(
-        pa.concat_tables(node_tbls)["node"].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
+    keys, pos_refs, deg = _broadcast_graph_setup(edges_ds, nodes_ds)
     n = len(keys)
-    keys_ref = _ray.put(keys)
-
-    # --- per-block setup: gather positions + per-edge out-degree
-    edge_refs = [
-        r
-        for r in edges_ds.materialize().to_arrow_refs()
-    ]
-
-    @_ray.remote
-    def _block_setup(tbl: pa.Table, keys: np.ndarray):
-        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sp = np.searchsorted(keys, src)
-        dp = np.searchsorted(keys, dst)
-        ok = (
-            (sp < len(keys))
-            & (dp < len(keys))
-            & (keys[np.minimum(sp, len(keys) - 1)] == src)
-            & (keys[np.minimum(dp, len(keys) - 1)] == dst)
-        )
-        sp, dp = sp[ok], dp[ok]
-        # out-degree partial: count of kept edges per src position
-        deg_part = np.bincount(sp, minlength=len(keys)).astype(np.int64)
-        return sp, dp, deg_part
-
-    setups = [_block_setup.remote(r, keys_ref) for r in edge_refs]
-    deg = np.zeros(n, np.int64)
-    pos_refs = []
-    for fut in setups:
-        sp, dp, dpart = _ray.get(fut)
-        deg += dpart
-        pos_refs.append(_ray.put((sp, dp)))
     deg_ref = _ray.put(deg)
 
     @_ray.remote
@@ -254,7 +345,6 @@ def pagerank_broadcast(edges_ds, nodes_ds, n_iter: int = 5):
             out += v
         return out
 
-    _GROUP = 16  # blocks per SpMV task / vectors per tree-sum task
     pr = np.full(n, PR_INIT, np.int64)
     for _ in range(n_iter):
         pr_ref = _ray.put(pr)

@@ -394,6 +394,42 @@ def test_connected_components_chain_and_bridge(ray_session):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 11: 0, 12: 0, 20: 20}
 
 
+def test_components_broadcast_matches_shuffle(ray_session):
+    """Broadcast min-label plan bit-identical to the shuffle plan on a
+    chain+bridge graph with a singleton, plus auto dispatch both ways."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import (
+        components_auto,
+        components_broadcast,
+        connected_components,
+    )
+
+    edges = pa.table(
+        {
+            "src": pa.array([0, 1, 2, 10, 11, 3], pa.int64()),
+            "dst": pa.array([1, 2, 3, 11, 12, 10], pa.int64()),
+        }
+    )
+    nodes = pa.table({"node": pa.array([0, 1, 2, 3, 10, 11, 12, 20], pa.int64())})
+    want = {0: 0, 1: 0, 2: 0, 3: 0, 10: 0, 11: 0, 12: 0, 20: 20}
+    bc = components_broadcast(ray.data.from_arrow(edges), ray.data.from_arrow(nodes))
+    assert {r["node"]: r["lbl"] for r in bc.take_all()} == want
+    sh = connected_components(
+        ray.data.from_arrow(edges), ray.data.from_arrow(nodes), num_partitions=2
+    )
+    assert {r["node"]: r["lbl"] for r in sh.take_all()} == want
+    auto = components_auto(ray.data.from_arrow(edges), ray.data.from_arrow(nodes))
+    assert {r["node"]: r["lbl"] for r in auto.take_all()} == want
+    forced = components_auto(
+        ray.data.from_arrow(edges),
+        ray.data.from_arrow(nodes),
+        num_partitions=2,
+        broadcast_max_nodes=2,
+    )
+    assert {r["node"]: r["lbl"] for r in forced.take_all()} == want
+
+
 def test_length_quantiles_vs_numpy(ray_session, tmp_path):
     import pyarrow.parquet as pq
 
