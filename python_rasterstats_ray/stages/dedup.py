@@ -204,8 +204,18 @@ def minhash_lsh_pairs(
     def dedup_pairs(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
+    def block_distinct(batch: pa.Table) -> pa.Table:
+        # pre-distinct inside each block before the exchange: the same
+        # true pair collides in up to `bands` bands, so this cuts the
+        # distinct-shuffle volume by up to that factor for free
+        return batch.group_by(["id_a", "id_b"]).aggregate([])
+
     # distinct (id_a, id_b): same pair may collide in several bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pairs, batch_format="pyarrow")
+    return (
+        pairs.map_batches(block_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["id_a", "id_b"])
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+    )
 
 
 def ngram_jaccard(text_a: str, text_b: str, k: int = 5) -> float:
