@@ -363,6 +363,20 @@ def test_pagerank_broadcast_sink_source_isolated(ray_session):
     assert out == pr
 
 
+def test_pagerank_broadcast_many_blocks(ray_session):
+    """Force enough edge blocks that the SpMV fans out to multiple tasks
+    and the dense-vector tree-sum actually runs (>_GROUP leaf blocks)."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.graph import pagerank_broadcast, synth_edges
+
+    n = 300
+    nodes = ray.data.from_arrow(pa.table({"doc_id": pa.array(range(n), pa.int64())}))
+    edges = synth_edges(nodes, n).repartition(40)
+    out = {r["node"]: r["pr"] for r in pagerank_broadcast(edges, nodes, n_iter=3).take_all()}
+    assert out == _naive_pagerank(n, 3)
+
+
 def test_pagerank_every_node_has_inedges():
     # map k=0 is a bijection mod n (gcd(EDGE_A[0], n)=1 for our corpus
     # sizes) so no rank row ever drops out of the iterative joins
