@@ -12,7 +12,7 @@ here (or in the library) calls ray.init()/ray.shutdown().
   reason this repo exists — then flagship/checkpoint, then one entry
   per distinct training-data operator family. SQL-expressible ones
   have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
-- ``extra_queries()``: the 27 near-duplicate / variant pipelines pruned
+- ``extra_queries()``: the 29 near-duplicate / variant / rows-only pipelines pruned
   from the driver window (VERDICT r2 #1). NOT part of the driver
   contract — every one still runs against its DuckDB oracle in
   ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
@@ -124,6 +124,7 @@ EXTRA_QUERY_ORDER = [
     "knn_ivf",
     "media_features",
     "audio_features",
+    "video_features",
 ]
 
 
@@ -210,6 +211,19 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
+def _q_video_features(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.multimodal import (
+        synth_mjpeg_media_table,
+        video_feature_pipeline,
+    )
+
+    # REAL decode path: payloads are MJPEG AVIs (from-scratch RIFF
+    # container + JPEG codec); one row per sampled frame
+    return video_feature_pipeline(ray.data.from_arrow(synth_mjpeg_media_table(100)))
+
+
 def _q_audio_features(sf_dir: str):
     import ray.data
 
@@ -253,6 +267,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "flagship_zone_stats": _q_flagship_zone_stats,
             "media_features": _q_media_features,
             "audio_features": _q_audio_features,
+            "video_features": _q_video_features,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,
         }

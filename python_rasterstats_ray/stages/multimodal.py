@@ -1,14 +1,15 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-PNG and baseline-JPEG image payloads DECODE FOR REAL via the
+PNG, baseline-JPEG and MJPEG-AVI VIDEO payloads DECODE FOR REAL via the
 from-scratch pure-stdlib codecs in sources/png.py (DEFLATE + scanline
-filters) and sources/jpeg.py (T.81 baseline sequential DCT: Huffman,
-dequantize, batched-matmul IDCT, 4:4:4/4:2:2/4:2:0, restart markers) —
-no PIL/libjpeg. The container has no video/compressed-audio codecs, so
-those decode through a deterministic fake behind the same interface a
-real ffmpeg-backed kernel would have (clearly marked below); everything
-Ray-side — schema, actor-pool signatures, batch sizing for large binary
-payloads, output layout — is real and tested.
+filters), sources/jpeg.py (T.81 baseline sequential DCT: Huffman,
+dequantize, batched-matmul IDCT, 4:4:4/4:2:2/4:2:0, restart markers)
+and sources/avi.py (RIFF container parser whose 00dc chunks feed the
+JPEG decoder) — no PIL/libjpeg/ffmpeg. Only progressive JPEG still
+falls through to the deterministic fake behind the same interface
+(clearly marked below); everything Ray-side — schema, actor-pool
+signatures, batch sizing for large binary payloads, output layout — is
+real and tested.
 
 Media row schema: (media_id:int64, kind:string, payload:binary,
 width:int32, height:int32, sample_rate:int32, n_frames:int32).
@@ -67,9 +68,11 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a media payload to HxWx3 uint8.
 
     PNG and baseline-JPEG payloads decode for REAL via the from-scratch
-    pure-stdlib codecs (sources/png.py, sources/jpeg.py); anything else
-    (video, progressive JPEG) falls back to the clearly-marked stub —
-    a deployment swaps only `_fake_decode`.
+    pure-stdlib codecs (sources/png.py, sources/jpeg.py); MJPEG-AVI video
+    frames route through sources/avi.py + the JPEG decoder (see
+    VideoFrameFeatureKernel). Only non-baseline payloads (progressive
+    JPEG) fall back to the clearly-marked stub — a deployment swaps only
+    `_fake_decode`.
     """
     from ..sources.jpeg import is_jpeg, jpeg_decode
     from ..sources.png import is_png, png_decode
@@ -161,19 +164,33 @@ class DecodeImageKernel:
 
 
 class FrameSampleKernel:
-    """'Video' payloads -> every ``stride``-th frame chunk (flat_map-style:
-    one output row per sampled frame)."""
+    """Video payloads -> every ``stride``-th frame (flat_map-style: one
+    output row per sampled frame).
+
+    MJPEG-AVI payloads are parsed FOR REAL (sources/avi.py): each
+    emitted chunk is that frame's complete baseline JPEG, decodable by
+    ``decode_image``. Other payloads keep the fixed-size byte-slice
+    contract (the SQL-oracled driver query feeds seeded opaque bytes)."""
 
     def __init__(self, stride: int = 4):
         self.stride = stride
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.avi import avi_decode, is_avi
+
         out_id, out_frame, out_chunk = [], [], []
         for mid, payload, n_frames in zip(
             batch["media_id"].to_pylist(),
             batch["payload"].to_pylist(),
             batch["n_frames"].to_pylist(),
         ):
+            if is_avi(payload):
+                frames, _meta = avi_decode(payload)
+                for fi in range(0, len(frames), self.stride):
+                    out_id.append(mid)
+                    out_frame.append(fi)
+                    out_chunk.append(frames[fi])
+                continue
             size = max(1, len(payload) // max(1, n_frames))
             for fi in range(0, n_frames, self.stride):
                 out_id.append(mid)
@@ -199,6 +216,100 @@ def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=None,
     return media_ds.map_batches(
         DecodeImageKernel,
         fn_constructor_kwargs=dict(target_size=target_size),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def synth_mjpeg_media_table(
+    n: int,
+    size: tuple[int, int] = (48, 32),
+    n_frames: int = 8,
+    fps: int = 10,
+    seed: int = 42,
+) -> pa.Table:
+    """Deterministic REAL-VIDEO media rows: each payload is an MJPEG AVI
+    whose frames are moving-gradient baseline JPEGs from the from-scratch
+    encoder — the full container + codec path is exercised on decode."""
+    from ..sources.avi import avi_encode
+    from ..sources.jpeg import jpeg_encode
+
+    w, h = size
+    yy, xx = np.mgrid[0:h, 0:w]
+    payloads = []
+    for i in range(n):
+        frames = []
+        for f in range(n_frames):
+            shift = (i * 3 + f * 5) % 256
+            base = (xx * 255 // max(w - 1, 1) + shift) % 256
+            img = np.stack(
+                [base, (base + 85) % 256, np.full((h, w), (i + f) % 256)], axis=2
+            ).astype(np.uint8)
+            frames.append(jpeg_encode(img, quality=90))
+        payloads.append(avi_encode(frames, width=w, height=h, fps=fps))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["mjpeg_avi"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n, w, dtype=np.int32)),
+            "height": pa.array(np.full(n, h, dtype=np.int32)),
+            "sample_rate": pa.array(np.zeros(n, dtype=np.int32)),
+            "n_frames": pa.array(np.full(n, n_frames, dtype=np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class VideoFrameFeatureKernel:
+    """Actor-pool kernel: MJPEG-AVI payloads -> per-sampled-frame features
+    via the REAL container parser + JPEG decoder. One output row per
+    sampled frame: (media_id, frame, out_width, out_height,
+    mean_luminance). Small ``batch_size`` — a video payload is the
+    largest object the engine ships per row."""
+
+    def __init__(self, stride: int = 4):
+        self.stride = stride
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.avi import avi_decode
+
+        out = {k: [] for k in
+               ("media_id", "frame", "out_width", "out_height", "mean_luminance")}
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            frames, _meta = avi_decode(payload)
+            for fi in range(0, len(frames), self.stride):
+                img = decode_image(frames[fi], _meta["width"], _meta["height"])
+                out["media_id"].append(mid)
+                out["frame"].append(fi)
+                out["out_height"].append(img.shape[0])
+                out["out_width"].append(img.shape[1])
+                out["mean_luminance"].append(float(img.mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(out["media_id"], pa.int64()),
+                "frame": pa.array(out["frame"], pa.int32()),
+                "out_width": pa.array(out["out_width"], pa.int32()),
+                "out_height": pa.array(out["out_height"], pa.int32()),
+                "mean_luminance": pa.array(out["mean_luminance"], pa.float64()),
+            }
+        )
+
+
+def video_feature_pipeline(media_ds, stride: int = 4, concurrency=None,
+                           batch_size: int = 16):
+    """read -> actor-pool AVI parse + per-frame JPEG decode + features."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    return media_ds.map_batches(
+        VideoFrameFeatureKernel,
+        fn_constructor_kwargs=dict(stride=stride),
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,

@@ -5,7 +5,8 @@ Every entry in ``__ray_entry__.extra_queries()`` runs here against its
 DuckDB oracle with the same strictness as the driver: row count, column
 names, dtypes (representation — the docs_unigram_lm amber was an
 int64-vs-float64 artifact) and order-insensitive exact values. The three
-rows-only pipelines (knn_ivf, media_features, audio_features) get a
+rows-only pipelines (knn_ivf, media_features, audio_features,
+video_features) get a
 row-count + schema-stability check.
 
 Default sf is 0.01 (the driver's gate sf); override with
@@ -124,6 +125,7 @@ def test_extra_query_matches_oracle(ray_session, duck, name):
     ("knn_ivf", 30),
     ("media_features", 200),
     ("audio_features", 200),
+    ("video_features", 200),
 ])
 def test_extra_rows_only(ray_session, name, min_rows):
     entrymod = _entrymod()
@@ -139,4 +141,4 @@ def test_registry_partition():
     assert not set(q) & set(x)
     # the parametrized list above stays in sync with EXTRA_QUERY_ORDER
     oracled = set(entrymod.extra_oracle_sql())
-    assert oracled == set(x) - {"knn_ivf", "media_features", "audio_features"}
+    assert oracled == set(x) - {"knn_ivf", "media_features", "audio_features", "video_features"}

@@ -1027,3 +1027,77 @@ def test_wav_features_edge_cases():
     with _pt.raises(ValueError):
         # cut into IDAT (past IEND's 12 bytes) -> declared length overruns
         png_decode(png_encode(np.zeros((4, 4, 3), np.uint8))[:-20])
+
+
+def test_avi_codec_roundtrip_property():
+    """The MJPEG-AVI container is lossless around its frame payloads:
+    encode->decode must return the exact frame byte strings and header
+    metadata for arbitrary frame counts/sizes (frames here are arbitrary
+    bytes — the container must not care)."""
+    import pytest as _pt
+
+    from python_rasterstats_ray.sources.avi import (
+        AviError,
+        avi_decode,
+        avi_encode,
+        is_avi,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, w, h, fps in [(1, 8, 8, 1), (3, 48, 32, 10), (17, 64, 48, 30), (5, 2, 2, 25)]:
+        frames = [
+            rng.integers(0, 256, int(rng.integers(1, 2000)), dtype=np.uint8).tobytes()
+            for _ in range(n)
+        ]
+        data = avi_encode(frames, width=w, height=h, fps=fps)
+        assert is_avi(data)
+        back, meta = avi_decode(data)
+        assert back == frames
+        assert (meta["width"], meta["height"], meta["fps"], meta["n_frames"]) == (w, h, fps, n)
+    assert not is_avi(b"RIFF\x00\x00\x00\x00WAVE")
+    with _pt.raises(AviError):
+        avi_decode(b"not an avi")
+    with _pt.raises(AviError):
+        avi_encode([], width=4, height=4)
+    # truncated mid-movi: declared chunk length overruns the container
+    data = avi_encode([b"x" * 100], width=4, height=4)
+    with _pt.raises(AviError):
+        avi_decode(data[:-40])
+
+
+def test_video_frames_decode_real(ray_session):
+    """End-to-end REAL video path: MJPEG-AVI payloads through
+    FrameSampleKernel (chunks must be the exact per-frame JPEGs) and
+    video_feature_pipeline (per-frame features from actual decode)."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.avi import avi_decode
+    from python_rasterstats_ray.stages.multimodal import (
+        FrameSampleKernel,
+        decode_image,
+        synth_mjpeg_media_table,
+        video_feature_pipeline,
+    )
+
+    n, n_frames, stride = 6, 8, 4
+    tbl = synth_mjpeg_media_table(n, n_frames=n_frames)
+    # kernel-level: sampled chunks are the container's exact JPEG bytes
+    sampled = FrameSampleKernel(stride=stride)(tbl)
+    per_doc = -(-n_frames // stride)
+    assert len(sampled) == n * per_doc
+    frames0, meta0 = avi_decode(tbl["payload"][0].as_py())
+    got0 = {
+        r["frame"]: r["chunk"]
+        for r in sampled.to_pylist()
+        if r["media_id"] == 0
+    }
+    assert got0 == {fi: frames0[fi] for fi in range(0, n_frames, stride)}
+    # distributed: features come from real frame decode
+    out = video_feature_pipeline(
+        ray.data.from_arrow(tbl), stride=stride, concurrency=(1, 2), batch_size=4
+    ).take_all()
+    assert len(out) == n * per_doc
+    row0 = next(r for r in out if r["media_id"] == 0 and r["frame"] == 0)
+    img0 = decode_image(frames0[0], meta0["width"], meta0["height"])
+    assert row0["mean_luminance"] == float(img0.mean())
+    assert (row0["out_width"], row0["out_height"]) == (meta0["width"], meta0["height"])
