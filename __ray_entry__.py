@@ -120,6 +120,7 @@ EXTRA_QUERY_ORDER = [
     "doc_fingerprint",
     "flagship_zone_stats",
     "minhash_pairs",
+    "docs_fuzzy_dedup",
     "simhash_signatures",
     "knn_ivf",
     "media_features",

@@ -1546,6 +1546,62 @@ FROM al a JOIN al b ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
 """
 
 
+def q_docs_fuzzy_dedup(sf_dir: str):
+    """The COMPLETE fuzzy-dedup pipeline a 100-TB corpus runs end to end:
+    MinHash-LSH candidate pairs -> md5 verify -> connected components
+    over the verified-pair graph (components_auto: broadcast min-label
+    here, shuffle-join plan beyond the node bound) -> canonical survivor
+    = min doc_id per cluster. One row per doc: (doc_id, cluster_id,
+    keep). Oracle: verified pairs are md5-equality relations, so the
+    pair graph's components are exactly the md5 equivalence classes —
+    SQL window MIN over PARTITION BY md5(text)."""
+    import ray.data
+
+    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.graph import components_auto
+
+    base, dup = _planted_dup_docs(sf_dir)
+    ds = ray.data.from_arrow(base).union(ray.data.from_arrow(dup))
+    pairs = _md5_verified_pairs(minhash_lsh_pairs(ds), base, dup)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch["id_a"], "dst": batch["id_b"]})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    nodes = ds.select_columns(["doc_id"])
+    cc = components_auto(edges, nodes, n_nodes=base.num_rows + dup.num_rows)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lbl = batch["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(node, pa.int64()),
+                "cluster_id": pa.array(lbl, pa.int64()),
+                "keep": pa.array(node == lbl, pa.bool_()),
+            }
+        )
+
+    return cc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "doc_id"
+    )
+
+
+SQL_DOCS_FUZZY_DEDUP = """
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+al AS (
+  SELECT doc_id, text FROM base
+  UNION ALL
+  SELECT doc_id + 1000000000 AS doc_id, text FROM base WHERE doc_id < 30
+)
+SELECT doc_id,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+FROM al
+ORDER BY doc_id
+"""
+
+
 def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200):
     """Near-duplicate pairs by exact character-5-gram Jaccard >= 0.8,
     found via MinHash-LSH candidate generation and verified with
@@ -2796,6 +2852,7 @@ ORACLE_SQL = {
     "docs_jaccard_pairs": SQL_DOCS_JACCARD_PAIRS,
     "media_frame_sample": _media_frame_sql(),
     "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
+    "docs_fuzzy_dedup": SQL_DOCS_FUZZY_DEDUP,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -2842,5 +2899,6 @@ QUERIES = {
     "docs_jaccard_pairs": q_docs_jaccard_pairs,
     "media_frame_sample": q_media_frame_sample,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "docs_fuzzy_dedup": q_docs_fuzzy_dedup,
     "simhash_dup_pairs": q_simhash_dup_pairs,
 }

@@ -184,6 +184,10 @@ def _broadcast_graph_setup(edges_ds, nodes_ds):
 
     @_ray.remote
     def _block_setup(tbl: pa.Table, keys: np.ndarray):
+        if len(tbl) == 0 or "src" not in tbl.column_names:
+            # zero-row blocks out of map_groups/filter carry a bare schema
+            empty = np.empty(0, np.int64)
+            return empty, empty, np.zeros(len(keys), np.int64)
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         sp = np.searchsorted(keys, src)
