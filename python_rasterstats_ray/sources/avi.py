@@ -11,9 +11,9 @@ the JPEG payloads: encode/decode round-trips frame bytes exactly.
 Role in the engine (reference parity: rasterstats has no media path —
 this backs the training-data multimodal stages, stages/multimodal.py):
 the VIDEO decode step used to be the last deterministic-fake stub; with
-this container parser + the from-scratch JPEG codec, frame sampling and
-per-frame features run on real video bytes end to end. Only progressive
-JPEG remains a labeled stub.
+this container parser + the from-scratch JPEG codec (baseline and
+progressive), frame sampling and per-frame features run on real video
+bytes end to end.
 """
 
 from __future__ import annotations

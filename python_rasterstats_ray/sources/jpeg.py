@@ -5,12 +5,18 @@ multimodal path REAL: baseline sequential JPEG is fully specified public
 knowledge (ITU-T T.81 / JFIF) and needs no external codec.
 
 Scope:
-- decoder: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-  sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals;
-  progressive (SOF2) and arithmetic coding raise NotImplementedError.
-- encoder: 4:4:4 (and grayscale) with the T.81 Annex K quantization and
-  Huffman tables, quality-scaled — enough to fixture the decoder and
-  round-trip within the quantization error bound.
+- decoder: baseline sequential DCT (SOF0) AND progressive DCT (SOF2 —
+  spectral selection + successive approximation, EOB runs, refinement
+  correction bits, interleaved DC and non-interleaved AC scans), 8-bit,
+  1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
+  restart intervals; arithmetic coding raises NotImplementedError.
+- encoder: baseline 4:4:4 / 4:2:0 / grayscale with the T.81 Annex K
+  quantization and Huffman tables, quality-scaled; plus a progressive
+  encoder (``jpeg_encode_progressive``, 4:4:4 / grayscale) emitting a
+  libjpeg-style scan script with OPTIMAL per-scan Huffman tables built
+  by the Annex K.2 algorithm — enough to fixture every decoder path.
+  Progressive re-arranges the SAME quantized coefficients, so its
+  decode is bit-identical to the baseline decode of the same image.
 
 The 8x8 DCT runs as two numpy matrix products per block batch, whole
 image at once: A @ X @ A.T over a (n_blocks, 8, 8) stack — vectorized,
@@ -345,6 +351,325 @@ def jpeg_encode(
     return bytes(out)
 
 
+# ------------------------------------------------- progressive encoding
+
+
+def _optimal_table(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """T.81 Annex K.2 optimal Huffman table from symbol frequencies
+    (256-entry array) -> (bits[1..16], huffval). Symbol 256 is the
+    reserved code that guarantees no all-ones codeword."""
+    freq = np.append(freq.astype(np.int64), 1)
+    if freq[:256].sum() == 0:
+        freq[0] = 1  # degenerate scan: keep the table well-formed
+    codesize = np.zeros(257, np.int64)
+    others = np.full(257, -1, np.int64)
+    while True:
+        nz = np.nonzero(freq > 0)[0]
+        if len(nz) <= 1:
+            break
+        f = freq[nz]
+        v1 = nz[f == f.min()][-1]  # least frequent, largest symbol
+        rest = nz[nz != v1]
+        fr = freq[rest]
+        v2 = rest[fr == fr.min()][-1]
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = np.zeros(33, np.int64)
+    for s in range(257):
+        if codesize[s]:
+            bits[min(int(codesize[s]), 32)] += 1
+    i = 32  # Annex K.3: limit code length to 16
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved code
+    order = sorted((int(codesize[s]), s) for s in range(256) if codesize[s])
+    return list(int(b) for b in bits[1:17]), [s for _, s in order]
+
+
+class _FreqSink:
+    """Pass 1: count Huffman symbols per table slot (bits are free)."""
+
+    def __init__(self, n_slots: int):
+        self.freq = [np.zeros(256, np.int64) for _ in range(n_slots)]
+
+    def symbol(self, slot: int, sym: int) -> None:
+        self.freq[slot][sym] += 1
+
+    def bits(self, value: int, length: int) -> None:
+        pass
+
+
+class _WriteSink:
+    """Pass 2: emit with the tables built from pass 1."""
+
+    def __init__(self, tables: list[dict]):
+        self.bw = _BitWriter()
+        self.tables = tables
+
+    def symbol(self, slot: int, sym: int) -> None:
+        code, ln = self.tables[slot][sym]
+        self.bw.write(code, ln)
+
+    def bits(self, value: int, length: int) -> None:
+        if length:
+            self.bw.write(value, length)
+
+
+def _scan_dc_first(comps, al, slot_of, sink) -> None:
+    """Interleaved first DC scan: DPCM over arithmetic-shifted DC."""
+    preds = [0] * len(comps)
+    for bi in range(comps[0]["coef"].shape[0]):  # 4:4:4: shared block grid
+        for ci, c in enumerate(comps):
+            v = int(c["coef"][bi][0]) >> al
+            diff = v - preds[ci]
+            preds[ci] = v
+            s = _category(diff)
+            sink.symbol(slot_of[ci], s)
+            sink.bits(_encode_coeff_bits(diff, s), s)
+
+
+def _scan_dc_refine(comps, al, sink) -> None:
+    """Interleaved DC refinement: one raw bit per block (no symbols)."""
+    for bi in range(comps[0]["coef"].shape[0]):
+        for c in comps:
+            sink.bits((int(c["coef"][bi][0]) >> al) & 1, 1)
+
+
+def _scan_ac_first(c, ss, se, al, slot, sink) -> None:
+    """Non-interleaved first AC scan with EOB-run coding."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(slot, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for zz in c["coef"]:
+        band = zz[ss : se + 1]
+        sign = np.sign(band)
+        t = sign * (np.abs(band) >> al)  # point transform, toward zero
+        nz = np.nonzero(t)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            continue
+        flush_eob()
+        run = 0
+        last = nz[-1]
+        for k in range(last + 1):
+            v = int(t[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.symbol(slot, 0xF0)  # ZRL
+                run -= 16
+            s = _category(v)
+            sink.symbol(slot, (run << 4) | s)
+            sink.bits(_encode_coeff_bits(v, s), s)
+            run = 0
+        if last < se - ss:
+            eobrun = 1
+    flush_eob()
+
+
+def _scan_ac_refine(c, ss, se, al, slot, sink) -> None:
+    """Non-interleaved AC refinement scan (T.81 G.1.2.3 / the
+    correction-bit protocol): newly-significant coefficients code
+    (run<<4)|1 + sign; already-nonzero ones contribute correction bits
+    interleaved EXACTLY where the decoder's advance visits them — per
+    ZRL span (the 16 skipped zero-history positions), per new-coef
+    span, or with the EOB run. The pending span is kept as an event
+    queue (None = zero-history position, 0/1 = correction bit) so a
+    ZRL flushes only the bits up to its 16th zero."""
+    eobrun = 0
+    run_pend: list[int] = []  # correction bits owned by the open EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, run_pend
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            sink.symbol(slot, r << 4)
+            sink.bits(eobrun - (1 << r), r)
+            for b in run_pend:
+                sink.bits(b, 1)
+            eobrun = 0
+            run_pend = []
+
+    for zz in c["coef"]:
+        band = zz[ss : se + 1]
+        t = np.abs(band) >> al
+        events: list = []  # since last symbol: None (zero) / int (bit)
+        nzeros = 0
+        for k in range(se - ss + 1):
+            temp = int(t[k])
+            if temp == 0:
+                events.append(None)
+                nzeros += 1
+                continue
+            if temp > 1:  # already nonzero at this precision
+                events.append(temp & 1)
+                continue
+            # temp == 1: newly significant at this scan
+            while nzeros > 15:
+                flush_eob()
+                sink.symbol(slot, 0xF0)
+                zc = i = 0
+                while zc < 16:  # bits the ZRL advance consumes
+                    ev = events[i]
+                    i += 1
+                    if ev is None:
+                        zc += 1
+                    else:
+                        sink.bits(ev, 1)
+                events = events[i:]
+                nzeros -= 16
+            flush_eob()
+            sink.symbol(slot, (nzeros << 4) | 1)
+            sink.bits(1 if band[k] > 0 else 0, 1)
+            for ev in events:
+                if ev is not None:
+                    sink.bits(ev, 1)
+            events = []
+            nzeros = 0
+        if events:  # trailing zeros/bits: this block joins an EOB run
+            eobrun += 1
+            run_pend.extend(ev for ev in events if ev is not None)
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def jpeg_encode_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+    """HxW (grayscale) or HxWx3 uint8 RGB -> progressive (SOF2) JFIF.
+
+    Emits a libjpeg-style scan script — interleaved DC first (Al=1),
+    per-component AC bands 1-5 and 6-63 first scans (Al=2), two AC
+    refinement passes (2->1, 1->0), DC refinement last — with OPTIMAL
+    per-scan Huffman tables (Annex K.2) re-defined via DHT before each
+    scan. 4:4:4 / grayscale. The quantized coefficients are identical
+    to ``jpeg_encode``'s, so decodes of both match bit-exactly.
+    """
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        raise ValueError("jpeg_encode_progressive expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+
+    if gray:
+        planes = [img.astype(np.float64)]
+    else:
+        r = img[:, :, 0].astype(np.float64)
+        g = img[:, :, 1].astype(np.float64)
+        b = img[:, :, 2].astype(np.float64)
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [_quality_scale(_QT_LUM, quality)]
+    if not gray:
+        qts.append(_quality_scale(_QT_CHR, quality))
+    mcux, mcuy = -(-w // 8), -(-h // 8)
+    comps = []
+    for ci, p in enumerate(planes):
+        tq = 0 if ci == 0 else 1
+        comps.append(
+            {"coef": _block_coeffs(p, qts[tq], mcuy, mcux), "tq": tq}
+        )
+    slot_of = [0] + [1] * (len(comps) - 1)  # comp -> huffman table slot
+
+    # scan script: (kind, comp index or None, ss, se, ah, al)
+    script = [("dc_first", None, 0, 0, 0, 1)]
+    for ci in range(len(comps)):
+        script.append(("ac_first", ci, 1, 5, 0, 2))
+        script.append(("ac_first", ci, 6, 63, 0, 2))
+    for ci in range(len(comps)):
+        script.append(("ac_refine", ci, 1, 63, 2, 1))
+        script.append(("ac_refine", ci, 1, 63, 1, 0))
+    script.append(("dc_refine", None, 0, 0, 1, 0))
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for i, q in enumerate(qts):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([i]) + bytes(int(v) for v in q[_ZZ])
+    nc = len(comps)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci, c in enumerate(comps):
+        out += bytes([ci + 1, 0x11, c["tq"]])
+
+    for kind, ci, ss, se, ah, al in script:
+        scan_comps = comps if ci is None else [comps[ci]]
+        n_slots = 2 if (ci is None and nc > 1) else 1
+
+        def run(sink):
+            if kind == "dc_first":
+                _scan_dc_first(comps, al, slot_of, sink)
+            elif kind == "dc_refine":
+                _scan_dc_refine(comps, al, sink)
+            elif kind == "ac_first":
+                _scan_ac_first(comps[ci], ss, se, al, 0, sink)
+            else:
+                _scan_ac_refine(comps[ci], ss, se, al, 0, sink)
+
+        tc = 0x00 if kind.startswith("dc") else 0x10
+        tables = []
+        if kind == "dc_refine":  # raw bits only: no tables, no DHT
+            pass
+        else:
+            fs = _FreqSink(n_slots)
+            run(fs)
+            for slot in range(n_slots):
+                bits, vals = _optimal_table(fs.freq[slot])
+                out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+                out += bytes([tc | slot]) + bytes(bits) + bytes(vals)
+                tables.append(
+                    dict((s, (co, ln)) for s, co, ln in _canonical_codes(bits, vals))
+                )
+        ws = _WriteSink(tables if tables else [{}])
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scan_comps), len(scan_comps))
+        for sci, c in enumerate(scan_comps):
+            comp_id = (ci + 1) if ci is not None else (sci + 1)
+            slot = slot_of[ci] if ci is not None else slot_of[sci]
+            slot = slot if n_slots > 1 else 0
+            td = slot if tc == 0x00 else 0
+            ta = slot if tc == 0x10 else 0
+            out += bytes([comp_id, (td << 4) | ta])
+        out += bytes([ss, se, (ah << 4) | al])
+        run(ws)
+        ws.bw.flush()
+        out += bytes(ws.bw.buf)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ----------------------------------------------------------------- decode
 
 
@@ -424,7 +749,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> HxW (grayscale) or HxWx3 uint8 RGB."""
+    """JFIF bytes (baseline SOF0/1 or progressive SOF2) -> HxW
+    (grayscale) or HxWx3 uint8 RGB."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG stream")
     pos = 2
@@ -434,6 +760,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     comps = None  # list of dicts: id, h, v, tq, td, ta
     h = w = 0
     restart_interval = 0
+    progressive = False
+    saw_scan = False
 
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -470,7 +798,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 p += 17 + n
                 tree = _HuffTree(bits, vals)
                 (ac_tabs if tc else dc_tabs)[th] = tree
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit precision")
@@ -478,22 +807,40 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG not supported")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
+            if comps is None:
+                raise ValueError("SOS before SOF")
             ns = seg[0]
+            scan_comps = []
             for si in range(ns):
                 cs, tdta = seg[1 + 2 * si], seg[2 + 2 * si]
                 for c in comps:
                     if c["id"] == cs:
                         c["td"], c["ta"] = tdta >> 4, tdta & 0xF
+                        scan_comps.append(c)
             pos += seglen
-            return _decode_scan(
-                data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart_interval
+            if not progressive:
+                return _decode_scan(
+                    data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart_interval
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            _prog_init(comps, h, w)
+            pos = _decode_prog_scan(
+                data, pos, comps, scan_comps, dc_tabs, ac_tabs,
+                ss, se, ahal >> 4, ahal & 0xF, restart_interval,
             )
+            saw_scan = True
+            continue
         pos += seglen
+    if progressive and saw_scan:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _reconstruct(comps, qts, h, w, hmax, vmax)
     raise ValueError("no SOS marker")
 
 
@@ -548,7 +895,13 @@ def _decode_scan(data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart_interval
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coef"][row * c["bw"] + col] = zz
-    # dequantize + IDCT per component, vectorized over all blocks
+    return _reconstruct(comps, qts, h, w, hmax, vmax)
+
+
+def _reconstruct(comps, qts, h, w, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT per component (vectorized over all blocks),
+    upsample, color-convert — shared by the baseline and progressive
+    paths (both end with the same per-component coefficient grids)."""
     planes = []
     for c in comps:
         q = qts[c["tq"]]
@@ -572,3 +925,163 @@ def _decode_scan(data, pos, comps, qts, dc_tabs, ac_tabs, h, w, restart_interval
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ progressive
+
+
+def _prog_init(comps, h, w) -> None:
+    """Allocate the persistent coefficient grids progressive scans
+    accumulate into (padded to whole interleaved MCUs, like baseline)."""
+    if "coef" in comps[0]:
+        return
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        # non-interleaved scans cover only the REAL block grid of the
+        # component (ceil of its sample dimensions), not the MCU padding
+        cw = -(-(w * c["h"]) // hmax)
+        ch = -(-(h * c["v"]) // vmax)
+        c["nbw"] = -(-cw // 8)
+        c["nbh"] = -(-ch // 8)
+        c["mcux"], c["mcuy"] = mcux, mcuy
+
+
+def _refine_nonzero(zz, k, se, br, p1) -> int:
+    """Successive-approximation correction: starting at zigzag index k,
+    read one bit per already-nonzero coefficient up to ``se`` and add
+    ±p1 where the bit is set (T.81 G.1.2.3); returns the index AFTER
+    ``se``. Zero-history coefficients are skipped (callers that must
+    count them handle that themselves)."""
+    while k <= se:
+        if zz[k] != 0 and br.read(1) and (abs(int(zz[k])) & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+        k += 1
+    return k
+
+
+def _decode_prog_scan(
+    data, pos, comps, scan_comps, dc_tabs, ac_tabs, ss, se, ah, al,
+    restart_interval,
+):
+    """Decode ONE progressive scan into the persistent coefficient
+    grids; returns the stream position of the next marker."""
+    br = _BitReader(data, pos)
+    eobrun = 0
+    preds = {id(c): 0 for c in scan_comps}
+
+    def check_restart(unit: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            m = br.align_to_marker()
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected RST marker, got {m:02x}")
+            eobrun = 0
+            for c in scan_comps:
+                preds[id(c)] = 0
+
+    def dc_block(c, zz) -> None:
+        if ah == 0:  # first DC scan: DPCM in the point-transformed domain
+            size = dc_tabs[c["td"]].decode(br)
+            diff = _extend(br.read(size), size) if size else 0
+            preds[id(c)] += diff
+            zz[0] = preds[id(c)] << al
+        else:  # refinement: one correction bit per block
+            if br.read(1):
+                zz[0] |= 1 << al
+
+    def ac_first_block(zz) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        act = ac_tabs[scan_comps[0]["ta"]]
+        while k <= se:
+            rs = act.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index overflow in progressive scan")
+            zz[k] = _extend(br.read(s), s) << al
+            k += 1
+
+    def ac_refine_block(zz) -> None:
+        nonlocal eobrun
+        p1 = 1 << al
+        k = ss
+        act = ac_tabs[scan_comps[0]["ta"]]
+        if eobrun == 0:
+            while k <= se:
+                rs = act.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:  # EOBn: current block finishes in the tail
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if br.read(1) else -p1
+                while k <= se:
+                    if zz[k] != 0:
+                        if br.read(1) and (abs(int(zz[k])) & p1) == 0:
+                            zz[k] += p1 if zz[k] > 0 else -p1
+                    else:
+                        if r == 0:
+                            if val != 0:
+                                zz[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            _refine_nonzero(zz, k, se, br, p1)
+            eobrun -= 1
+
+    if ss == 0:  # DC scan (se must be 0)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        if len(scan_comps) > 1:  # interleaved over MCUs
+            mcux, mcuy = scan_comps[0]["mcux"], scan_comps[0]["mcuy"]
+            for mi in range(mcux * mcuy):
+                check_restart(mi)
+                my, mx = divmod(mi, mcux)
+                for c in scan_comps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            row = my * c["v"] + by
+                            col = mx * c["h"] + bx
+                            dc_block(c, c["coef"][row * c["bw"] + col])
+        else:
+            c = scan_comps[0]
+            for bi in range(c["nbh"] * c["nbw"]):
+                check_restart(bi)
+                row, col = divmod(bi, c["nbw"])
+                dc_block(c, c["coef"][row * c["bw"] + col])
+    else:  # AC scan: non-interleaved, single component (T.81 requirement)
+        if len(scan_comps) != 1:
+            raise ValueError("interleaved AC progressive scan")
+        c = scan_comps[0]
+        block_fn = ac_first_block if ah == 0 else ac_refine_block
+        for bi in range(c["nbh"] * c["nbw"]):
+            check_restart(bi)
+            row, col = divmod(bi, c["nbw"])
+            block_fn(c["coef"][row * c["bw"] + col])
+    return br.pos

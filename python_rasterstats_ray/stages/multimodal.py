@@ -1,15 +1,17 @@
 """Multimodal (image/audio/video) columns as opaque binary + typed metadata.
 
-PNG, baseline-JPEG and MJPEG-AVI VIDEO payloads DECODE FOR REAL via the
-from-scratch pure-stdlib codecs in sources/png.py (DEFLATE + scanline
-filters), sources/jpeg.py (T.81 baseline sequential DCT: Huffman,
-dequantize, batched-matmul IDCT, 4:4:4/4:2:2/4:2:0, restart markers)
-and sources/avi.py (RIFF container parser whose 00dc chunks feed the
-JPEG decoder) — no PIL/libjpeg/ffmpeg. Only progressive JPEG still
-falls through to the deterministic fake behind the same interface
-(clearly marked below); everything Ray-side — schema, actor-pool
-signatures, batch sizing for large binary payloads, output layout — is
-real and tested.
+PNG, JPEG (baseline AND progressive) and MJPEG-AVI VIDEO payloads
+DECODE FOR REAL via the from-scratch pure-stdlib codecs in
+sources/png.py (DEFLATE + scanline filters), sources/jpeg.py (T.81
+baseline sequential + progressive DCT: Huffman, spectral selection,
+successive approximation, batched-matmul IDCT, 4:4:4/4:2:2/4:2:0,
+restart markers) and sources/avi.py (RIFF container parser whose 00dc
+chunks feed the JPEG decoder) — no PIL/libjpeg/ffmpeg. Payloads in a
+format the engine has no codec for (there are none among the synthetic
+media kinds; arithmetic-coded JPEG would be one) fall through to the
+deterministic fake behind the same interface (clearly marked below);
+everything Ray-side — schema, actor-pool signatures, batch sizing for
+large binary payloads, output layout — is real and tested.
 
 Media row schema: (media_id:int64, kind:string, payload:binary,
 width:int32, height:int32, sample_rate:int32, n_frames:int32).
@@ -67,12 +69,12 @@ def _fake_decode(payload: bytes, width: int, height: int) -> np.ndarray:
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode a media payload to HxWx3 uint8.
 
-    PNG and baseline-JPEG payloads decode for REAL via the from-scratch
-    pure-stdlib codecs (sources/png.py, sources/jpeg.py); MJPEG-AVI video
-    frames route through sources/avi.py + the JPEG decoder (see
-    VideoFrameFeatureKernel). Only non-baseline payloads (progressive
-    JPEG) fall back to the clearly-marked stub — a deployment swaps only
-    `_fake_decode`.
+    PNG and JPEG (baseline + progressive) payloads decode for REAL via
+    the from-scratch pure-stdlib codecs (sources/png.py,
+    sources/jpeg.py); MJPEG-AVI video frames route through
+    sources/avi.py + the JPEG decoder (see VideoFrameFeatureKernel).
+    Unrecognized payloads fall back to the clearly-marked stub — a
+    deployment swaps only `_fake_decode`.
     """
     from ..sources.jpeg import is_jpeg, jpeg_decode
     from ..sources.png import is_png, png_decode

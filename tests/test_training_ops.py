@@ -934,10 +934,15 @@ def test_jpeg_codec_edges():
     assert not is_jpeg(b"\x89PNG\r\n")
     with _pt.raises(ValueError):
         jpeg_decode(b"not a jpeg")
-    # progressive SOF2 is an honest NotImplementedError, not a wrong result
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its one
+    # scan claims the full 0..63 band for a DC scan): clean ValueError
     data = bytearray(jpeg_encode(img))
     sof = data.find(b"\xff\xc0")
     data[sof + 1] = 0xC2
+    with _pt.raises(ValueError):
+        jpeg_decode(bytes(data))
+    # arithmetic coding stays an honest NotImplementedError
+    data[sof + 1] = 0xC9
     with _pt.raises(NotImplementedError):
         jpeg_decode(bytes(data))
 
@@ -1101,3 +1106,71 @@ def test_video_frames_decode_real(ray_session):
     img0 = decode_image(frames0[0], meta0["width"], meta0["height"])
     assert row0["mean_luminance"] == float(img0.mean())
     assert (row0["out_width"], row0["out_height"]) == (meta0["width"], meta0["height"])
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """Progressive JPEG re-arranges the SAME quantized coefficients as
+    baseline, so decoding both encodings of one image must be
+    BIT-IDENTICAL — this pins every progressive path (spectral
+    selection, successive approximation on DC and AC, EOB runs, ZRL in
+    refinement, interleaved DC + non-interleaved AC scans, optimal
+    Huffman tables) against the already-property-tested baseline."""
+    from python_rasterstats_ray.sources.jpeg import (
+        is_jpeg,
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(321)
+    cases = []
+    yy, xx = np.mgrid[0:37, 0:53]
+    cases.append(
+        (np.stack([(xx * 5) % 256, (yy * 3) % 256, ((xx + yy) * 2) % 256], axis=2)
+         .astype(np.uint8), 90)
+    )
+    cases.append((rng.integers(0, 256, (24, 31, 3), dtype=np.uint8), 75))
+    cases.append((np.full((16, 16, 3), 200, np.uint8), 90))       # long EOB runs
+    sparse = np.zeros((40, 40, 3), np.uint8)                       # ZRL-heavy
+    sparse[rng.integers(0, 40, 30), rng.integers(0, 40, 30)] = 255
+    cases.append((sparse, 85))
+    yy2, xx2 = np.mgrid[0:33, 0:41]
+    cases.append(((((xx2 + yy2) % 2) * 255).astype(np.uint8), 60))  # checker gray
+    cases.append((rng.integers(0, 256, (3, 5, 3), dtype=np.uint8), 100))
+    for img, q in cases:
+        prog = jpeg_encode_progressive(img, quality=q)
+        assert is_jpeg(prog)
+        got = jpeg_decode(prog)
+        want = jpeg_decode(jpeg_encode(img, quality=q, subsampling="4:4:4"))
+        assert np.array_equal(got, want), (img.shape, q)
+
+
+def test_jpeg_progressive_edges():
+    import pytest as _pt
+
+    from python_rasterstats_ray.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+    from python_rasterstats_ray.stages.multimodal import decode_image
+
+    img = np.arange(96, dtype=np.uint8).reshape(8, 4, 3)
+    data = jpeg_encode_progressive(img, quality=95)
+    # decode_image routes progressive payloads through the real codec
+    out = decode_image(data, 4, 8)
+    assert out.shape == (8, 4, 3)
+    with _pt.raises(ValueError):
+        jpeg_encode_progressive(np.zeros((0, 4, 3), np.uint8))
+    with _pt.raises(ValueError):
+        jpeg_encode_progressive(img.astype(np.int32))
+    # truncated mid-scan: progressive decode degrades gracefully (the
+    # completed scans still render — same contract as libjpeg previews)
+    # or fails cleanly; it must never hang or crash outside ValueError
+    try:
+        partial = jpeg_decode(data[: len(data) // 2] + b"\x00")
+        assert partial.shape == (8, 4, 3)
+    except ValueError:
+        pass
+    # truncated before any scan completes: nothing to render -> error
+    with _pt.raises(ValueError):
+        jpeg_decode(data[:30])
