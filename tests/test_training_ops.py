@@ -1174,3 +1174,51 @@ def test_jpeg_progressive_edges():
     # truncated before any scan completes: nothing to render -> error
     with _pt.raises(ValueError):
         jpeg_decode(data[:30])
+
+
+def test_media_pipeline_mixed_formats(ray_session):
+    """One media table mixing PNG, baseline-JPEG and progressive-JPEG
+    payloads through the same decode pipeline: every row decodes through
+    its real codec (no fake fallback), verified against direct decode."""
+    import ray.data
+
+    from python_rasterstats_ray.sources.jpeg import jpeg_encode, jpeg_encode_progressive
+    from python_rasterstats_ray.sources.png import png_encode
+    from python_rasterstats_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        media_feature_pipeline,
+    )
+
+    rng = np.random.default_rng(9)
+    w, h = 24, 16
+    imgs = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(6)]
+    payloads = []
+    for i, img in enumerate(imgs):
+        if i % 3 == 0:
+            payloads.append(png_encode(img))
+        elif i % 3 == 1:
+            payloads.append(jpeg_encode(img, quality=90))
+        else:
+            payloads.append(jpeg_encode_progressive(img, quality=90))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(range(6), pa.int64()),
+            "kind": pa.array(["png", "jpeg", "jpeg_progressive"] * 2, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([w] * 6, pa.int32()),
+            "height": pa.array([h] * 6, pa.int32()),
+            "sample_rate": pa.array([0] * 6, pa.int32()),
+            "n_frames": pa.array([1] * 6, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    out = media_feature_pipeline(
+        ray.data.from_arrow(tbl), target_size=None, concurrency=(1, 2), batch_size=2
+    ).take_all()
+    assert len(out) == 6
+    by_id = {r["media_id"]: r for r in out}
+    for i, p in enumerate(payloads):
+        want = decode_image(p, w, h)
+        assert by_id[i]["mean_luminance"] == float(want.mean())
+        assert (by_id[i]["out_width"], by_id[i]["out_height"]) == (w, h)
