@@ -238,7 +238,8 @@ def jpeg_encode(
 ) -> bytes:
     """HxW (grayscale) or HxWx3 uint8 RGB -> baseline JFIF bytes.
 
-    ``subsampling``: "4:4:4" or "4:2:0" (chroma box-averaged 2x2).
+    ``subsampling``: "4:4:4", "4:2:2" (chroma box-averaged 1x2) or
+    "4:2:0" (chroma box-averaged 2x2).
     ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off).
     """
     img = np.asarray(img)
@@ -248,9 +249,10 @@ def jpeg_encode(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
         raise ValueError(subsampling)
     sub420 = subsampling == "4:2:0" and not gray
+    sub422 = subsampling == "4:2:2" and not gray
 
     if gray:
         planes = [img.astype(np.float64)]
@@ -267,6 +269,12 @@ def jpeg_encode(
             cr = np.pad(cr, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
             cb = cb.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
             cr = cr.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+        elif sub422:
+            pw2 = -(-w // 2) * 2
+            cb = np.pad(cb, ((0, 0), (0, pw2 - w)), mode="edge")
+            cr = np.pad(cr, ((0, 0), (0, pw2 - w)), mode="edge")
+            cb = cb.reshape(h, pw2 // 2, 2).mean(axis=2)
+            cr = cr.reshape(h, pw2 // 2, 2).mean(axis=2)
         planes = [y, cb, cr]
 
     qts = [_quality_scale(_QT_LUM, quality)]
@@ -278,6 +286,8 @@ def jpeg_encode(
         layout = [(1, 1, 0)]
     elif sub420:
         layout = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
+    elif sub422:
+        layout = [(2, 1, 0), (1, 1, 1), (1, 1, 1)]
     else:
         layout = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
     hmax = max(sh for sh, _, _ in layout)

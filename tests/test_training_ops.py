@@ -878,7 +878,7 @@ def test_jpeg_codec_property_roundtrip():
         w=st.integers(1, 40),
         h=st.integers(1, 40),
         gray=st.booleans(),
-        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
         ri=st.sampled_from([0, 2]),
         seed=st.integers(0, 2**31),
     )
@@ -904,7 +904,7 @@ def test_jpeg_codec_property_roundtrip():
         back = jpeg_decode(data)
         assert back.shape == img.shape
         err = np.abs(back.astype(np.int64) - img.astype(np.int64))
-        if sub == "4:2:0" and not gray:
+        if sub in ("4:2:0", "4:2:2") and not gray:
             # chroma subsampling discards real information: bound the
             # MEAN tightly, the max only loosely (steep chroma edges)
             assert err.mean() <= 8 and err.max() <= 64, (err.mean(), err.max())
