@@ -12,7 +12,7 @@ here (or in the library) calls ray.init()/ray.shutdown().
   reason this repo exists — then flagship/checkpoint, then one entry
   per distinct training-data operator family. SQL-expressible ones
   have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
-- ``extra_queries()``: the 29 near-duplicate / variant / rows-only pipelines pruned
+- ``extra_queries()``: the 30 near-duplicate / variant / rows-only pipelines pruned
   from the driver window (VERDICT r2 #1). NOT part of the driver
   contract — every one still runs against its DuckDB oracle in
   ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
@@ -126,6 +126,7 @@ EXTRA_QUERY_ORDER = [
     "media_features",
     "audio_features",
     "video_features",
+    "docs_bpe_merges",
 ]
 
 
@@ -212,6 +213,18 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
+def _q_docs_bpe_merges(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.bpe import bpe_train, merge_table_strings
+
+    # distributed tokenizer training: word-freq table (one exchange) then
+    # K shuffle-free merge supersteps; exact-checked against a sequential
+    # reference in tests/test_training_ops.py::test_bpe_train_matches_reference
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return merge_table_strings(bpe_train(ds, n_merges=30))
+
+
 def _q_video_features(sf_dir: str):
     import ray.data
 
@@ -269,6 +282,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "media_features": _q_media_features,
             "audio_features": _q_audio_features,
             "video_features": _q_video_features,
+            "docs_bpe_merges": _q_docs_bpe_merges,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,
         }

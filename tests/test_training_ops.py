@@ -1222,3 +1222,105 @@ def test_media_pipeline_mixed_formats(ray_session):
         want = decode_image(p, w, h)
         assert by_id[i]["mean_luminance"] == float(want.mean())
         assert (by_id[i]["out_width"], by_id[i]["out_height"]) == (w, h)
+
+
+def _ref_bpe(texts, n_merges):
+    """Independent sequential BPE reference (dict/loop based, Sennrich
+    get_stats/merge semantics): same id model as the engine — ords,
+    end-of-word 0x10FFFF, merged ids from 0x110000, smallest packed key
+    wins frequency ties."""
+    from collections import Counter
+
+    MERGE_BASE = 0x110000
+    EOW = MERGE_BASE - 1
+    key_base = MERGE_BASE + n_merges + 1
+    wc = Counter()
+    for t in texts:
+        for word in t.split():
+            wc[word] += 1
+    seqs = {tuple([ord(c) for c in word] + [EOW]): n for word, n in wc.items()}
+    rules = []
+    for rank in range(n_merges):
+        pairs = Counter()
+        for seq, n in seqs.items():
+            for i in range(len(seq) - 1):
+                pairs[(seq[i], seq[i + 1])] += n
+        if not pairs:
+            break
+        best = max(pairs.values())
+        if best < 2:
+            break
+        a, b = min(
+            (p for p, c in pairs.items() if c == best),
+            key=lambda p: p[0] * key_base + p[1],
+        )
+        new_id = MERGE_BASE + rank
+        rules.append((rank, a, b, new_id, best))
+        out = {}
+        for seq, n in seqs.items():
+            merged, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    merged.append(new_id)
+                    i += 2
+                else:
+                    merged.append(seq[i])
+                    i += 1
+            key = tuple(merged)
+            out[key] = out.get(key, 0) + n
+        seqs = out
+    return rules
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE trainer must reproduce the sequential reference's
+    exact merge sequence (ranks, pairs, frequencies) — determinism via
+    the smallest-packed-key tie-break."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.bpe import bpe_train, merge_table_strings
+
+    texts = [
+        "the theater thesis then these theme the the",
+        "low lower lowest low low slow slowly",
+        "new newer newest news new new",
+        "the lower the newer the slower",
+        "aaaa aaa aa aaaa aaa",  # overlapping-run stress (a,a) merges
+    ] * 3
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    n_merges = 12
+    got = bpe_train(
+        ray.data.from_arrow(tbl).repartition(4), n_merges=n_merges
+    )
+    want = _ref_bpe(texts, n_merges)
+    assert len(got) == len(want)
+    for rank, a, b, new_id, freq in want:
+        assert got["rank"][rank].as_py() == rank
+        assert got["left"][rank].as_py() == a
+        assert got["right"][rank].as_py() == b
+        assert got["merged"][rank].as_py() == new_id
+        assert got["freq"][rank].as_py() == freq
+    # readable view expands merged symbols recursively
+    strs = merge_table_strings(got)
+    assert strs["token"][0].as_py()  # non-empty readable token
+    toks = set(strs["token"].to_pylist())
+    assert any("</w>" in t for t in toks)
+    assert "aa" in {t.replace("</w>", "") for t in toks}
+
+
+def test_bpe_stops_when_dry(ray_session):
+    """No pair occurs twice -> no merges, empty rule table."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.bpe import bpe_train
+
+    tbl = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array(["abcdefg"], pa.string())}
+    )
+    got = bpe_train(ray.data.from_arrow(tbl), n_merges=5)
+    assert len(got) == 0
