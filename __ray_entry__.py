@@ -12,7 +12,7 @@ here (or in the library) calls ray.init()/ray.shutdown().
   reason this repo exists — then flagship/checkpoint, then one entry
   per distinct training-data operator family. SQL-expressible ones
   have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
-- ``extra_queries()``: the 30 near-duplicate / variant / rows-only pipelines pruned
+- ``extra_queries()``: the 31 near-duplicate / variant / rows-only pipelines pruned
   from the driver window (VERDICT r2 #1). NOT part of the driver
   contract — every one still runs against its DuckDB oracle in
   ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
@@ -127,6 +127,7 @@ EXTRA_QUERY_ORDER = [
     "audio_features",
     "video_features",
     "docs_bpe_merges",
+    "embeddings_kmeans",
 ]
 
 
@@ -213,6 +214,17 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
+def _q_embeddings_kmeans(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import kmeans_clusters
+
+    # distributed Lloyd's over ALL rows in int64 micro-fixed-point —
+    # bit-identical to the sequential reference (pytest differential)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_clusters(ds, k=8, n_iter=6)
+
+
 def _q_docs_bpe_merges(sf_dir: str):
     import ray.data
 
@@ -283,6 +295,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "audio_features": _q_audio_features,
             "video_features": _q_video_features,
             "docs_bpe_merges": _q_docs_bpe_merges,
+            "embeddings_kmeans": _q_embeddings_kmeans,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,
         }

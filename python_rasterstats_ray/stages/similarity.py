@@ -295,3 +295,106 @@ def _probe_topk(assigned_ds, qids, qunit, probes, k, id_col, emb_col):
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- distributed k-means
+
+KMEANS_SCALE = 1_000_000  # micro-fixed-point (the pagerank/unigram-LM trick)
+
+
+def _micro_block(batch: pa.Table, emb_col: str) -> np.ndarray:
+    x = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+    return np.round(x * KMEANS_SCALE).astype(np.int64)
+
+
+def kmeans_train_int(
+    emb_ds,
+    k: int,
+    n_iter: int = 10,
+    emb_col: str = "embedding",
+):
+    """Distributed Lloyd's k-means over ALL rows (unlike the
+    driver-sample ``train_centroids`` coarse quantizer), in int64
+    micro-fixed-point so every sum is order-independent and the result
+    is BIT-IDENTICAL to a sequential reference — no float drift across
+    shuffle/reduce orders.
+
+    Plan shape (the broadcast-iterate pattern shared with
+    pagerank_broadcast and bpe_train): embeddings pinned once as block
+    refs; per iteration ONE task wave — each task assigns its blocks to
+    the broadcast centroids (squared-euclidean argmin, smallest cluster
+    id wins ties) and emits dense (k x d sums, k counts) int64 partials
+    — then a tree-sum and the O(k*d) driver update
+    (``floor_divide(sums, counts)``, empty clusters keep their
+    centroid). Init = first k rows in dataset order (deterministic).
+
+    Scale bounds, stated: the (k, d) centroid matrix must fit every
+    worker and the driver (k*d*8 bytes — 1M x 64 = 512 MB is the
+    practical ceiling); blocks stream from the object store; nothing
+    row-sized ever lands on the driver.
+    """
+    import ray as _ray
+
+    first = pa.Table.from_pandas(emb_ds.limit(k).to_pandas()[[emb_col]])
+    cents = _micro_block(first, emb_col)
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+    refs = list(emb_ds.materialize().to_arrow_refs())
+
+    @_ray.remote
+    def _assign_partial(cents: np.ndarray, emb_col: str, *tables: pa.Table):
+        kk, d = cents.shape
+        sums = np.zeros((kk, d), np.int64)
+        counts = np.zeros(kk, np.int64)
+        c_sq = np.sum(cents * cents, axis=1)  # (k,)
+        for t in tables:
+            if len(t) == 0:
+                continue
+            x = _micro_block(t, emb_col)
+            # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; drop the x term
+            # (constant per row): argmin of c_sq - 2 x@c.T, all int64
+            scores = c_sq[None, :] - 2 * (x @ cents.T)
+            assign = np.argmin(scores, axis=1)  # ties -> smallest id
+            np.add.at(sums, assign, x)
+            counts += np.bincount(assign, minlength=kk)
+        return sums, counts
+
+    @_ray.remote
+    def _sum_partials(*parts):
+        sums = parts[0][0].copy()
+        counts = parts[0][1].copy()
+        for s, c in parts[1:]:
+            sums += s
+            counts += c
+        return sums, counts
+
+    group = 16
+    for _ in range(n_iter):
+        cref = _ray.put(cents)
+        futs = [
+            _assign_partial.remote(cref, emb_col, *refs[i : i + group])
+            for i in range(0, len(refs), group)
+        ]
+        while len(futs) > 1:
+            futs = [
+                _sum_partials.remote(*futs[i : i + group])
+                for i in range(0, len(futs), group)
+            ]
+        sums, counts = _ray.get(futs[0])
+        nz = counts > 0
+        cents = cents.copy()
+        cents[nz] = np.floor_divide(sums[nz], counts[nz][:, None])
+    return cents, counts
+
+
+def kmeans_clusters(emb_ds, k: int, n_iter: int = 10, emb_col: str = "embedding"):
+    """Train + summarize: one row per cluster
+    (cluster_id, n_members, centroid:list<int64> micro-units)."""
+    cents, counts = kmeans_train_int(emb_ds, k, n_iter=n_iter, emb_col=emb_col)
+    return pa.table(
+        {
+            "cluster_id": pa.array(np.arange(len(cents)), pa.int64()),
+            "n_members": pa.array(counts, pa.int64()),
+            "centroid": pa.array([c.tolist() for c in cents], pa.list_(pa.int64())),
+        }
+    )

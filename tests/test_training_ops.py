@@ -1324,3 +1324,55 @@ def test_bpe_stops_when_dry(ray_session):
     )
     got = bpe_train(ray.data.from_arrow(tbl), n_merges=5)
     assert len(got) == 0
+
+
+def test_kmeans_int_matches_sequential(ray_session):
+    """Distributed int64 fixed-point Lloyd's must be BIT-IDENTICAL to a
+    sequential numpy reference (same init, same tie-break, same floor
+    division) regardless of block layout — integer sums are
+    order-independent."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import (
+        KMEANS_SCALE,
+        kmeans_clusters,
+        kmeans_train_int,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d, k, iters = 300, 8, 5, 6
+    x = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    cents, counts = kmeans_train_int(ds, k, n_iter=iters)
+
+    # sequential reference, identical integer semantics
+    xm = np.round(x * KMEANS_SCALE).astype(np.int64)
+    ref = xm[:k].copy()
+    for _ in range(iters):
+        scores = np.sum(ref * ref, axis=1)[None, :] - 2 * (xm @ ref.T)
+        assign = np.argmin(scores, axis=1)
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, assign, xm)
+        cnt = np.bincount(assign, minlength=k)
+        nz = cnt > 0
+        ref[nz] = np.floor_divide(sums[nz], cnt[nz][:, None])
+    assert np.array_equal(cents, ref)
+    # repartitioning differently must not change a single bit
+    cents2, counts2 = kmeans_train_int(ray.data.from_arrow(tbl).repartition(2), k, n_iter=iters)
+    assert np.array_equal(cents, cents2) and np.array_equal(counts, counts2)
+    assert counts.sum() == n
+
+    summary = kmeans_clusters(ds, k, n_iter=iters)
+    assert len(summary) == k
+    assert summary["n_members"].to_pylist() == counts.tolist()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        kmeans_train_int(ray.data.from_arrow(tbl.slice(0, 3)), k=5)
