@@ -12,7 +12,7 @@ here (or in the library) calls ray.init()/ray.shutdown().
   reason this repo exists — then flagship/checkpoint, then one entry
   per distinct training-data operator family. SQL-expressible ones
   have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
-- ``extra_queries()``: the 31 near-duplicate / variant / rows-only pipelines pruned
+- ``extra_queries()``: the 32 near-duplicate / variant / rows-only pipelines pruned
   from the driver window (VERDICT r2 #1). NOT part of the driver
   contract — every one still runs against its DuckDB oracle in
   ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
@@ -128,6 +128,7 @@ EXTRA_QUERY_ORDER = [
     "video_features",
     "docs_bpe_merges",
     "embeddings_kmeans",
+    "docs_kll_quantiles",
 ]
 
 
@@ -214,6 +215,17 @@ def _q_media_features(sf_dir: str):
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
 
 
+def _q_docs_kll_quantiles(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import kll_quantiles
+
+    # mergeable KLL quantile sketch: per-block partials tree-merged, no
+    # sort exchange; rank-error bound pinned by pytest differential
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return kll_quantiles(ds, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99])
+
+
 def _q_embeddings_kmeans(sf_dir: str):
     import ray.data
 
@@ -296,6 +308,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "video_features": _q_video_features,
             "docs_bpe_merges": _q_docs_bpe_merges,
             "embeddings_kmeans": _q_embeddings_kmeans,
+            "docs_kll_quantiles": _q_docs_kll_quantiles,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,
         }

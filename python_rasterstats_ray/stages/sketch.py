@@ -167,3 +167,135 @@ def cms_estimate(sketch_df, queries: list[str], d: int = 4, w: int = 1024) -> di
     return {
         q: int(table[np.arange(d), cols[:, i]].min()) for i, q in enumerate(queries)
     }
+
+
+# ------------------------------------------------- KLL quantile sketch
+
+
+class KLLSketch:
+    """Mergeable quantile sketch (KLL family, Karnin-Lang-Liberty 2016)
+    with DETERMINISTIC compaction: an overfull level is sorted and its
+    even-index items promoted with doubled weight (the randomized coin
+    of the paper is replaced by a fixed parity that alternates per
+    compaction, so identical inputs always produce identical sketches —
+    reproducibility is worth the slightly weaker worst-case constant).
+
+    Level i holds items of weight 2^i; total size is O(k * log(n/k)).
+    ``merge`` concatenates per level then re-compresses, so per-block
+    partial sketches combine associatively — the classic 100-TB
+    quantile primitive (one small sketch per block, tree-merged, no
+    sort exchange of the data)."""
+
+    def __init__(self, k: int = 256):
+        self.k = int(k)
+        self.levels: list[np.ndarray] = [np.empty(0, np.float64)]
+        self._parity = 0
+
+    def _cap(self, i: int) -> int:
+        # geometrically shrinking capacities toward LOW levels (the top
+        # level holds up to k items), floored so tiny levels don't thrash
+        h = len(self.levels)
+        return max(int(self.k * (2.0 / 3.0) ** (h - 1 - i)), 8)
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self._cap(i):
+                arr = np.sort(self.levels[i])
+                keep = arr[-1:] if len(arr) % 2 else arr[:0]
+                arr = arr[: len(arr) - len(keep)]
+                promoted = arr[self._parity :: 2]  # exactly half: weight exact
+                self._parity ^= 1
+                self.levels[i] = keep
+                if i + 1 == len(self.levels):
+                    self.levels.append(np.empty(0, np.float64))
+                self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def update(self, vals: np.ndarray) -> "KLLSketch":
+        vals = np.asarray(vals, np.float64).ravel()
+        if len(vals):
+            self.levels[0] = np.concatenate([self.levels[0], vals])
+            self._compress()
+        return self
+
+    def merge(self, other: "KLLSketch") -> "KLLSketch":
+        for i, lv in enumerate(other.levels):
+            while i >= len(self.levels):
+                self.levels.append(np.empty(0, np.float64))
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+        self._compress()
+        return self
+
+    @property
+    def n(self) -> int:
+        return int(sum(len(lv) << i for i, lv in enumerate(self.levels)))
+
+    def quantiles(self, qs) -> np.ndarray:
+        """Smallest item whose estimated cumulative weight reaches q*n."""
+        vals = np.concatenate(self.levels)
+        if len(vals) == 0:
+            return np.full(len(qs), np.nan)
+        w = np.concatenate(
+            [np.full(len(lv), 1 << i, np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        vals, w = vals[order], w[order]
+        cum = np.cumsum(w)
+        total = cum[-1]
+        out = np.empty(len(qs), np.float64)
+        for j, q in enumerate(qs):
+            target = max(min(float(q), 1.0), 0.0) * total
+            out[j] = vals[int(np.searchsorted(cum, target, side="left").clip(0, len(vals) - 1))]
+        return out
+
+    # ---- serialization over the wire as plain arrays (Arrow-friendly)
+    def to_state(self) -> tuple[int, int, list]:
+        return self.k, self._parity, [lv.tolist() for lv in self.levels]
+
+    @classmethod
+    def from_state(cls, state) -> "KLLSketch":
+        k, parity, levels = state
+        s = cls(k)
+        s._parity = parity
+        s.levels = [np.asarray(lv, np.float64) for lv in levels]
+        return s
+
+
+def kll_quantiles(ds, col: str, qs, k: int = 256):
+    """Distributed quantiles via per-block KLL partials + driver
+    tree-merge: only O(k log n)-sized sketches leave the workers — no
+    sort exchange of the data. Returns pa.Table(q, value, n)."""
+    import pyarrow as _pa
+    import ray as _ray
+
+    @_ray.remote
+    def _block_sketch(tbl, col: str, k: int):
+        s = KLLSketch(k)
+        s.update(tbl[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        return s.to_state()
+
+    @_ray.remote
+    def _merge_states(k: int, *states):
+        s = KLLSketch(k)
+        for st in states:
+            s.merge(KLLSketch.from_state(st))
+        return s.to_state()
+
+    refs = ds.select_columns([col]).materialize().to_arrow_refs()
+    futs = [_block_sketch.remote(r, col, k) for r in refs]
+    group = 16
+    while len(futs) > 1:
+        futs = [
+            _merge_states.remote(k, *futs[i : i + group])
+            for i in range(0, len(futs), group)
+        ]
+    sk = KLLSketch.from_state(_ray.get(futs[0]))
+    vals = sk.quantiles(qs)
+    return _pa.table(
+        {
+            "q": _pa.array([float(q) for q in qs], _pa.float64()),
+            "value": _pa.array(vals, _pa.float64()),
+            "n": _pa.array([sk.n] * len(qs), _pa.int64()),
+        }
+    )

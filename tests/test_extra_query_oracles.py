@@ -128,6 +128,7 @@ def test_extra_query_matches_oracle(ray_session, duck, name):
     ("video_features", 200),
     ("docs_bpe_merges", 10),
     ("embeddings_kmeans", 8),
+    ("docs_kll_quantiles", 6),
 ])
 def test_extra_rows_only(ray_session, name, min_rows):
     entrymod = _entrymod()
@@ -143,4 +144,4 @@ def test_registry_partition():
     assert not set(q) & set(x)
     # the parametrized list above stays in sync with EXTRA_QUERY_ORDER
     oracled = set(entrymod.extra_oracle_sql())
-    assert oracled == set(x) - {"knn_ivf", "media_features", "audio_features", "video_features", "docs_bpe_merges", "embeddings_kmeans"}
+    assert oracled == set(x) - {"knn_ivf", "media_features", "audio_features", "video_features", "docs_bpe_merges", "embeddings_kmeans", "docs_kll_quantiles"}

@@ -1376,3 +1376,50 @@ def test_kmeans_int_matches_sequential(ray_session):
 
     with _pt.raises(ValueError):
         kmeans_train_int(ray.data.from_arrow(tbl.slice(0, 3)), k=5)
+
+
+def test_kll_sketch_rank_error_and_determinism(ray_session):
+    """KLL quantiles stay within a small rank error of the exact
+    quantiles, the sketch is deterministic for a fixed input, merge is
+    associative enough that block layout changes stay within the same
+    rank-error bound, and n is counted exactly."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import KLLSketch, kll_quantiles
+
+    rng = np.random.default_rng(77)
+    vals = np.concatenate(
+        [rng.standard_normal(30_000) * 10, rng.exponential(5, 20_000) + 50]
+    )
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    exact = np.quantile(vals, qs)
+    svals = np.sort(vals)
+
+    def rank_err(v, q):
+        return abs(np.searchsorted(svals, v) / len(svals) - q)
+
+    # local sketch: error + determinism + state roundtrip
+    s1 = KLLSketch(256).update(vals)
+    s2 = KLLSketch(256).update(vals)
+    assert s1.n == len(vals) == s2.n
+    assert all(a == b for a, b in zip(s1.quantiles(qs), s2.quantiles(qs)))
+    rt = KLLSketch.from_state(s1.to_state())
+    assert list(rt.quantiles(qs)) == list(s1.quantiles(qs))
+    for q, v in zip(qs, s1.quantiles(qs)):
+        assert rank_err(v, q) <= 0.03, (q, v, rank_err(v, q))
+
+    # merged partial sketches (the distributed shape) hold the bound too
+    parts = [KLLSketch(256).update(c) for c in np.array_split(vals, 13)]
+    m = parts[0]
+    for p in parts[1:]:
+        m.merge(p)
+    assert m.n == len(vals)
+    for q, v in zip(qs, m.quantiles(qs)):
+        assert rank_err(v, q) <= 0.03, (q, v)
+
+    # distributed pipeline over Ray blocks
+    tbl = pa.table({"n_chars": pa.array(vals, pa.float64())})
+    out = kll_quantiles(ray.data.from_arrow(tbl).repartition(9), "n_chars", qs)
+    assert out["n"].to_pylist() == [len(vals)] * len(qs)
+    for q, v in zip(qs, out["value"].to_pylist()):
+        assert rank_err(v, q) <= 0.03, (q, v)
