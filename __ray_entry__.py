@@ -12,8 +12,8 @@ here (or in the library) calls ray.init()/ray.shutdown().
   reason this repo exists — then flagship/checkpoint, then one entry
   per distinct training-data operator family. SQL-expressible ones
   have a DuckDB oracle in ``oracle_sql()``; the rest are rows-only.
-- ``extra_queries()``: the 32 near-duplicate / variant / rows-only pipelines pruned
-  from the driver window (VERDICT r2 #1). NOT part of the driver
+- ``extra_queries()``: the near-duplicate / variant / rows-only pipelines
+  (len(EXTRA_QUERY_ORDER)) pruned from the driver window (VERDICT r2 #1). NOT part of the driver
   contract — every one still runs against its DuckDB oracle in
   ``tests/test_extra_query_oracles.py`` and scripts/check_oracle.py,
   so pruning loses no verification, only a driver slot.

@@ -208,6 +208,11 @@ def minhash_lsh_pairs(
         # pre-distinct inside each block before the exchange: the same
         # true pair collides in up to `bands` bands, so this cuts the
         # distinct-shuffle volume by up to that factor for free
+        if len(batch) == 0 or "id_a" not in batch.column_names:
+            # empty shuffle partitions emit zero-row bare-schema blocks
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
         return batch.group_by(["id_a", "id_b"]).aggregate([])
 
     # distinct (id_a, id_b): same pair may collide in several bands

@@ -175,19 +175,22 @@ def _broadcast_graph_setup(edges_ds, nodes_ds):
         )
         if t is not None and len(t)
     ]
-    keys = np.sort(
+    # unique: duplicate node ids would split one node's state across two
+    # dense slots (the shuffle plans treat duplicates as duplicate rows —
+    # ill-defined either way; the broadcast plans define one row per id)
+    keys = np.unique(
         pa.concat_tables(node_tbls)["node"].to_numpy(zero_copy_only=False).astype(np.int64)
     )
     n = len(keys)
     keys_ref = _ray.put(keys)
     edge_refs = list(edges_ds.materialize().to_arrow_refs())
 
-    @_ray.remote
+    @_ray.remote(num_returns=2)
     def _block_setup(tbl: pa.Table, keys: np.ndarray):
         if len(tbl) == 0 or "src" not in tbl.column_names:
             # zero-row blocks out of map_groups/filter carry a bare schema
             empty = np.empty(0, np.int64)
-            return empty, empty, np.zeros(len(keys), np.int64)
+            return (empty, empty), np.zeros(len(keys), np.int64)
         src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
         dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
         sp = np.searchsorted(keys, src)
@@ -200,15 +203,18 @@ def _broadcast_graph_setup(edges_ds, nodes_ds):
         )
         sp, dp = sp[ok], dp[ok]
         deg_part = np.bincount(sp, minlength=len(keys)).astype(np.int64)
-        return sp, dp, deg_part
+        return (sp, dp), deg_part
 
-    setups = [_block_setup.remote(r, keys_ref) for r in edge_refs]
+    # edge-sized gather positions STAY in the object store (num_returns=2
+    # refs); only the node-sized degree partials come to the driver
+    pos_refs, deg_refs = [], []
+    for r in edge_refs:
+        pref, dref = _block_setup.remote(r, keys_ref)
+        pos_refs.append(pref)
+        deg_refs.append(dref)
     deg = np.zeros(n, np.int64)
-    pos_refs = []
-    for fut in setups:
-        sp, dp, dpart = _ray.get(fut)
-        deg += dpart
-        pos_refs.append(_ray.put((sp, dp)))
+    for dref in deg_refs:
+        deg += _ray.get(dref)
     return keys, pos_refs, deg
 
 

@@ -304,7 +304,21 @@ KMEANS_SCALE = 1_000_000  # micro-fixed-point (the pagerank/unigram-LM trick)
 
 def _micro_block(batch: pa.Table, emb_col: str) -> np.ndarray:
     x = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
-    return np.round(x * KMEANS_SCALE).astype(np.int64)
+    xm = np.round(x * KMEANS_SCALE).astype(np.int64)
+    if xm.size:
+        # int64 headroom for the distance scores: |c_sq - 2 x.c| is at
+        # most 3*d*max^2, so cap max|micro value| at sqrt(INT64_MAX/(4d))
+        # — beyond it assignments would wrap SILENTLY. Feature vectors
+        # larger than this bound (~|v| > 268 at d=64) must be scaled by
+        # the caller.
+        lim = int(np.sqrt(np.iinfo(np.int64).max / (4 * xm.shape[1])))
+        m = int(np.abs(xm).max())
+        if m > lim:
+            raise ValueError(
+                f"kmeans fixed-point range exceeded: max |value*1e6| = {m} "
+                f"> {lim} for dim {xm.shape[1]}; rescale the embeddings"
+            )
+    return xm
 
 
 def kmeans_train_int(
@@ -335,6 +349,8 @@ def kmeans_train_int(
     """
     import ray as _ray
 
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
     first = pa.Table.from_pandas(emb_ds.limit(k).to_pandas()[[emb_col]])
     cents = _micro_block(first, emb_col)
     if len(cents) < k:

@@ -290,7 +290,9 @@ def kll_quantiles(ds, col: str, qs, k: int = 256):
             _merge_states.remote(k, *futs[i : i + group])
             for i in range(0, len(futs), group)
         ]
-    sk = KLLSketch.from_state(_ray.get(futs[0]))
+    sk = (
+        KLLSketch.from_state(_ray.get(futs[0])) if futs else KLLSketch(k)
+    )  # zero-block input -> empty sketch -> NaN quantiles
     vals = sk.quantiles(qs)
     return _pa.table(
         {
