@@ -428,6 +428,9 @@ class _FreqSink:
     def bits(self, value: int, length: int) -> None:
         pass
 
+    def restart(self, idx: int) -> None:
+        pass
+
 
 class _WriteSink:
     """Pass 2: emit with the tables built from pass 1."""
@@ -444,11 +447,20 @@ class _WriteSink:
         if length:
             self.bw.write(value, length)
 
+    def restart(self, idx: int) -> None:
+        self.bw.flush()  # byte-align, then the RSTn marker mid-stream
+        self.bw.buf += bytes([0xFF, 0xD0 + (idx & 7)])
 
-def _scan_dc_first(comps, al, slot_of, sink) -> None:
+
+def _scan_dc_first(comps, al, slot_of, sink, ri: int = 0) -> None:
     """Interleaved first DC scan: DPCM over arithmetic-shifted DC."""
     preds = [0] * len(comps)
+    rst = 0
     for bi in range(comps[0]["coef"].shape[0]):  # 4:4:4: shared block grid
+        if ri and bi and bi % ri == 0:
+            sink.restart(rst)
+            rst += 1
+            preds = [0] * len(comps)
         for ci, c in enumerate(comps):
             v = int(c["coef"][bi][0]) >> al
             diff = v - preds[ci]
@@ -458,14 +470,18 @@ def _scan_dc_first(comps, al, slot_of, sink) -> None:
             sink.bits(_encode_coeff_bits(diff, s), s)
 
 
-def _scan_dc_refine(comps, al, sink) -> None:
+def _scan_dc_refine(comps, al, sink, ri: int = 0) -> None:
     """Interleaved DC refinement: one raw bit per block (no symbols)."""
+    rst = 0
     for bi in range(comps[0]["coef"].shape[0]):
+        if ri and bi and bi % ri == 0:
+            sink.restart(rst)
+            rst += 1
         for c in comps:
             sink.bits((int(c["coef"][bi][0]) >> al) & 1, 1)
 
 
-def _scan_ac_first(c, ss, se, al, slot, sink) -> None:
+def _scan_ac_first(c, ss, se, al, slot, sink, ri: int = 0) -> None:
     """Non-interleaved first AC scan with EOB-run coding."""
     eobrun = 0
 
@@ -477,7 +493,12 @@ def _scan_ac_first(c, ss, se, al, slot, sink) -> None:
             sink.bits(eobrun - (1 << r), r)
             eobrun = 0
 
-    for zz in c["coef"]:
+    rst = 0
+    for bi, zz in enumerate(c["coef"]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
         band = zz[ss : se + 1]
         sign = np.sign(band)
         t = sign * (np.abs(band) >> al)  # point transform, toward zero
@@ -507,7 +528,7 @@ def _scan_ac_first(c, ss, se, al, slot, sink) -> None:
     flush_eob()
 
 
-def _scan_ac_refine(c, ss, se, al, slot, sink) -> None:
+def _scan_ac_refine(c, ss, se, al, slot, sink, ri: int = 0) -> None:
     """Non-interleaved AC refinement scan (T.81 G.1.2.3 / the
     correction-bit protocol): newly-significant coefficients code
     (run<<4)|1 + sign; already-nonzero ones contribute correction bits
@@ -530,7 +551,12 @@ def _scan_ac_refine(c, ss, se, al, slot, sink) -> None:
             eobrun = 0
             run_pend = []
 
-    for zz in c["coef"]:
+    rst = 0
+    for bi, zz in enumerate(c["coef"]):
+        if ri and bi and bi % ri == 0:
+            flush_eob()
+            sink.restart(rst)
+            rst += 1
         band = zz[ss : se + 1]
         t = np.abs(band) >> al
         events: list = []  # since last symbol: None (zero) / int (bit)
@@ -574,15 +600,19 @@ def _scan_ac_refine(c, ss, se, al, slot, sink) -> None:
     flush_eob()
 
 
-def jpeg_encode_progressive(img: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_encode_progressive(
+    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
     """HxW (grayscale) or HxWx3 uint8 RGB -> progressive (SOF2) JFIF.
 
     Emits a libjpeg-style scan script — interleaved DC first (Al=1),
     per-component AC bands 1-5 and 6-63 first scans (Al=2), two AC
     refinement passes (2->1, 1->0), DC refinement last — with OPTIMAL
     per-scan Huffman tables (Annex K.2) re-defined via DHT before each
-    scan. 4:4:4 / grayscale. The quantized coefficients are identical
-    to ``jpeg_encode``'s, so decodes of both match bit-exactly.
+    scan. 4:4:4 / grayscale. ``restart_interval`` emits DRI + RSTn
+    markers every N units in every scan (DPCM/EOB-run state resets at
+    each marker). The quantized coefficients are identical to
+    ``jpeg_encode``'s, so decodes of both match bit-exactly.
     """
     img = np.asarray(img)
     if img.dtype != np.uint8:
@@ -630,6 +660,8 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     for i, q in enumerate(qts):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([i]) + bytes(int(v) for v in q[_ZZ])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     nc = len(comps)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci, c in enumerate(comps):
@@ -638,16 +670,17 @@ def jpeg_encode_progressive(img: np.ndarray, quality: int = 90) -> bytes:
     for kind, ci, ss, se, ah, al in script:
         scan_comps = comps if ci is None else [comps[ci]]
         n_slots = 2 if (ci is None and nc > 1) else 1
+        ri = restart_interval
 
         def run(sink):
             if kind == "dc_first":
-                _scan_dc_first(comps, al, slot_of, sink)
+                _scan_dc_first(comps, al, slot_of, sink, ri=ri)
             elif kind == "dc_refine":
-                _scan_dc_refine(comps, al, sink)
+                _scan_dc_refine(comps, al, sink, ri=ri)
             elif kind == "ac_first":
-                _scan_ac_first(comps[ci], ss, se, al, 0, sink)
+                _scan_ac_first(comps[ci], ss, se, al, 0, sink, ri=ri)
             else:
-                _scan_ac_refine(comps[ci], ss, se, al, 0, sink)
+                _scan_ac_refine(comps[ci], ss, se, al, 0, sink, ri=ri)
 
         tc = 0x00 if kind.startswith("dc") else 0x10
         tables = []

@@ -1145,6 +1145,29 @@ def test_jpeg_progressive_matches_baseline_exactly():
         assert np.array_equal(got, want), (img.shape, q)
 
 
+def test_jpeg_progressive_restart_markers():
+    """Progressive scans with DRI/RSTn (DPCM + EOB-run state resets at
+    every marker, in every scan kind) stay bit-identical to baseline."""
+    from python_rasterstats_ray.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(55)
+    yy, xx = np.mgrid[0:41, 0:29]
+    cases = [
+        (np.stack([(xx * 7) % 256, (yy * 5) % 256, ((xx + 2 * yy)) % 256], axis=2)
+         .astype(np.uint8), 90, 2),
+        (rng.integers(0, 256, (26, 35, 3), dtype=np.uint8), 70, 3),
+        (np.full((18, 18), 99, np.uint8), 90, 1),  # gray, all-EOB scans
+    ]
+    for img, q, ri in cases:
+        got = jpeg_decode(jpeg_encode_progressive(img, quality=q, restart_interval=ri))
+        want = jpeg_decode(jpeg_encode(img, quality=q, subsampling="4:4:4"))
+        assert np.array_equal(got, want), (img.shape, q, ri)
+
+
 def test_jpeg_progressive_edges():
     import pytest as _pt
 
