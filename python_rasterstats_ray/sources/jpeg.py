@@ -10,11 +10,13 @@ Scope:
   correction bits, interleaved DC and non-interleaved AC scans), 8-bit,
   1 or 3 components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
   restart intervals; arithmetic coding raises NotImplementedError.
-- encoder: baseline 4:4:4 / 4:2:0 / grayscale with the T.81 Annex K
-  quantization and Huffman tables, quality-scaled; plus a progressive
-  encoder (``jpeg_encode_progressive``, 4:4:4 / grayscale) emitting a
-  libjpeg-style scan script with OPTIMAL per-scan Huffman tables built
-  by the Annex K.2 algorithm — enough to fixture every decoder path.
+- encoder: baseline 4:4:4 / 4:2:2 / 4:2:0 / grayscale with the T.81
+  Annex K quantization and Huffman tables, quality-scaled; plus a
+  progressive encoder (``jpeg_encode_progressive``, same subsamplings,
+  optional restart markers) emitting a libjpeg-style scan script with
+  OPTIMAL per-scan Huffman tables built by the Annex K.2 algorithm —
+  enough to fixture every decoder path, including interleaved DC with
+  sampling factors and real-vs-padded AC block grids.
   Progressive re-arranges the SAME quantized coefficients, so its
   decode is bit-identical to the baseline decode of the same image.
 
@@ -452,33 +454,48 @@ class _WriteSink:
         self.bw.buf += bytes([0xFF, 0xD0 + (idx & 7)])
 
 
+def _mcu_blocks(comps):
+    """Yield (mcu_index, comp_index, flat block index) in interleaved
+    MCU order — per MCU each component contributes its v*h blocks of
+    the PADDED grid, exactly the decoder's traversal."""
+    mcux, mcuy = comps[0]["mcux"], comps[0]["mcuy"]
+    for mi in range(mcux * mcuy):
+        my, mx = divmod(mi, mcux)
+        for ci, c in enumerate(comps):
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    yield mi, ci, (my * c["v"] + by) * c["bw"] + (mx * c["h"] + bx)
+
+
 def _scan_dc_first(comps, al, slot_of, sink, ri: int = 0) -> None:
     """Interleaved first DC scan: DPCM over arithmetic-shifted DC."""
     preds = [0] * len(comps)
     rst = 0
-    for bi in range(comps[0]["coef"].shape[0]):  # 4:4:4: shared block grid
-        if ri and bi and bi % ri == 0:
+    last_mi = 0
+    for mi, ci, idx in _mcu_blocks(comps):
+        if ri and mi != last_mi and mi % ri == 0:
             sink.restart(rst)
             rst += 1
             preds = [0] * len(comps)
-        for ci, c in enumerate(comps):
-            v = int(c["coef"][bi][0]) >> al
-            diff = v - preds[ci]
-            preds[ci] = v
-            s = _category(diff)
-            sink.symbol(slot_of[ci], s)
-            sink.bits(_encode_coeff_bits(diff, s), s)
+        last_mi = mi
+        v = int(comps[ci]["coef"][idx][0]) >> al
+        diff = v - preds[ci]
+        preds[ci] = v
+        s = _category(diff)
+        sink.symbol(slot_of[ci], s)
+        sink.bits(_encode_coeff_bits(diff, s), s)
 
 
 def _scan_dc_refine(comps, al, sink, ri: int = 0) -> None:
     """Interleaved DC refinement: one raw bit per block (no symbols)."""
     rst = 0
-    for bi in range(comps[0]["coef"].shape[0]):
-        if ri and bi and bi % ri == 0:
+    last_mi = 0
+    for mi, ci, idx in _mcu_blocks(comps):
+        if ri and mi != last_mi and mi % ri == 0:
             sink.restart(rst)
             rst += 1
-        for c in comps:
-            sink.bits((int(c["coef"][bi][0]) >> al) & 1, 1)
+        last_mi = mi
+        sink.bits((int(comps[ci]["coef"][idx][0]) >> al) & 1, 1)
 
 
 def _scan_ac_first(c, ss, se, al, slot, sink, ri: int = 0) -> None:
@@ -494,7 +511,9 @@ def _scan_ac_first(c, ss, se, al, slot, sink, ri: int = 0) -> None:
             eobrun = 0
 
     rst = 0
-    for bi, zz in enumerate(c["coef"]):
+    for bi in range(c["nbh"] * c["nbw"]):  # REAL block grid, not padding
+        row, col = divmod(bi, c["nbw"])
+        zz = c["coef"][row * c["bw"] + col]
         if ri and bi and bi % ri == 0:
             flush_eob()
             sink.restart(rst)
@@ -552,7 +571,9 @@ def _scan_ac_refine(c, ss, se, al, slot, sink, ri: int = 0) -> None:
             run_pend = []
 
     rst = 0
-    for bi, zz in enumerate(c["coef"]):
+    for bi in range(c["nbh"] * c["nbw"]):  # REAL block grid, not padding
+        row, col = divmod(bi, c["nbw"])
+        zz = c["coef"][row * c["bw"] + col]
         if ri and bi and bi % ri == 0:
             flush_eob()
             sink.restart(rst)
@@ -601,7 +622,10 @@ def _scan_ac_refine(c, ss, se, al, slot, sink, ri: int = 0) -> None:
 
 
 def jpeg_encode_progressive(
-    img: np.ndarray, quality: int = 90, restart_interval: int = 0
+    img: np.ndarray,
+    quality: int = 90,
+    restart_interval: int = 0,
+    subsampling: str = "4:4:4",
 ) -> bytes:
     """HxW (grayscale) or HxWx3 uint8 RGB -> progressive (SOF2) JFIF.
 
@@ -609,10 +633,13 @@ def jpeg_encode_progressive(
     per-component AC bands 1-5 and 6-63 first scans (Al=2), two AC
     refinement passes (2->1, 1->0), DC refinement last — with OPTIMAL
     per-scan Huffman tables (Annex K.2) re-defined via DHT before each
-    scan. 4:4:4 / grayscale. ``restart_interval`` emits DRI + RSTn
-    markers every N units in every scan (DPCM/EOB-run state resets at
-    each marker). The quantized coefficients are identical to
-    ``jpeg_encode``'s, so decodes of both match bit-exactly.
+    scan. ``subsampling`` supports 4:4:4, 4:2:2 and 4:2:0 (interleaved
+    DC MCUs carry v*h luma blocks; AC scans walk each component's REAL
+    block grid, not the MCU padding — the decoder paths this fixtures).
+    ``restart_interval`` emits DRI + RSTn markers every N units in every
+    scan (DPCM/EOB-run state resets at each marker). The quantized
+    coefficients are identical to ``jpeg_encode``'s with the same
+    subsampling, so decodes of both match bit-exactly.
     """
     img = np.asarray(img)
     if img.dtype != np.uint8:
@@ -621,6 +648,10 @@ def jpeg_encode_progressive(
     h, w = img.shape[:2]
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(subsampling)
+    sub420 = subsampling == "4:2:0" and not gray
+    sub422 = subsampling == "4:2:2" and not gray
 
     if gray:
         planes = [img.astype(np.float64)]
@@ -628,20 +659,49 @@ def jpeg_encode_progressive(
         r = img[:, :, 0].astype(np.float64)
         g = img[:, :, 1].astype(np.float64)
         b = img[:, :, 2].astype(np.float64)
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if sub420:
+            ph2, pw2 = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph2 - h), (0, pw2 - w)), mode="edge")
+            cb = cb.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(ph2 // 2, 2, pw2 // 2, 2).mean(axis=(1, 3))
+        elif sub422:
+            pw2 = -(-w // 2) * 2
+            cb = np.pad(cb, ((0, 0), (0, pw2 - w)), mode="edge")
+            cr = np.pad(cr, ((0, 0), (0, pw2 - w)), mode="edge")
+            cb = cb.reshape(h, pw2 // 2, 2).mean(axis=2)
+            cr = cr.reshape(h, pw2 // 2, 2).mean(axis=2)
+        planes = [y, cb, cr]
     qts = [_quality_scale(_QT_LUM, quality)]
     if not gray:
         qts.append(_quality_scale(_QT_CHR, quality))
-    mcux, mcuy = -(-w // 8), -(-h // 8)
+    if gray:
+        layout = [(1, 1, 0)]
+    elif sub420:
+        layout = [(2, 2, 0), (1, 1, 1), (1, 1, 1)]
+    elif sub422:
+        layout = [(2, 1, 0), (1, 1, 1), (1, 1, 1)]
+    else:
+        layout = [(1, 1, 0), (1, 1, 1), (1, 1, 1)]
+    hmax = max(sh for sh, _, _ in layout)
+    vmax = max(sv for _, sv, _ in layout)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
     comps = []
-    for ci, p in enumerate(planes):
-        tq = 0 if ci == 0 else 1
+    for p, (sh, sv, tq) in zip(planes, layout):
+        bh, bw_ = mcuy * sv, mcux * sh
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
         comps.append(
-            {"coef": _block_coeffs(p, qts[tq], mcuy, mcux), "tq": tq}
+            {
+                "coef": _block_coeffs(p, qts[tq], bh, bw_),
+                "tq": tq, "h": sh, "v": sv, "bw": bw_, "bh": bh,
+                "nbw": -(-cw // 8), "nbh": -(-ch // 8),
+                "mcux": mcux, "mcuy": mcuy,
+            }
         )
     slot_of = [0] + [1] * (len(comps) - 1)  # comp -> huffman table slot
 
@@ -665,7 +725,7 @@ def jpeg_encode_progressive(
     nc = len(comps)
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci, c in enumerate(comps):
-        out += bytes([ci + 1, 0x11, c["tq"]])
+        out += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
 
     for kind, ci, ss, se, ah, al in script:
         scan_comps = comps if ci is None else [comps[ci]]

@@ -1446,3 +1446,34 @@ def test_kll_sketch_rank_error_and_determinism(ray_session):
     assert out["n"].to_pylist() == [len(vals)] * len(qs)
     for q, v in zip(qs, out["value"].to_pylist()):
         assert rank_err(v, q) <= 0.03, (q, v)
+
+
+def test_jpeg_progressive_subsampled_matches_baseline():
+    """Progressive with 4:2:0 / 4:2:2 chroma subsampling (interleaved DC
+    MCUs carrying v*h luma blocks; AC scans over each component's REAL
+    block grid) decodes bit-identically to baseline at the same
+    subsampling — including with restart markers and odd sizes."""
+    from python_rasterstats_ray.sources.jpeg import (
+        jpeg_decode,
+        jpeg_encode,
+        jpeg_encode_progressive,
+    )
+
+    rng = np.random.default_rng(19)
+    yy, xx = np.mgrid[0:37, 0:45]
+    smooth = np.clip(
+        np.stack([128 + 90 * np.sin(yy / 9), 128 + 80 * np.cos(xx / 7),
+                  128 + 70 * np.sin((xx + yy) / 11)], axis=2), 0, 255
+    ).astype(np.uint8)
+    for sub in ("4:2:0", "4:2:2"):
+        for img, q, ri in [
+            (smooth, 90, 0),
+            (rng.integers(0, 256, (21, 30, 3), dtype=np.uint8), 75, 2),
+            (rng.integers(0, 256, (17, 17, 3), dtype=np.uint8), 100, 3),
+        ]:
+            got = jpeg_decode(
+                jpeg_encode_progressive(img, quality=q, restart_interval=ri,
+                                        subsampling=sub)
+            )
+            want = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
+            assert np.array_equal(got, want), (sub, img.shape, q, ri)
