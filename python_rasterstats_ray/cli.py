@@ -97,6 +97,86 @@ def cmd_flagship(args) -> int:
     return 0
 
 
+def _ray_up():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    return ray
+
+
+def cmd_dedup(args) -> int:
+    """Fuzzy-dedup a documents parquet: MinHash-LSH -> components ->
+    one (doc_id, cluster_id, keep) row per doc, written as parquet."""
+    ray = _ray_up()
+    import pyarrow as pa
+    import ray.data
+
+    from .stages.dedup import minhash_lsh_pairs
+    from .stages.graph import components_auto
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    pairs = minhash_lsh_pairs(ds, text_col=args.text_col, id_col=args.id_col)
+
+    def to_edges(batch: "pa.Table") -> "pa.Table":
+        return pa.table({"src": batch["id_a"], "dst": batch["id_b"]})
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    cc = components_auto(edges, ds.select_columns([args.id_col]))
+
+    def finish(batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                args.id_col: batch["node"],
+                "cluster_id": batch["lbl"],
+                "keep": pc.equal(batch["node"], batch["lbl"]),
+            }
+        )
+
+    cc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        args.out_dir
+    )
+    print(json.dumps({"out_dir": args.out_dir}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bpe(args) -> int:
+    """Train BPE merges over a documents parquet; prints the readable
+    merge table as JSON lines."""
+    ray = _ray_up()
+    import ray.data
+
+    from .stages.bpe import bpe_train, merge_table_strings
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.text_col])
+    merges = merge_table_strings(bpe_train(ds, n_merges=args.merges,
+                                           text_col=args.text_col))
+    for row in merges.to_pylist():
+        print(json.dumps(row))
+    ray.shutdown()
+    return 0
+
+
+def cmd_kmeans(args) -> int:
+    """Distributed int64 fixed-point k-means over an embeddings parquet;
+    prints one JSON line per cluster."""
+    ray = _ray_up()
+    import ray.data
+
+    from .stages.similarity import kmeans_clusters
+
+    ds = ray.data.read_parquet(args.embeddings, columns=[args.emb_col])
+    out = kmeans_clusters(ds, k=args.k, n_iter=args.iters, emb_col=args.emb_col)
+    for row in out.to_pylist():
+        print(json.dumps({"cluster_id": row["cluster_id"],
+                          "n_members": row["n_members"]}))
+    ray.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python_rasterstats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -135,6 +215,26 @@ def build_parser() -> argparse.ArgumentParser:
     fl.add_argument("out_dir")
     fl.add_argument("--parts", type=int, default=4)
     fl.set_defaults(fn=cmd_flagship)
+
+    dd = sub.add_parser("dedup", help="fuzzy-dedup a documents parquet (LSH->components->survivors)")
+    dd.add_argument("docs", help="documents parquet path")
+    dd.add_argument("out_dir", help="output parquet directory")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.add_argument("--text-col", default="text")
+    dd.set_defaults(fn=cmd_dedup)
+
+    bp = sub.add_parser("bpe", help="train BPE merges over a documents parquet")
+    bp.add_argument("docs", help="documents parquet path")
+    bp.add_argument("--merges", type=int, default=30)
+    bp.add_argument("--text-col", default="text")
+    bp.set_defaults(fn=cmd_bpe)
+
+    km = sub.add_parser("kmeans", help="distributed k-means over an embeddings parquet")
+    km.add_argument("embeddings", help="embeddings parquet path")
+    km.add_argument("--k", type=int, default=8)
+    km.add_argument("--iters", type=int, default=6)
+    km.add_argument("--emb-col", default="embedding")
+    km.set_defaults(fn=cmd_kmeans)
     return p
 
 

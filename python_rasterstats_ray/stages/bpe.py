@@ -66,6 +66,13 @@ def word_frequencies(docs_ds, text_col: str = "text"):
 
 def _words_to_seqs(batch: pa.Table) -> pa.Table:
     """word string -> list<int64> of codepoints + end-of-word marker."""
+    if len(batch) == 0 or "word" not in batch.column_names:
+        return pa.table(
+            {
+                "seq": pa.array([], pa.list_(pa.int64())),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
     words = batch["word"].to_pylist()
     flat: list[int] = []
     offsets = [0]
@@ -82,6 +89,9 @@ def _words_to_seqs(batch: pa.Table) -> pa.Table:
 def _pair_counts(batch: pa.Table, key_base: int) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized adjacent-pair counting over one block: Arrow list
     offsets + numpy only. Returns (packed pair keys, weighted counts)."""
+    if len(batch) == 0 or "seq" not in batch.column_names:
+        # empty shuffle partitions emit zero-row bare-schema blocks
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     seq = batch["seq"].combine_chunks()
     flat = seq.values.to_numpy(zero_copy_only=False).astype(np.int64)
     offs = seq.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -105,6 +115,8 @@ def _apply_merge(batch: pa.Table, a: int, b: int, new_id: int) -> pa.Table:
     """Replace non-overlapping leftmost-first (a,b) occurrences with
     new_id across all sequences of a block, vectorized except the tiny
     loop over overlap candidates."""
+    if len(batch) == 0 or "seq" not in batch.column_names:
+        return batch
     seq = batch["seq"].combine_chunks()
     flat = seq.values.to_numpy(zero_copy_only=False).astype(np.int64).copy()
     offs = seq.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

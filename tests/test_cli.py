@@ -93,3 +93,33 @@ def test_pointquery_nearest_property(capsys):
     lines = [ln for ln in out.splitlines() if ln.strip()]
     assert len(lines) == 3
     assert "elev" in json.loads(lines[0])["properties"]
+
+
+def test_cli_training_ops(ray_session, capsys, tmp_path):
+    """The dedup / bpe / kmeans subcommands run end-to-end on the sf0.001
+    testdata: dedup writes a per-doc survivor parquet, bpe prints the
+    merge table, kmeans prints one line per cluster."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out_dir = str(tmp_path / "dedup_out")
+    rc, _ = run_cli(capsys, ["dedup", f"{sf}/documents.parquet", out_dir])
+    assert rc == 0
+    t = pq.read_table(out_dir)
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert t.num_rows == n_docs
+    assert set(t.column_names) == {"doc_id", "cluster_id", "keep"}
+    assert 0 < sum(t["keep"].to_pylist()) <= n_docs
+
+    rc, out = run_cli(capsys, ["bpe", f"{sf}/documents.parquet", "--merges", "8"])
+    assert rc == 0
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 8 and rows[0]["rank"] == 0 and rows[0]["freq"] >= 2
+
+    rc, out = run_cli(capsys, ["kmeans", f"{sf}/embeddings.parquet", "--k", "4"])
+    assert rc == 0
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 4
+    assert sum(r["n_members"] for r in rows) == pq.read_metadata(
+        f"{sf}/embeddings.parquet"
+    ).num_rows
