@@ -121,6 +121,7 @@ EXTRA_QUERY_ORDER = [
     "flagship_zone_stats",
     "minhash_pairs",
     "docs_fuzzy_dedup",
+    "docs_dsir_weights",
     "simhash_signatures",
     "knn_ivf",
     "media_features",

@@ -2480,6 +2480,63 @@ ORDER BY k.doc_id
 """
 
 
+def q_docs_dsir_weights(sf_dir: str):
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    unigram features): one corpus pass builds paired target/source
+    token counts (target = lang='en' docs; only distinct tokens enter
+    the shuffle), the driver turns them into integer micronat
+    log-ratios (two separate floors so SQL reproduces them), and a
+    broadcast kernel scatter-adds per-document importance scores —
+    order-independent int64, bit-exact vs the oracle."""
+    import ray
+
+    from ..stages.text import TokenWeightKernel, dsir_count_partials, dsir_weights
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    vocab = (
+        ds.map_batches(dsir_count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum(["c_src", "c_tgt"])
+        .to_pandas()
+    )
+    tokens, weights = dsir_weights(
+        vocab["token"].tolist(), vocab["sum(c_src)"].tolist(), vocab["sum(c_tgt)"].tolist()
+    )
+    ref = ray.put((tokens, weights))
+    scored = ds.drop_columns(["lang"]).map_batches(
+        TokenWeightKernel,
+        fn_constructor_kwargs=dict(weights_ref=ref),
+        batch_format="pyarrow",
+        concurrency=pool(),
+        zero_copy_batch=True,
+    )
+    return scored.sort("doc_id")
+
+
+SQL_DOCS_DSIR_WEIGHTS = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok,
+         count(*) AS cs,
+         count(*) FILTER (WHERE lang = 'en') AS ct
+  FROM toks GROUP BY tok
+),
+tots AS (SELECT sum(cs) AS ts, sum(ct) AS tt FROM vocab)
+SELECT k.doc_id,
+       CAST(count(*) FILTER (WHERE v.ct > 0) AS BIGINT) AS n_ranked,
+       CAST(count(*) FILTER (WHERE v.ct = 0) AS BIGINT) AS n_skipped,
+       CAST(coalesce(sum(CASE WHEN v.ct > 0 THEN
+              CAST(floor(ln(CAST(v.ct AS DOUBLE) / CAST(tt.tt AS DOUBLE)) * 1000000) AS BIGINT)
+            - CAST(floor(ln(CAST(v.cs AS DOUBLE) / CAST(tt.ts AS DOUBLE)) * 1000000) AS BIGINT)
+            ELSE 0 END), 0) AS BIGINT) AS dsir_micronats
+FROM toks k JOIN vocab v USING (tok) CROSS JOIN tots tt
+GROUP BY k.doc_id
+ORDER BY k.doc_id
+"""
+
+
 PACK_SEQ_LEN = 256
 PACK_BUCKETS = 16
 
@@ -2853,6 +2910,7 @@ ORACLE_SQL = {
     "media_frame_sample": _media_frame_sql(),
     "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
     "docs_fuzzy_dedup": SQL_DOCS_FUZZY_DEDUP,
+    "docs_dsir_weights": SQL_DOCS_DSIR_WEIGHTS,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -2900,5 +2958,6 @@ QUERIES = {
     "media_frame_sample": q_media_frame_sample,
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "docs_fuzzy_dedup": q_docs_fuzzy_dedup,
+    "docs_dsir_weights": q_docs_dsir_weights,
     "simhash_dup_pairs": q_simhash_dup_pairs,
 }

@@ -421,3 +421,97 @@ class UnigramLMKernel:
                 "lm_score_micronats": pa.array(score, pa.int64()),
             }
         )
+
+
+# ------------------------------------------------- DSIR importance weights
+
+
+def dsir_count_partials(
+    batch: pa.Table,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = "en",
+) -> pa.Table:
+    """Per-batch (token, c_src, c_tgt) partials for DSIR-style importance
+    weighting (Xie et al. 2023, reduced to unigram features so the
+    oracle is closed-form SQL): c_src counts every occurrence, c_tgt
+    only those inside target-distribution documents. One pass, one row
+    per DISTINCT token enters the shuffle."""
+    doc_idx, codes, dictionary = _split_words(batch[text_col])
+    is_tgt = pc.equal(batch[lang_col], target_lang).to_numpy(zero_copy_only=False)
+    tok_tgt = is_tgt[doc_idx]
+    c_src = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+    c_tgt = np.bincount(
+        codes[tok_tgt], minlength=len(dictionary)
+    ).astype(np.int64)
+    return pa.table(
+        {
+            "token": pc.cast(dictionary, pa.string()),
+            "c_src": pa.array(c_src, pa.int64()),
+            "c_tgt": pa.array(c_tgt, pa.int64()),
+        }
+    )
+
+
+def dsir_weights(tokens, c_src, c_tgt) -> tuple[list, np.ndarray]:
+    """Per-token integer importance weight in micronats:
+    floor(ln(ct/Tt)*1e6) - floor(ln(cs/Ts)*1e6) for tokens seen in the
+    target distribution (others are skipped — weight-0, counted). The
+    two floors are applied SEPARATELY so the value is reproducible in
+    SQL; libm log keeps both sides bit-identical (same trick as
+    vocab_micronats)."""
+    import math
+
+    ts = int(sum(int(c) for c in c_src))
+    tt = int(sum(int(c) for c in c_tgt))
+    out_t, out_w = [], []
+    for tok, cs, ct in zip(tokens, c_src, c_tgt):
+        cs, ct = int(cs), int(ct)
+        if ct <= 0:
+            continue
+        w = math.floor(math.log(ct / tt) * 1_000_000) - math.floor(
+            math.log(cs / ts) * 1_000_000
+        )
+        out_t.append(tok)
+        out_w.append(w)
+    return out_t, np.asarray(out_w, np.int64)
+
+
+class TokenWeightKernel:
+    """Actor-pool stage: per-document sum of broadcast integer token
+    weights (int64 scatter-add — order-independent, SQL-exact). Tokens
+    absent from the weight table contribute 0 and count as skipped."""
+
+    def __init__(self, weights_ref, text_col: str = "text"):
+        import ray
+
+        tokens, w = ray.get(weights_ref)
+        self.lut = {t: int(x) for t, x in zip(tokens, w)}
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        doc_idx, codes, dictionary = _split_words(batch[self.text_col])
+        lut = self.lut
+        words = dictionary.to_pylist()
+        dict_w = np.fromiter(
+            (lut.get(wd, 0) for wd in words), dtype=np.int64, count=len(words)
+        )
+        dict_in = np.fromiter(
+            (wd in lut for wd in words), dtype=bool, count=len(words)
+        )
+        per_tok = dict_w[codes]
+        in_vocab = dict_in[codes]
+        n = len(batch)
+        score = np.zeros(n, np.int64)
+        np.add.at(score, doc_idx, per_tok)
+        n_ranked = np.zeros(n, np.int64)
+        np.add.at(n_ranked, doc_idx, in_vocab.astype(np.int64))
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_ranked": pa.array(n_ranked, pa.int64()),
+                "n_skipped": pa.array(n_tok - n_ranked, pa.int64()),
+                "dsir_micronats": pa.array(score, pa.int64()),
+            }
+        )

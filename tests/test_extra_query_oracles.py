@@ -109,6 +109,7 @@ def _assert_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None
     "docs_inverted_index", "docs_tfidf_top", "docs_length_quantiles",
     "docs_length_quantiles_by_lang", "docs_bigrams", "knn_points_partitioned",
     "doc_fingerprint", "flagship_zone_stats", "minhash_pairs", "docs_fuzzy_dedup",
+    "docs_dsir_weights",
     "simhash_signatures",
 ]])
 def test_extra_query_matches_oracle(ray_session, duck, name):
