@@ -124,6 +124,7 @@ EXTRA_QUERY_ORDER = [
     "docs_dsir_weights",
     "simhash_signatures",
     "knn_ivf",
+    "knn_pq",
     "media_features",
     "audio_features",
     "video_features",
@@ -177,6 +178,22 @@ def _q_knn_ivf(sf_dir: str):
     qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
     cents = train_centroids(ds, n_centroids=8)
     return knn_ivf(ds, (qids, qmat), cents, k=10, nprobe=3)
+
+
+def _q_knn_pq(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import knn_pq, pq_encode, pq_train_int
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.slice(0, 3)
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    books = pq_train_int(ds, n_subspaces=4, n_codes=16, n_iter=4)
+    return knn_pq(pq_encode(ds, books), (qids, qmat), books, k=10)
 
 
 def _q_fingerprint(sf_dir: str):
@@ -302,6 +319,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "minhash_pairs": _q_minhash_pairs,
             "simhash_signatures": _q_simhash,
             "knn_ivf": _q_knn_ivf,
+            "knn_pq": _q_knn_pq,
             "doc_fingerprint": _q_fingerprint,
             "flagship_zone_stats": _q_flagship_zone_stats,
             "media_features": _q_media_features,

@@ -414,3 +414,261 @@ def kmeans_clusters(emb_ds, k: int, n_iter: int = 10, emb_col: str = "embedding"
             "centroid": pa.array([c.tolist() for c in cents], pa.list_(pa.int64())),
         }
     )
+
+
+# --------------------------------------------- product quantization (PQ)
+#
+# The memory-scale path of the ANN family: brute force (knn_embeddings)
+# scans full vectors, IVF (knn_ivf*) prunes WHICH vectors are scanned,
+# PQ compresses WHAT is scanned — d float dims -> n_sub uint8 codes per
+# vector (e.g. 64 floats = 512 B -> 8 B), so a 100-TB embedding corpus
+# scans as ~1.5 TB of codes. Jegou et al., "Product Quantization for
+# Nearest Neighbor Search" (TPAMI 2011). Everything is int64
+# micro-fixed-point (the kmeans trick) so training, encoding and ADC
+# scores are order-independent and BIT-IDENTICAL to the sequential
+# reference in tests/test_training_ops.py regardless of block layout.
+
+
+def pq_train_int(
+    emb_ds,
+    n_subspaces: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 6,
+    emb_col: str = "embedding",
+):
+    """Distributed PQ codebook training: an independent k-means per
+    subspace, FUSED into one task wave per iteration (not n_subspaces
+    passes over the corpus) — each task assigns every subspace of its
+    pinned blocks against the broadcast (n_sub, n_codes, dsub) codebook
+    tensor and emits dense int64 (sums, counts) partials; tree-sum; the
+    O(n_sub*n_codes*dsub) driver update floor-divides.
+
+    Init = subvectors of the first n_codes rows in dataset order
+    (deterministic). Returns the int64 micro-unit codebook tensor.
+    Scale bound, stated: the codebook tensor must fit every worker and
+    the driver (n_sub*n_codes*dsub*8 bytes — tiny for any sane config);
+    embedding dim must divide evenly by n_subspaces.
+    """
+    import ray as _ray
+
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    if n_codes > 256:
+        raise ValueError("n_codes must fit a uint8 code (<= 256)")
+    first = pa.Table.from_pandas(emb_ds.limit(n_codes).to_pandas()[[emb_col]])
+    x0 = _micro_block(first, emb_col)
+    if len(x0) < n_codes:
+        raise ValueError(f"need at least n_codes={n_codes} rows, got {len(x0)}")
+    d = x0.shape[1]
+    if d % n_subspaces:
+        raise ValueError(f"dim {d} not divisible by n_subspaces={n_subspaces}")
+    dsub = d // n_subspaces
+    # (n_sub, n_codes, dsub): subspace s trains on columns [s*dsub, (s+1)*dsub)
+    books = np.stack(
+        [x0[:, s * dsub : (s + 1) * dsub] for s in range(n_subspaces)]
+    ).astype(np.int64)
+    refs = list(emb_ds.materialize().to_arrow_refs())
+
+    @_ray.remote
+    def _assign_partial(books: np.ndarray, emb_col: str, *tables: pa.Table):
+        ns, nc, dsub = books.shape
+        sums = np.zeros((ns, nc, dsub), np.int64)
+        counts = np.zeros((ns, nc), np.int64)
+        b_sq = np.sum(books * books, axis=2)  # (ns, nc)
+        for t in tables:
+            if len(t) == 0:
+                continue
+            x = _micro_block(t, emb_col)
+            for s in range(ns):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                scores = b_sq[s][None, :] - 2 * (xs @ books[s].T)
+                assign = np.argmin(scores, axis=1)  # ties -> smallest code
+                np.add.at(sums[s], assign, xs)
+                counts[s] += np.bincount(assign, minlength=nc)
+        return sums, counts
+
+    @_ray.remote
+    def _sum_partials(*parts):
+        sums = parts[0][0].copy()
+        counts = parts[0][1].copy()
+        for s, c in parts[1:]:
+            sums += s
+            counts += c
+        return sums, counts
+
+    group = 16
+    for _ in range(n_iter):
+        bref = _ray.put(books)
+        futs = [
+            _assign_partial.remote(bref, emb_col, *refs[i : i + group])
+            for i in range(0, len(refs), group)
+        ]
+        while len(futs) > 1:
+            futs = [
+                _sum_partials.remote(*futs[i : i + group])
+                for i in range(0, len(futs), group)
+            ]
+        sums, counts = _ray.get(futs[0])
+        books = books.copy()
+        nz = counts > 0
+        books[nz] = np.floor_divide(sums[nz], counts[nz][:, None])
+    return books
+
+
+class PQEncodeKernel:
+    """map_batches kernel: embeddings batch -> (id, pq_code) rows, the
+    broadcast codebook fetched once per actor. Assignment is the same
+    int64 argmin as training (ties -> smallest code), so encode of the
+    training set reproduces the final training assignment exactly."""
+
+    def __init__(self, books_ref, id_col: str, emb_col: str):
+        import ray
+
+        self.books = ray.get(books_ref)  # (ns, nc, dsub) int64
+        self.b_sq = np.sum(self.books * self.books, axis=2)
+        self.id_col = id_col
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, nc, dsub = self.books.shape
+        x = _micro_block(batch, self.emb_col)
+        n = len(batch)
+        codes = np.zeros((n, ns), np.uint8)
+        for s in range(ns):
+            xs = x[:, s * dsub : (s + 1) * dsub]
+            scores = self.b_sq[s][None, :] - 2 * (xs @ self.books[s].T)
+            codes[:, s] = np.argmin(scores, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "pq_code": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+
+def pq_encode(emb_ds, books: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding", concurrency=None):
+    """Encode every embedding to n_subspaces uint8 codes (the compressed
+    corpus a 100-TB deployment persists instead of raw vectors)."""
+    import ray
+
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    return emb_ds.map_batches(
+        PQEncodeKernel,
+        fn_constructor_kwargs=dict(
+            books_ref=ray.put(books), id_col=id_col, emb_col=emb_col
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+class PQScanKernel:
+    """Asymmetric-distance (ADC) scan: per actor, precompute the
+    (nq, ns, nc) int64 lookup table ||q_sub - book[s,c]||^2 ONCE in
+    __init__; each code batch is then a pure table-gather + row-sum —
+    no float math, no full-vector reads. Emits local per-query top-k."""
+
+    def __init__(self, books_ref, queries_ref, k: int, id_col: str):
+        import ray
+
+        self.books = ray.get(books_ref)
+        qids, qmat = ray.get(queries_ref)
+        self.qids = qids
+        ns, nc, dsub = self.books.shape
+        qm = np.round(np.asarray(qmat, np.float64) * KMEANS_SCALE).astype(np.int64)
+        if qm.shape[1] != ns * dsub:
+            raise ValueError(f"query dim {qm.shape[1]} != codebook dim {ns * dsub}")
+        nq = len(qm)
+        lut = np.empty((nq, ns, nc), np.int64)
+        for s in range(ns):
+            diff = qm[:, None, s * dsub : (s + 1) * dsub] - self.books[s][None, :, :]
+            lut[:, s, :] = np.sum(diff * diff, axis=2)
+        self.lut = lut
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        ns = self.books.shape[0]
+        n = len(batch)
+        # fixed-length code lists: the flat values buffer reshapes
+        # zero-copy (no per-row Python), hot path of the scan
+        col = batch["pq_code"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        if hasattr(col, "flatten"):
+            codes = np.asarray(col.flatten()).astype(np.int64).reshape(n, ns)
+        else:  # Ray tensor-extension array (e.g. via from_pandas)
+            codes = np.stack(col.to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            ).reshape(n, ns)
+        k = min(self.k, n)
+        sub = np.arange(ns)[None, :]
+        out_q, out_id, out_d = [], [], []
+        for j, qid in enumerate(self.qids):
+            dist = self.lut[j][sub, codes].sum(axis=1)  # (n,) int64
+            # smallest distance wins; ties -> smallest id (lexsort)
+            top = np.lexsort((ids, dist))[:k]
+            out_q.extend([int(qid)] * k)
+            out_id.extend(ids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "adc_dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def knn_pq(
+    code_ds,
+    queries: tuple[np.ndarray, np.ndarray],
+    books: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    concurrency=None,
+):
+    """Approximate top-k by PQ asymmetric distance over the code table.
+    ``queries`` = (query_ids, float query matrix). Returns
+    (query_id, neighbor_id, adc_dist, rank), rank 1..k by ascending
+    distance, ties by neighbor_id — deterministic because every score is
+    an int64. Per-block partial top-k keeps the merge groupby at
+    O(#blocks * k) rows regardless of corpus size."""
+    import ray
+
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    partials = code_ds.map_batches(
+        PQScanKernel,
+        fn_constructor_kwargs=dict(
+            books_ref=ray.put(books), queries_ref=ray.put(queries),
+            k=k, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        dist = group["adc_dist"].to_numpy(zero_copy_only=False)
+        ids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, dist))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(ids[order], pa.int64()),
+                "adc_dist": pa.array(dist[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -1477,3 +1477,91 @@ def test_jpeg_progressive_subsampled_matches_baseline():
             )
             want = jpeg_decode(jpeg_encode(img, quality=q, subsampling=sub))
             assert np.array_equal(got, want), (sub, img.shape, q, ri)
+
+
+def test_pq_train_encode_scan_matches_sequential(ray_session):
+    """PQ training must be BIT-IDENTICAL to a per-subspace sequential
+    Lloyd's reference (same init/tie-break/floor-divide), encode must
+    reproduce the reference assignment, and the distributed ADC scan's
+    top-k must equal a sequential ADC brute force with the same int64
+    scores and tie-break — all regardless of block layout."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import (
+        KMEANS_SCALE,
+        knn_pq,
+        pq_encode,
+        pq_train_int,
+    )
+
+    rng = np.random.default_rng(29)
+    n, d, ns, nc, iters = 400, 12, 4, 8, 5
+    dsub = d // ns
+    x = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(9)
+    books = pq_train_int(ds, n_subspaces=ns, n_codes=nc, n_iter=iters)
+
+    # sequential reference: independent Lloyd's per subspace
+    xm = np.round(x * KMEANS_SCALE).astype(np.int64)
+    ref = np.stack([xm[:nc, s * dsub : (s + 1) * dsub] for s in range(ns)])
+    for _ in range(iters):
+        for s in range(ns):
+            xs = xm[:, s * dsub : (s + 1) * dsub]
+            scores = np.sum(ref[s] * ref[s], axis=1)[None, :] - 2 * (xs @ ref[s].T)
+            assign = np.argmin(scores, axis=1)
+            sums = np.zeros((nc, dsub), np.int64)
+            np.add.at(sums, assign, xs)
+            cnt = np.bincount(assign, minlength=nc)
+            nz = cnt > 0
+            ref[s][nz] = np.floor_divide(sums[nz], cnt[nz][:, None])
+    assert np.array_equal(books, ref)
+    books2 = pq_train_int(
+        ray.data.from_arrow(tbl).repartition(2), n_subspaces=ns, n_codes=nc, n_iter=iters
+    )
+    assert np.array_equal(books, books2)
+
+    # encode: distributed codes == reference argmin per subspace
+    codes_tbl = (
+        pq_encode(ds, books).sort("vec_id").to_pandas()
+    )
+    got = np.stack(codes_tbl["pq_code"].to_numpy())
+    want = np.zeros((n, ns), np.uint8)
+    for s in range(ns):
+        xs = xm[:, s * dsub : (s + 1) * dsub]
+        scores = np.sum(ref[s] * ref[s], axis=1)[None, :] - 2 * (xs @ ref[s].T)
+        want[:, s] = np.argmin(scores, axis=1).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    # ADC scan: distributed top-k == sequential brute force (int64 lut)
+    qids = np.array([0, 1], np.int64)
+    qmat = x[:2] + 0.01
+    code_ds = ray.data.from_pandas(
+        codes_tbl[["vec_id", "pq_code"]]
+    ).repartition(5)
+    k = 7
+    out = knn_pq(code_ds, (qids, qmat), books, k=k).sort(
+        ["query_id", "rank"]
+    ).to_pandas()
+    qm = np.round(qmat * KMEANS_SCALE).astype(np.int64)
+    for j, qid in enumerate(qids):
+        lut = np.empty((ns, nc), np.int64)
+        for s in range(ns):
+            diff = qm[j, s * dsub : (s + 1) * dsub][None, :] - ref[s]
+            lut[s] = np.sum(diff * diff, axis=1)
+        dist = lut[np.arange(ns)[None, :], want.astype(np.int64)].sum(axis=1)
+        order = np.lexsort((np.arange(n), dist))[:k]
+        sub = out[out["query_id"] == qid]
+        assert sub["neighbor_id"].tolist() == order.tolist()
+        assert sub["adc_dist"].tolist() == dist[order].tolist()
+        assert sub["rank"].tolist() == list(range(1, k + 1))
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        pq_train_int(ds, n_subspaces=5, n_codes=nc)  # 12 % 5 != 0
