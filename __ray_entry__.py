@@ -125,6 +125,7 @@ EXTRA_QUERY_ORDER = [
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",
+    "docs_decontaminate_bloom",
     "media_features",
     "audio_features",
     "video_features",

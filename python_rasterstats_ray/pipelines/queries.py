@@ -2860,8 +2860,127 @@ ORDER BY doc_id, chunk_idx
 """
 
 
+BLOOM_M_BITS = 1 << 18
+BLOOM_K = 6
+
+
+def q_docs_decontaminate_bloom(sf_dir: str):
+    """Decontamination, the 100-TB shape: when the benchmark gram set is
+    too big to broadcast exactly, (1) build its bloom bitmap DISTRIBUTED
+    (sparse per-block word partials OR-merged by groupby — like the HLL
+    sketch, only set words cross the shuffle), (2) broadcast the bitmap
+    once (fixed a-few-MB regardless of benchmark size), (3) stream the
+    training corpus through a candidate kernel that keeps only
+    bloom-positive gram occurrences, then (4) EXACT-verify the surviving
+    (doc_id, gram_hash) rows with a semi-join against the distinct
+    benchmark grams (join_auto: broadcast under the threshold, hash
+    shuffle above) and count per doc. No false negatives, exact verify
+    => bit-identical to ``docs_decontaminate`` and the same SQL oracle;
+    pinned by tests/test_training_ops.py::test_decontaminate_bloom_*.
+    """
+    import ray
+
+    from ..stages.joins import join_auto
+    from ..stages.sketch import bloom_assemble, bloom_sketch
+    from ..stages.text import (
+        BloomDecontaminateCandidates,
+        _split_words,
+        _word_hashes,
+        ngram_hashes,
+    )
+
+    ng = DECONTAM_NGRAM
+
+    def gram_hashes_of(batch: pa.Table) -> np.ndarray:
+        doc_idx, codes, dictionary = _split_words(batch["text"])
+        wh = _word_hashes(dictionary, codes)
+        return ngram_hashes(doc_idx, wh, ng)[1]
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_bench(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], DECONTAM_BENCH_MAX_ID))
+
+    def keep_training(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_id"], DECONTAM_BENCH_MAX_ID))
+
+    bench = docs.map_batches(keep_bench, batch_format="pyarrow", zero_copy_batch=True)
+
+    # (1) distributed bloom over benchmark grams; (2) assemble + broadcast
+    sketch = bloom_sketch(bench, gram_hashes_of, m_bits=BLOOM_M_BITS, k=BLOOM_K)
+    words_ref = ray.put(bloom_assemble(sketch.to_pandas(), BLOOM_M_BITS))
+
+    # exact distinct benchmark grams — the verify side of the semi-join
+    def bench_gram_rows(t: pa.Table) -> pa.Table:
+        u = np.unique(gram_hashes_of(t))
+        return pa.table({"gram_hash": pa.array(u.view(np.int64), pa.int64())})
+
+    bench_grams = bench.map_batches(
+        bench_gram_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # (3) bloom-prefiltered candidate gram occurrences from training docs
+    cand = docs.map_batches(
+        keep_training, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        BloomDecontaminateCandidates,
+        fn_constructor_kwargs=dict(
+            words_ref=words_ref, m_bits=BLOOM_M_BITS, k=BLOOM_K, ngram=ng
+        ),
+        batch_format="pyarrow",
+        concurrency=pool(),
+        zero_copy_batch=True,
+    )
+
+    # (4) exact verify + per-doc occurrence counts (partials, then a
+    # small groupby sum — only (doc_id, n) rows cross the final shuffle)
+    verified = join_auto(cand, bench_grams, on=["gram_hash"], join_type="left_semi")
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("doc_id")
+            .aggregate([("doc_id", "count")])
+            .rename_columns(["doc_id", "n"])
+        )
+
+    counts = (
+        verified.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["doc_id", "n"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+
+    # zero-fill: every training doc appears, clean docs get 0
+    train_ids = docs.map_batches(
+        lambda t: keep_training(t).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = join_auto(
+        train_ids,
+        counts,
+        on=["doc_id"],
+        join_type="left_outer",
+        right_schema=pa.schema([("doc_id", pa.int64()), ("n", pa.int64())]),
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.coalesce(t["n"], pa.scalar(0, pa.int64()))
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_contaminated_grams": pc.cast(n, pa.int64())}
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 ORACLE_SQL = {
     "docs_chunk": SQL_DOCS_CHUNK,
+    "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_dup_ngram_spans": SQL_DOCS_DUP_NGRAM_SPANS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
@@ -2922,6 +3041,7 @@ QUERIES = {
     "docs_unigram_lm": q_docs_unigram_lm,
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
+    "docs_decontaminate_bloom": q_docs_decontaminate_bloom,
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,

@@ -301,3 +301,107 @@ def kll_quantiles(ds, col: str, qs, k: int = 256):
             "n": _pa.array([sk.n] * len(qs), _pa.int64()),
         }
     )
+
+
+# ------------------------------------------------------------ bloom filter
+
+_BLOOM_MIX = np.uint64(0xFF51AFD7ED558CCD)  # murmur3 fmix64 constants
+_BLOOM_MIX2 = np.uint64(0xC4CEB9FE1A85EC53)
+
+
+def _bloom_h2(h: np.ndarray) -> np.ndarray:
+    """Second hash for Kirsch-Mitzenmacher double hashing: murmur3's
+    fmix64 finalizer of the input hash, forced odd so the k probe
+    positions cycle the whole (power-of-two) bit space."""
+    with np.errstate(over="ignore"):
+        x = h.astype(np.uint64).copy()
+        x ^= x >> np.uint64(33)
+        x *= _BLOOM_MIX
+        x ^= x >> np.uint64(33)
+        x *= _BLOOM_MIX2
+        x ^= x >> np.uint64(33)
+    return x | np.uint64(1)
+
+
+def bloom_words_from_hashes(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Bitmap (uint64 words, len m_bits//64) with the k double-hashed
+    positions of every input uint64 hash set. m_bits must be a power of
+    two. Vectorized; OR-combinable across calls."""
+    if m_bits & (m_bits - 1) or m_bits < 64:
+        raise ValueError("m_bits must be a power of two >= 64")
+    words = np.zeros(m_bits // 64, np.uint64)
+    if len(h) == 0:
+        return words
+    h = h.astype(np.uint64)
+    h2 = _bloom_h2(h)
+    mask = np.uint64(m_bits - 1)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h + np.uint64(i) * h2) & mask
+            np.bitwise_or.at(
+                words, (pos >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (pos & np.uint64(63)),
+            )
+    return words
+
+
+def bloom_contains(words: np.ndarray, h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set (may
+    false-positive, never false-negatives)."""
+    if len(h) == 0:
+        return np.zeros(0, bool)
+    h = h.astype(np.uint64)
+    h2 = _bloom_h2(h)
+    mask = np.uint64(m_bits - 1)
+    out = np.ones(len(h), bool)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h + np.uint64(i) * h2) & mask
+            bit = np.uint64(1) << (pos & np.uint64(63))
+            out &= (words[(pos >> np.uint64(6)).astype(np.int64)] & bit) != 0
+    return out
+
+
+def bloom_sketch(ds, hash_fn, m_bits: int = 1 << 20, k: int = 6):
+    """Distributed bloom-filter build: ``hash_fn(batch) -> uint64 array``
+    extracts the hashes of each Arrow batch; each block emits only its
+    NONZERO bitmap words as sparse (word_idx, bits) rows (bits viewed as
+    int64 for Arrow), merged by a groupby(word_idx) bitwise-OR over at
+    most m_bits/64 tiny rows — like the HLL sketch, input size never
+    crosses the shuffle, and the OR is order-independent so the sketch
+    is deterministic across block layouts."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = bloom_words_from_hashes(hash_fn(batch), m_bits, k)
+        nz = np.nonzero(words)[0]
+        return pa.table(
+            {
+                "word_idx": pa.array(nz, pa.int64()),
+                "bits": pa.array(words[nz].view(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pa.Table) -> pa.Table:
+        bits = np.bitwise_or.reduce(g["bits"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "word_idx": pa.array([g["word_idx"][0].as_py()], pa.int64()),
+                "bits": pa.array([int(bits)], pa.int64()),
+            }
+        )
+
+    return partials.groupby("word_idx").map_groups(merge, batch_format="pyarrow")
+
+
+def bloom_assemble(sketch_tbl, m_bits: int) -> np.ndarray:
+    """(word_idx, bits) rows -> the dense uint64 bitmap (driver-side; at
+    most m_bits/64 rows arrive regardless of input size)."""
+    words = np.zeros(m_bits // 64, np.uint64)
+    if hasattr(sketch_tbl, "to_pandas"):
+        sketch_tbl = sketch_tbl.to_pandas()
+    idx = np.asarray(sketch_tbl["word_idx"], np.int64)
+    bits = np.asarray(sketch_tbl["bits"], np.int64).view(np.uint64)
+    words[idx] = bits
+    return words

@@ -515,3 +515,40 @@ class TokenWeightKernel:
                 "dsir_micronats": pa.array(score, pa.int64()),
             }
         )
+
+
+class BloomDecontaminateCandidates:
+    """Actor-pool stage, the SCALE path of decontamination: when the
+    benchmark set is too big to broadcast exactly, broadcast only its
+    bloom bitmap (a few MB regardless of gram count) and emit a
+    (doc_id, gram_hash) candidate row per gram OCCURRENCE whose probe is
+    positive — typically orders of magnitude fewer rows than the corpus'
+    grams. Bloom has NO false negatives, so an exact semi-join of the
+    candidates against the distinct benchmark grams (a shuffle the bloom
+    just shrank) reproduces the exact answer.
+    """
+
+    def __init__(self, words_ref, m_bits: int, k: int, ngram: int = 5,
+                 text_col: str = "text"):
+        import ray
+
+        self.words = ray.get(words_ref)
+        self.m_bits = m_bits
+        self.k = k
+        self.ngram = ngram
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .sketch import bloom_contains
+
+        doc_idx, codes, dictionary = _split_words(batch[self.text_col])
+        wh = _word_hashes(dictionary, codes)
+        gdoc, gh = ngram_hashes(doc_idx, wh, self.ngram)
+        pos = bloom_contains(self.words, gh, self.m_bits, self.k)
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False)[gdoc[pos]]
+        return pa.table(
+            {
+                "doc_id": pa.array(dids, pa.int64()),
+                "gram_hash": pa.array(gh[pos].view(np.int64), pa.int64()),
+            }
+        )

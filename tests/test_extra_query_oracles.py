@@ -111,6 +111,7 @@ def _assert_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None
     "doc_fingerprint", "flagship_zone_stats", "minhash_pairs", "docs_fuzzy_dedup",
     "docs_dsir_weights",
     "simhash_signatures",
+    "docs_decontaminate_bloom",
 ]])
 def test_extra_query_matches_oracle(ray_session, duck, name):
     entrymod = _entrymod()
@@ -124,6 +125,7 @@ def test_extra_query_matches_oracle(ray_session, duck, name):
 
 @pytest.mark.parametrize("name,min_rows", [
     ("knn_ivf", 30),
+    ("knn_pq", 30),
     ("media_features", 200),
     ("audio_features", 200),
     ("video_features", 200),
@@ -145,4 +147,4 @@ def test_registry_partition():
     assert not set(q) & set(x)
     # the parametrized list above stays in sync with EXTRA_QUERY_ORDER
     oracled = set(entrymod.extra_oracle_sql())
-    assert oracled == set(x) - {"knn_ivf", "media_features", "audio_features", "video_features", "docs_bpe_merges", "embeddings_kmeans", "docs_kll_quantiles"}
+    assert oracled == set(x) - {"knn_ivf", "knn_pq", "media_features", "audio_features", "video_features", "docs_bpe_merges", "embeddings_kmeans", "docs_kll_quantiles"}

@@ -1565,3 +1565,76 @@ def test_pq_train_encode_scan_matches_sequential(ray_session):
 
     with _pt.raises(ValueError):
         pq_train_int(ds, n_subspaces=5, n_codes=nc)  # 12 % 5 != 0
+
+
+def test_bloom_filter_properties(ray_session):
+    """No false negatives ever; merge-of-partials == single build (OR is
+    the combine); distributed sketch build assembles to the same bitmap
+    as a local one-shot build regardless of block layout."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import (
+        bloom_assemble,
+        bloom_contains,
+        bloom_sketch,
+        bloom_words_from_hashes,
+    )
+
+    rng = np.random.default_rng(41)
+    m_bits, k = 1 << 14, 5
+    h = rng.integers(0, 2**63, size=3000, dtype=np.int64).astype(np.uint64)
+    words = bloom_words_from_hashes(h, m_bits, k)
+    # membership: every inserted hash probes positive
+    assert bloom_contains(words, h, m_bits, k).all()
+    # split build ORs to the same bitmap
+    w1 = bloom_words_from_hashes(h[:1000], m_bits, k)
+    w2 = bloom_words_from_hashes(h[1000:], m_bits, k)
+    assert np.array_equal(words, w1 | w2)
+    # false-positive rate is sane at this load factor (~3000 keys, 16k bits)
+    probe = rng.integers(0, 2**63, size=5000, dtype=np.int64).astype(np.uint64)
+    fresh = probe[~np.isin(probe, h)]
+    fp = bloom_contains(words, fresh, m_bits, k).mean()
+    assert fp < 0.25
+
+    # distributed build == local build, any block layout
+    tbl = pa.table({"h": pa.array(h.view(np.int64), pa.int64())})
+
+    def hash_fn(batch):
+        return batch["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+
+    for parts in (1, 7):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        sk = bloom_sketch(ds, hash_fn, m_bits=m_bits, k=k).to_pandas()
+        assert np.array_equal(bloom_assemble(sk, m_bits), words)
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        bloom_words_from_hashes(h, 1000, k)  # not a power of two
+
+
+def test_decontaminate_bloom_matches_exact(ray_session):
+    """The bloom-prefiltered + exact-verify plan must be bit-identical to
+    the broadcast-exact decontamination on the same corpus."""
+    import pandas as pd
+
+    from python_rasterstats_ray.pipelines.queries import (
+        q_docs_decontaminate,
+        q_docs_decontaminate_bloom,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = (
+        q_docs_decontaminate_bloom(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        q_docs_decontaminate(sf)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_contaminated_grams"] > 0).any()
