@@ -130,6 +130,7 @@ EXTRA_QUERY_ORDER = [
     "audio_features",
     "video_features",
     "docs_bpe_merges",
+    "docs_bpe_encode",
     "embeddings_kmeans",
     "docs_kll_quantiles",
 ]
@@ -268,6 +269,19 @@ def _q_docs_bpe_merges(sf_dir: str):
     return merge_table_strings(bpe_train(ds, n_merges=30))
 
 
+
+def _q_docs_bpe_encode(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.bpe import bpe_encode_counts, bpe_train
+
+    # train-then-tokenize: the full corpus pass a training pipeline runs
+    # after bpe_train; exact-checked against a sequential reference in
+    # tests/test_training_ops.py::test_bpe_encode_matches_reference
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return bpe_encode_counts(ds, bpe_train(ds, n_merges=30))
+
+
 def _q_video_features(sf_dir: str):
     import ray.data
 
@@ -327,6 +341,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "audio_features": _q_audio_features,
             "video_features": _q_video_features,
             "docs_bpe_merges": _q_docs_bpe_merges,
+            "docs_bpe_encode": _q_docs_bpe_encode,
             "embeddings_kmeans": _q_embeddings_kmeans,
             "docs_kll_quantiles": _q_docs_kll_quantiles,
             "flagship_checkpointed": _q_flagship_checkpointed,

@@ -261,3 +261,102 @@ def merge_table_strings(merges: pa.Table) -> pa.Table:
             "freq": merges["freq"],
         }
     )
+
+
+class BPEEncodeKernel:
+    """map_batches kernel: apply a TRAINED merge table to documents and
+    emit per-doc token counts — the tokenize step a training pipeline
+    runs over the whole corpus after ``bpe_train``.
+
+    Hot path stays vectorized via the distinct-word trick: each batch
+    dictionary-encodes its words (Zipf: far fewer distinct words than
+    occurrences), applies every merge rule to the DICTIONARY block only
+    (the same ``_apply_merge`` numpy pass as training), then scatters
+    the per-word token lengths back to documents with one integer
+    ``np.add.at``. Token count = symbols remaining after all merges,
+    including the end-of-word marker (the training representation).
+
+    The rule table is O(n_merges) and travels by value in the actor
+    constructor — no per-batch re-ship.
+    """
+
+    def __init__(self, rules: list[tuple[int, int, int]], text_col: str = "text"):
+        self.rules = rules
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        words = pc.split_pattern_regex(batch[self.text_col], r"\s+")
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(words)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts.astype(np.int64))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        dict_words = enc.dictionary.to_pylist()
+
+        # distinct words -> codepoint seqs (+EOW), merges applied in rank order
+        seq_flat: list[int] = []
+        offsets = [0]
+        for w in dict_words:
+            seq_flat.extend(ord(ch) for ch in w)
+            seq_flat.append(_EOW)
+            offsets.append(len(seq_flat))
+        tbl = pa.table(
+            {
+                "seq": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(seq_flat, pa.int64())
+                ),
+                "cnt": pa.array(np.ones(len(dict_words), np.int64), pa.int64()),
+            }
+        )
+        for a, b, new_id in self.rules:
+            tbl = _apply_merge(tbl, a, b, new_id)
+        seq = tbl["seq"].combine_chunks()
+        offs = seq.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        tok_len = np.diff(offs)
+
+        n_tokens = np.zeros(n, np.int64)
+        if len(codes):
+            np.add.at(n_tokens, doc_idx, tok_len[codes])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pa.array(n_tokens, pa.int64()),
+            }
+        )
+
+
+def rules_of(merges: pa.Table) -> list[tuple[int, int, int]]:
+    """Merge table (as returned by ``bpe_train``) -> rank-ordered
+    (left, right, merged) rule list for the encode kernel."""
+    return list(
+        zip(
+            merges["left"].to_pylist(),
+            merges["right"].to_pylist(),
+            merges["merged"].to_pylist(),
+        )
+    )
+
+
+def bpe_encode_counts(docs_ds, merges: pa.Table, text_col: str = "text",
+                      concurrency=None):
+    """documents -> Dataset(doc_id, n_bpe_tokens) under a trained merge
+    table; stateless per batch, no shuffle."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    return docs_ds.map_batches(
+        BPEEncodeKernel,
+        fn_constructor_kwargs=dict(rules=rules_of(merges), text_col=text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

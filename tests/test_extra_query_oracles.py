@@ -130,6 +130,7 @@ def test_extra_query_matches_oracle(ray_session, duck, name):
     ("audio_features", 200),
     ("video_features", 200),
     ("docs_bpe_merges", 10),
+    ("docs_bpe_encode", 400),
     ("embeddings_kmeans", 8),
     ("docs_kll_quantiles", 6),
 ])
@@ -147,4 +148,4 @@ def test_registry_partition():
     assert not set(q) & set(x)
     # the parametrized list above stays in sync with EXTRA_QUERY_ORDER
     oracled = set(entrymod.extra_oracle_sql())
-    assert oracled == set(x) - {"knn_ivf", "knn_pq", "media_features", "audio_features", "video_features", "docs_bpe_merges", "embeddings_kmeans", "docs_kll_quantiles"}
+    assert oracled == set(x) - {"knn_ivf", "knn_pq", "media_features", "audio_features", "video_features", "docs_bpe_merges", "docs_bpe_encode", "embeddings_kmeans", "docs_kll_quantiles"}

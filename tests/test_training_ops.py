@@ -1638,3 +1638,65 @@ def test_decontaminate_bloom_matches_exact(ray_session):
     )
     pd.testing.assert_frame_equal(a, b)
     assert (a["n_contaminated_grams"] > 0).any()
+
+
+def test_bpe_encode_matches_reference(ray_session):
+    """Distributed encode (distinct-word trick) must reproduce a
+    per-document sequential reference applying the same trained rules
+    leftmost-first non-overlapping, in rank order."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+        rules_of,
+    )
+
+    texts = [
+        "the theater thesis then these theme the the",
+        "low lower lowest low low slow slowly",
+        "new newer newest news new new",
+        "the lower the newer the slower",
+        "aaaa aaa aa aaaa aaa",
+        "",  # empty doc -> 0 tokens
+        "   ",  # whitespace-only doc -> 0 tokens
+    ] * 2
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    merges = bpe_train(ds, n_merges=10)
+    rules = rules_of(merges)
+
+    got = (
+        bpe_encode_counts(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")["n_bpe_tokens"]
+        .tolist()
+    )
+
+    EOW = 0x10FFFF
+
+    def ref_encode_word(word):
+        seq = [ord(c) for c in word] + [EOW]
+        for a, b, new_id in rules:
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seq = out
+        return len(seq)
+
+    want = [sum(ref_encode_word(w) for w in t.split()) for t in texts]
+    assert got == want
+    assert want[5] == 0 and want[6] == 0  # empty/whitespace docs
+    # merges actually compress: encoded shorter than raw symbol count
+    raw = [sum(len(w) + 1 for w in t.split()) for t in texts]
+    assert sum(got) < sum(raw)
