@@ -126,6 +126,7 @@ EXTRA_QUERY_ORDER = [
     "knn_ivf",
     "knn_pq",
     "docs_decontaminate_bloom",
+    "docs_incremental_dedup",
     "media_features",
     "audio_features",
     "video_features",

@@ -2978,9 +2978,62 @@ def q_docs_decontaminate_bloom(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+INCR_DEDUP_SPLIT_ID = 100  # docs below this id form the already-ingested corpus
+
+
+def q_docs_incremental_dedup(sf_dir: str):
+    """Incremental ingestion dedup — the shape a 100-TB pipeline runs
+    DAILY: the existing corpus' content-hash index is persisted ONCE,
+    hash-bucketed by md5 prefix (``dedup_store_write``); each new shard
+    then streams through a probe kernel that reads only the buckets its
+    own hashes land in (targeted storage reads, per-actor bucket cache,
+    NO shuffle at ingest time). Exact: searchsorted membership against
+    the bucket's sorted md5 index."""
+    import tempfile
+
+    from ..stages.dedup import dedup_against_store, dedup_store_write
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep_corpus(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], INCR_DEDUP_SPLIT_ID))
+
+    def keep_shard(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["doc_id"], INCR_DEDUP_SPLIT_ID))
+
+    store = tempfile.mkdtemp(prefix="prsr_dedup_store_", dir="/tmp")
+    dedup_store_write(
+        docs.map_batches(keep_corpus, batch_format="pyarrow", zero_copy_batch=True),
+        store,
+        n_buckets=16,
+    )
+    return dedup_against_store(
+        docs.map_batches(keep_shard, batch_format="pyarrow", zero_copy_batch=True),
+        store,
+        n_buckets=16,
+    )
+
+
+SQL_DOCS_INCREMENTAL_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id < {INCR_DEDUP_SPLIT_ID}
+),
+shard AS (
+  SELECT doc_id, md5(text) AS m FROM documents WHERE doc_id >= {INCR_DEDUP_SPLIT_ID}
+),
+reps AS (SELECT m, min(doc_id) AS rep FROM corpus GROUP BY m)
+SELECT s.doc_id,
+       r.rep IS NOT NULL AS is_dup,
+       CAST(coalesce(r.rep, -1) AS BIGINT) AS dup_of
+FROM shard s LEFT JOIN reps r USING (m)
+ORDER BY s.doc_id
+"""
+
+
 ORACLE_SQL = {
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
+    "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
     "docs_dup_ngram_spans": SQL_DOCS_DUP_NGRAM_SPANS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
@@ -3042,6 +3095,7 @@ QUERIES = {
     "docs_repetition": q_docs_repetition,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_decontaminate_bloom": q_docs_decontaminate_bloom,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,

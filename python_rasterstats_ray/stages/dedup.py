@@ -367,3 +367,124 @@ def embedding_neardup_pairs(
         )
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------- incremental dedup vs a store
+
+def _md5_bucket(hexes: list[str], n_buckets: int) -> np.ndarray:
+    """Deterministic bucket from the md5 hex prefix (uniform by
+    construction); storage layout key, never part of the result."""
+    return np.array([int(h[:8], 16) % n_buckets for h in hexes], np.int64)
+
+
+def dedup_store_write(docs_ds, path: str, n_buckets: int = 64,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Persist a corpus' content-hash index for INCREMENTAL ingestion:
+    ``path/bucket=<i>/*.parquet`` holding one (text_md5, rep_doc_id)
+    row per distinct text — the payload never enters the store, and the
+    md5 groupby reduction happens before the write so the store is
+    already minimal. New shards then dedup against the corpus by
+    probing ONLY the buckets their own hashes land in (targeted
+    storage reads — the ivf_write_partitioned shape applied to dedup).
+    """
+    groups = exact_dedup_groups(docs_ds, text_col=text_col, id_col=id_col)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch["text_md5"].to_pylist(), n_buckets)
+        return pa.table(
+            {
+                "text_md5": batch["text_md5"],
+                "rep_doc_id": batch["rep_doc_id"],
+                "bucket": pa.array(b, pa.int64()),
+            }
+        )
+
+    groups.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        path, partition_cols=["bucket"]
+    )
+    return path
+
+
+class StoreProbeKernel:
+    """Actor-pool stage: dedup a new shard against a persisted store.
+    Per batch, rows are hashed and grouped by bucket; each needed bucket
+    is read ONCE from storage (per-actor cache, bounded by n_buckets
+    index-only files) into a sorted-md5 probe array; membership is one
+    searchsorted per bucket group. Emits (doc_id, text_md5, is_dup,
+    dup_of) — dup_of is the corpus representative id or -1."""
+
+    def __init__(self, store_path: str, n_buckets: int,
+                 text_col: str = "text", id_col: str = "doc_id"):
+        self.store_path = store_path
+        self.n_buckets = n_buckets
+        self.text_col = text_col
+        self.id_col = id_col
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _bucket_index(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+        got = self._cache.get(b)
+        if got is None:
+            import os
+
+            import pyarrow.parquet as pq
+
+            d = f"{self.store_path}/bucket={b}"
+            if os.path.isdir(d):
+                t = pq.read_table(d, columns=["text_md5", "rep_doc_id"])
+                md5s = np.asarray(t["text_md5"].to_pylist())
+                reps = t["rep_doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                order = np.argsort(md5s)
+                got = (md5s[order], reps[order])
+            else:  # no corpus row hashed into this bucket
+                got = (np.empty(0, dtype="U32"), np.empty(0, np.int64))
+            self._cache[b] = got
+        return got
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .text import md5_batch
+
+        hashed = md5_batch(batch, text_col=self.text_col)
+        hexes = hashed["text_md5"].to_pylist()
+        ids = hashed[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        buckets = _md5_bucket(hexes, self.n_buckets)
+        md5s = np.asarray(hexes)
+        dup_of = np.full(len(ids), -1, np.int64)
+        for b in np.unique(buckets):
+            sorted_md5, reps = self._bucket_index(int(b))
+            sel = buckets == b
+            if len(sorted_md5) == 0:
+                continue
+            pos = np.searchsorted(sorted_md5, md5s[sel])
+            pos_c = np.minimum(pos, len(sorted_md5) - 1)
+            hit = sorted_md5[pos_c] == md5s[sel]
+            vals = np.where(hit, reps[pos_c], -1)
+            dup_of[sel] = vals
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "is_dup": pa.array(dup_of >= 0, pa.bool_()),
+                "dup_of": pa.array(dup_of, pa.int64()),
+            }
+        )
+
+
+def dedup_against_store(new_ds, store_path: str, n_buckets: int = 64,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        concurrency=None):
+    """New-shard rows -> (doc_id, is_dup, dup_of) against the persisted
+    corpus index; no shuffle — the exchange already happened once at
+    store-write time, every later shard streams straight through."""
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    return new_ds.map_batches(
+        StoreProbeKernel,
+        fn_constructor_kwargs=dict(
+            store_path=store_path, n_buckets=n_buckets,
+            text_col=text_col, id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

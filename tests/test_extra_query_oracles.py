@@ -112,6 +112,7 @@ def _assert_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None
     "docs_dsir_weights",
     "simhash_signatures",
     "docs_decontaminate_bloom",
+    "docs_incremental_dedup",
 ]])
 def test_extra_query_matches_oracle(ray_session, duck, name):
     entrymod = _entrymod()

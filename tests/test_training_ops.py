@@ -1700,3 +1700,44 @@ def test_bpe_encode_matches_reference(ray_session):
     # merges actually compress: encoded shorter than raw symbol count
     raw = [sum(len(w) + 1 for w in t.split()) for t in texts]
     assert sum(got) < sum(raw)
+
+
+def test_incremental_dedup_store(ray_session, tmp_path):
+    """Store-write + probe: planted cross-shard duplicates resolve to the
+    corpus' min-id representative; fresh texts pass clean; bucket misses
+    (empty store buckets) are handled."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import (
+        dedup_against_store,
+        dedup_store_write,
+    )
+
+    corpus_texts = ["alpha beta", "gamma delta", "alpha beta", "epsilon zeta"]
+    corpus = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(corpus_texts, pa.string()),
+        }
+    )
+    shard = pa.table(
+        {
+            "doc_id": pa.array([10, 11, 12, 13], pa.int64()),
+            "text": pa.array(
+                ["alpha beta", "brand new text", "epsilon zeta", "another fresh one"],
+                pa.string(),
+            ),
+        }
+    )
+    store = str(tmp_path / "store")
+    dedup_store_write(ray.data.from_arrow(corpus).repartition(2), store, n_buckets=4)
+    out = (
+        dedup_against_store(ray.data.from_arrow(shard).repartition(3), store, n_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [10, 11, 12, 13]
+    assert out["is_dup"].tolist() == [True, False, True, False]
+    # "alpha beta" appears twice in the corpus (ids 0 and 2): min wins
+    assert out["dup_of"].tolist() == [0, -1, 3, -1]
