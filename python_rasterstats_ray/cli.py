@@ -177,6 +177,88 @@ def cmd_kmeans(args) -> int:
     return 0
 
 
+def cmd_tokenize(args) -> int:
+    """Train BPE merges then tokenize the corpus: writes one
+    (doc_id, n_bpe_tokens) parquet row per document."""
+    ray = _ray_up()
+    import ray.data
+
+    from .stages.bpe import bpe_encode_counts, bpe_train
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    merges = bpe_train(ds, n_merges=args.merges, text_col=args.text_col)
+    bpe_encode_counts(ds, merges, text_col=args.text_col).write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "n_merges": len(merges)}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_ann_pq(args) -> int:
+    """Product-quantization ANN over an embeddings parquet: train
+    codebooks, encode the corpus, ADC-scan the first N rows as queries;
+    prints one JSON line per (query, neighbor, rank)."""
+    ray = _ray_up()
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages.similarity import knn_pq, pq_encode, pq_train_int
+
+    ds = ray.data.read_parquet(args.embeddings, columns=[args.id_col, args.emb_col])
+    qt = pq.read_table(args.embeddings, columns=[args.id_col, args.emb_col]).slice(
+        0, args.queries
+    )
+    qids = np.asarray(qt[args.id_col].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt[args.emb_col].to_pylist()).astype(np.float64)
+    books = pq_train_int(
+        ds, n_subspaces=args.subspaces, n_codes=args.codes, emb_col=args.emb_col
+    )
+    out = knn_pq(
+        pq_encode(ds, books, id_col=args.id_col, emb_col=args.emb_col),
+        (qids, qmat),
+        books,
+        k=args.k,
+        id_col=args.id_col,
+    )
+    for row in out.sort(["query_id", "rank"]).to_pandas().to_dict("records"):
+        print(json.dumps(row))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dedup_store(args) -> int:
+    """Persist a corpus' content-hash dedup index (hash-bucketed md5)."""
+    ray = _ray_up()
+    import ray.data
+
+    from .stages.dedup import dedup_store_write
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    dedup_store_write(ds, args.store, n_buckets=args.buckets,
+                      text_col=args.text_col, id_col=args.id_col)
+    print(json.dumps({"store": args.store, "buckets": args.buckets}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_dedup_probe(args) -> int:
+    """Dedup a new shard against a persisted store; writes
+    (doc_id, is_dup, dup_of) parquet."""
+    ray = _ray_up()
+    import ray.data
+
+    from .stages.dedup import dedup_against_store
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    dedup_against_store(ds, args.store, n_buckets=args.buckets,
+                        text_col=args.text_col, id_col=args.id_col).write_parquet(
+        args.out_dir
+    )
+    print(json.dumps({"out_dir": args.out_dir}))
+    ray.shutdown()
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python_rasterstats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -235,6 +317,41 @@ def build_parser() -> argparse.ArgumentParser:
     km.add_argument("--iters", type=int, default=6)
     km.add_argument("--emb-col", default="embedding")
     km.set_defaults(fn=cmd_kmeans)
+
+    tk = sub.add_parser("tokenize", help="train BPE then tokenize the corpus (per-doc token counts)")
+    tk.add_argument("docs")
+    tk.add_argument("out_dir")
+    tk.add_argument("--merges", type=int, default=30)
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.set_defaults(fn=cmd_tokenize)
+
+    ann = sub.add_parser("ann-pq", help="product-quantization ANN over an embeddings parquet")
+    ann.add_argument("embeddings")
+    ann.add_argument("--k", type=int, default=10)
+    ann.add_argument("--queries", type=int, default=3)
+    ann.add_argument("--subspaces", type=int, default=4)
+    ann.add_argument("--codes", type=int, default=16)
+    ann.add_argument("--id-col", default="vec_id")
+    ann.add_argument("--emb-col", default="embedding")
+    ann.set_defaults(fn=cmd_ann_pq)
+
+    st = sub.add_parser("dedup-store", help="persist a corpus' content-hash dedup index")
+    st.add_argument("docs")
+    st.add_argument("store")
+    st.add_argument("--buckets", type=int, default=64)
+    st.add_argument("--text-col", default="text")
+    st.add_argument("--id-col", default="doc_id")
+    st.set_defaults(fn=cmd_dedup_store)
+
+    pr = sub.add_parser("dedup-probe", help="dedup a new shard against a persisted store")
+    pr.add_argument("docs")
+    pr.add_argument("store")
+    pr.add_argument("out_dir")
+    pr.add_argument("--buckets", type=int, default=64)
+    pr.add_argument("--text-col", default="text")
+    pr.add_argument("--id-col", default="doc_id")
+    pr.set_defaults(fn=cmd_dedup_probe)
     return p
 
 

@@ -123,3 +123,46 @@ def test_cli_training_ops(ray_session, capsys, tmp_path):
     assert sum(r["n_members"] for r in rows) == pq.read_metadata(
         f"{sf}/embeddings.parquet"
     ).num_rows
+
+
+def test_cli_round3_ops(ray_session, capsys, tmp_path):
+    """tokenize / ann-pq / dedup-store / dedup-probe subcommands run
+    end-to-end on the sf0.001 testdata."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
+    tok_dir = str(tmp_path / "tok_out")
+    rc, out = run_cli(
+        capsys, ["tokenize", f"{sf}/documents.parquet", tok_dir, "--merges", "8"]
+    )
+    assert rc == 0 and json.loads(out.strip().splitlines()[-1])["n_merges"] == 8
+    t = pq.read_table(tok_dir)
+    assert t.num_rows == n_docs
+    assert set(t.column_names) == {"doc_id", "n_bpe_tokens"}
+
+    rc, out = run_cli(
+        capsys,
+        ["ann-pq", f"{sf}/embeddings.parquet", "--queries", "2", "--k", "3"],
+    )
+    assert rc == 0
+    rows = [json.loads(line) for line in out.strip().splitlines()]
+    assert len(rows) == 6
+    assert rows[0]["rank"] == 1 and rows[0]["neighbor_id"] == rows[0]["query_id"]
+
+    store = str(tmp_path / "store")
+    rc, _ = run_cli(
+        capsys, ["dedup-store", f"{sf}/documents.parquet", store, "--buckets", "8"]
+    )
+    assert rc == 0
+    probe_dir = str(tmp_path / "probe_out")
+    rc, _ = run_cli(
+        capsys,
+        ["dedup-probe", f"{sf}/documents.parquet", store, probe_dir, "--buckets", "8"],
+    )
+    assert rc == 0
+    t = pq.read_table(probe_dir)
+    assert t.num_rows == n_docs
+    # the corpus probed against itself: every doc is a duplicate of one
+    assert all(t["is_dup"].to_pylist())
