@@ -85,30 +85,38 @@ def cmd_pointquery(args) -> int:
 
 
 def cmd_flagship(args) -> int:
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+    ray, owned = _ray_up()
     from .pipelines.checkpoint import checkpointed_flagship
 
     summary = checkpointed_flagship(args.sf_dir, args.out_dir, n_parts=args.parts)
     print(json.dumps(summary))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def _ray_up():
+    """Attach to the process' Ray session, initialising one only if none
+    exists. Returns (ray, owned): ``owned`` is True iff this call did
+    the init — only then may the command shut the session down (a CLI
+    invoked inside a larger program, e.g. the pytest session, must not
+    tear down a session it does not own)."""
     import ray
 
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-    return ray
+        return ray, True
+    return ray, False
+
+
+def _ray_down(ray, owned: bool) -> None:
+    if owned:
+        ray.shutdown()
 
 
 def cmd_dedup(args) -> int:
     """Fuzzy-dedup a documents parquet: MinHash-LSH -> components ->
     one (doc_id, cluster_id, keep) row per doc, written as parquet."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import pyarrow as pa
     import ray.data
 
@@ -139,14 +147,14 @@ def cmd_dedup(args) -> int:
         args.out_dir
     )
     print(json.dumps({"out_dir": args.out_dir}))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def cmd_bpe(args) -> int:
     """Train BPE merges over a documents parquet; prints the readable
     merge table as JSON lines."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import ray.data
 
     from .stages.bpe import bpe_train, merge_table_strings
@@ -156,14 +164,14 @@ def cmd_bpe(args) -> int:
                                            text_col=args.text_col))
     for row in merges.to_pylist():
         print(json.dumps(row))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def cmd_kmeans(args) -> int:
     """Distributed int64 fixed-point k-means over an embeddings parquet;
     prints one JSON line per cluster."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import ray.data
 
     from .stages.similarity import kmeans_clusters
@@ -173,14 +181,14 @@ def cmd_kmeans(args) -> int:
     for row in out.to_pylist():
         print(json.dumps({"cluster_id": row["cluster_id"],
                           "n_members": row["n_members"]}))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def cmd_tokenize(args) -> int:
     """Train BPE merges then tokenize the corpus: writes one
     (doc_id, n_bpe_tokens) parquet row per document."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import ray.data
 
     from .stages.bpe import bpe_encode_counts, bpe_train
@@ -189,7 +197,7 @@ def cmd_tokenize(args) -> int:
     merges = bpe_train(ds, n_merges=args.merges, text_col=args.text_col)
     bpe_encode_counts(ds, merges, text_col=args.text_col).write_parquet(args.out_dir)
     print(json.dumps({"out_dir": args.out_dir, "n_merges": len(merges)}))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
@@ -197,7 +205,7 @@ def cmd_ann_pq(args) -> int:
     """Product-quantization ANN over an embeddings parquet: train
     codebooks, encode the corpus, ADC-scan the first N rows as queries;
     prints one JSON line per (query, neighbor, rank)."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import numpy as np
     import pyarrow.parquet as pq
     import ray.data
@@ -222,13 +230,13 @@ def cmd_ann_pq(args) -> int:
     )
     for row in out.sort(["query_id", "rank"]).to_pandas().to_dict("records"):
         print(json.dumps(row))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def cmd_dedup_store(args) -> int:
     """Persist a corpus' content-hash dedup index (hash-bucketed md5)."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import ray.data
 
     from .stages.dedup import dedup_store_write
@@ -237,14 +245,14 @@ def cmd_dedup_store(args) -> int:
     dedup_store_write(ds, args.store, n_buckets=args.buckets,
                       text_col=args.text_col, id_col=args.id_col)
     print(json.dumps({"store": args.store, "buckets": args.buckets}))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
 def cmd_dedup_probe(args) -> int:
     """Dedup a new shard against a persisted store; writes
     (doc_id, is_dup, dup_of) parquet."""
-    ray = _ray_up()
+    ray, owned = _ray_up()
     import ray.data
 
     from .stages.dedup import dedup_against_store
@@ -255,7 +263,7 @@ def cmd_dedup_probe(args) -> int:
         args.out_dir
     )
     print(json.dumps({"out_dir": args.out_dir}))
-    ray.shutdown()
+    _ray_down(ray, owned)
     return 0
 
 
