@@ -127,6 +127,7 @@ EXTRA_QUERY_ORDER = [
     "knn_pq",
     "docs_decontaminate_bloom",
     "docs_incremental_dedup",
+    "events_range_window",
     "media_features",
     "audio_features",
     "video_features",

@@ -3030,10 +3030,76 @@ ORDER BY s.doc_id
 """
 
 
+def q_events_range_window(sf_dir: str):
+    """Time-window query over a RANGE-PARTITIONED store — the ordered
+    complement of the hash-bucketed layouts: events are range-clustered
+    on ts at write time (KLL-sampled cut points, one partial-sketch
+    pass, no sort exchange), then the window [tmin + span/4, tmin +
+    span/2) is answered by reading ONLY the overlapping partitions and
+    re-filtering exactly. At 100 TB the same manifest prunes straight
+    at storage; bound quality affects balance, never correctness."""
+    import tempfile
+
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.bucketed import read_range, write_range_partitioned
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "event_type", "value"])
+
+    def ts_us(t: pa.Table) -> pa.Table:
+        return pa.table({"ts_us": pc.cast(t["ts"], pa.int64())})
+
+    mm = (
+        events.map_batches(ts_us, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Min("ts_us"), Max("ts_us"))
+    )
+    tmin, tmax = int(mm["min(ts_us)"]), int(mm["max(ts_us)"])
+    lo = tmin + (tmax - tmin) // 4
+    hi = tmin + (tmax - tmin) // 2
+
+    store = tempfile.mkdtemp(prefix="prsr_range_store_", dir="/tmp")
+    write_range_partitioned(events, "ts", n_parts=8, path=store)
+
+    pruned = read_range(store, lo, hi, columns=["event_id", "ts", "event_type", "value"])
+
+    def exact_window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        keep = pc.and_(pc.greater_equal(us, lo), pc.less(us, hi))
+        t = t.filter(keep)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "event_type": t["event_type"],
+                "value": t["value"],
+            }
+        )
+
+    return pruned.map_batches(exact_window, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENTS_RANGE_WINDOW = """
+WITH b AS (
+  SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS tmin,
+         CAST(epoch_us(max(ts)) AS BIGINT) AS tmax
+  FROM events
+)
+SELECT event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       event_type,
+       value
+FROM events, b
+WHERE epoch_us(ts) >= tmin + (tmax - tmin) // 4
+  AND epoch_us(ts) <  tmin + (tmax - tmin) // 2
+ORDER BY event_id
+"""
+
+
 ORACLE_SQL = {
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
+    "events_range_window": SQL_EVENTS_RANGE_WINDOW,
     "docs_dup_ngram_spans": SQL_DOCS_DUP_NGRAM_SPANS,
     "docs_pack_sequences": SQL_DOCS_PACK_SEQUENCES,
     "docs_pii_scrub": SQL_DOCS_PII_SCRUB,
@@ -3096,6 +3162,7 @@ QUERIES = {
     "docs_decontaminate": q_docs_decontaminate,
     "docs_decontaminate_bloom": q_docs_decontaminate_bloom,
     "docs_incremental_dedup": q_docs_incremental_dedup,
+    "events_range_window": q_events_range_window,
     "knn_points_geo": q_knn_points_geo,
     "orders_by_region": q_orders_by_region,
     "docs_dedup_filtered": q_docs_dedup_filtered,

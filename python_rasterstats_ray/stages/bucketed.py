@@ -143,3 +143,102 @@ def bucketed_join(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ----------------------------------------------- range-partitioned store
+
+def write_range_partitioned(ds, key: str, n_parts: int, path: str) -> list[int]:
+    """Range-cluster ``ds`` on an int64-comparable ``key`` into
+    ``path/part=<i>/`` + a ``_range_bounds.json`` manifest: the
+    storage layout that makes range predicates (time windows, id
+    ranges) a TARGETED read of only the overlapping partitions —
+    the ordered complement of the hash-bucketed store.
+
+    Interior cut points come from the mergeable KLL sketch (one
+    partial-sketch pass, no sort exchange); bound quality affects only
+    partition balance, never correctness — reads re-filter exactly.
+    Timestamps are keyed by their int64 epoch-us representation.
+    """
+    import json
+    import os
+
+    import pyarrow.compute as pc
+
+    from .sketch import kll_quantiles
+
+    def to_i64(col):
+        t = col.type
+        if pa.types.is_timestamp(t):
+            return pc.cast(col, pa.int64())
+        return pc.cast(col, pa.int64())
+
+    key_i = ds.map_batches(
+        lambda t: pa.table({key: to_i64(t[key])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    qs = [i / n_parts for i in range(1, n_parts)]
+    qt = kll_quantiles(key_i, key, qs)
+    vals = qt["value"].to_pylist()
+    bounds = sorted({int(v) for v in vals if v == v})  # dedup, drop NaN (empty ds)
+
+    # exact global key extent (one cheap pruned-column pass): lets reads
+    # prune windows entirely outside the store, incl. past the unbounded
+    # first/last partitions
+    from ray.data.aggregate import Max, Min
+
+    mm = key_i.aggregate(Min(key), Max(key))
+    kmin, kmax = mm.get(f"min({key})"), mm.get(f"max({key})")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = to_i64(batch[key]).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(np.asarray(bounds, np.int64), k, side="right")
+        return batch.append_column("part", pa.array(part, pa.int64()))
+
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        path, partition_cols=["part"]
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/_range_bounds.json", "w") as f:
+        json.dump(
+            {
+                "key": key,
+                "bounds": bounds,
+                "kmin": None if kmin is None else int(kmin),
+                "kmax": None if kmax is None else int(kmax),
+            },
+            f,
+        )
+    return bounds
+
+
+def read_range(path: str, lo: int, hi: int, columns=None):
+    """Read only the partitions of a range-partitioned store that can
+    contain key values in [lo, hi); rows are then exactly re-filtered
+    by the caller (bounds are a pruning layout, not a guarantee).
+    Returns a Dataset over the overlapping partition directories."""
+    import json
+    import os
+
+    import ray.data
+
+    with open(f"{path}/_range_bounds.json") as f:
+        man = json.load(f)
+    bounds = np.asarray(man["bounds"], np.int64)
+    kmin, kmax = man.get("kmin"), man.get("kmax")
+    if kmin is None or hi <= kmin or lo > kmax:  # disjoint from the store
+        return ray.data.from_items([])
+    # partition i holds keys in (bounds[i-1], bounds[i]] by searchsorted
+    # 'right'; overlap check via the same rule on both window edges
+    p_lo = int(np.searchsorted(bounds, lo, side="right"))
+    p_hi = int(np.searchsorted(bounds, hi - 1, side="right"))
+    files = []
+    for i in range(p_lo, p_hi + 1):
+        d = f"{path}/part={i}"
+        if os.path.isdir(d):
+            files.extend(
+                f"{d}/{f}" for f in sorted(os.listdir(d)) if f.endswith(".parquet")
+            )
+    if not files:  # window beyond every written partition
+        return ray.data.from_items([])
+    return ray.data.read_parquet(files, columns=columns)

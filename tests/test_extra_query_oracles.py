@@ -113,6 +113,7 @@ def _assert_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None
     "simhash_signatures",
     "docs_decontaminate_bloom",
     "docs_incremental_dedup",
+    "events_range_window",
 ]])
 def test_extra_query_matches_oracle(ray_session, duck, name):
     entrymod = _entrymod()

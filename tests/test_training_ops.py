@@ -1741,3 +1741,45 @@ def test_incremental_dedup_store(ray_session, tmp_path):
     assert out["is_dup"].tolist() == [True, False, True, False]
     # "alpha beta" appears twice in the corpus (ids 0 and 2): min wins
     assert out["dup_of"].tolist() == [0, -1, 3, -1]
+
+
+def test_range_partitioned_store(ray_session, tmp_path):
+    """Range store: write clusters rows by key; read_range prunes to the
+    overlapping partitions only (verified by directory count), exact
+    re-filter recovers precisely the window; empty window -> 0 rows."""
+    import os
+
+    import ray.data
+
+    from python_rasterstats_ray.stages.bucketed import (
+        read_range,
+        write_range_partitioned,
+    )
+
+    n = 4000
+    tbl = pa.table(
+        {
+            "k": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "payload": pa.array(np.arange(n, dtype=np.int64) * 7, pa.int64()),
+        }
+    )
+    store = str(tmp_path / "rstore")
+    bounds = write_range_partitioned(
+        ray.data.from_arrow(tbl).repartition(5), "k", n_parts=8, path=store
+    )
+    assert len(bounds) >= 4  # KLL cut points materialized
+    parts = [d for d in os.listdir(store) if d.startswith("part=")]
+    assert len(parts) >= 4
+
+    # narrow window: must touch a strict subset of partitions
+    lo, hi = 100, 300
+    ds = read_range(store, lo, hi)
+    rows = ds.to_pandas()
+    got = rows[(rows["k"] >= lo) & (rows["k"] < hi)].sort_values("k")
+    assert got["k"].tolist() == list(range(lo, hi))
+    assert (got["payload"].to_numpy() == got["k"].to_numpy() * 7).all()
+    # pruning really happened: the un-pruned store holds all n rows
+    assert len(rows) < n
+
+    # window beyond the store
+    assert read_range(store, 10 * n, 11 * n).count() == 0
