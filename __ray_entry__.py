@@ -162,9 +162,11 @@ def _q_simhash(sf_dir: str):
 
     from python_rasterstats_ray.stages.dedup import SimHashKernel
 
+    from python_rasterstats_ray.stages._cluster import pool
+
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(
-        SimHashKernel, batch_format="pyarrow", concurrency=(1, 4), zero_copy_batch=True
+        SimHashKernel, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
     )
 
 
