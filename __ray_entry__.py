@@ -135,6 +135,7 @@ EXTRA_QUERY_ORDER = [
     "docs_bpe_encode",
     "embeddings_kmeans",
     "docs_kll_quantiles",
+    "docs_epoch_shuffle",
 ]
 
 

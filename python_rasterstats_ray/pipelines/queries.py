@@ -3095,7 +3095,54 @@ ORDER BY event_id
 """
 
 
+EPOCH_SEED = 7
+
+
+def q_docs_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch shuffle: every document's position in the
+    seed-keyed pseudorandom permutation of the corpus (the pre-epoch
+    global shuffle of LLM training). See ``stages/ordering.py`` for the
+    single-bounded-exchange plan; only (doc_id, key) rows move."""
+    from python_rasterstats_ray.stages.ordering import epoch_shuffle
+
+    return epoch_shuffle(_read(sf_dir, "documents", columns=["doc_id"]), seed=EPOCH_SEED)
+
+
+def _epoch_shuffle_sql() -> str:
+    # splitmix64 re-derived in SQL: HUGEINT (int128) arithmetic mod 2^64;
+    # the 64x64-bit multiplies are split into hi/lo 32-bit halves so no
+    # intermediate exceeds 2^96 (a full product would overflow int128).
+    m64 = "CAST(18446744073709551616 AS HUGEINT)"
+
+    def mulmod(col: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (
+            f"CAST((((CAST({col} AS HUGEINT) * {hi}) % 4294967296) * 4294967296"
+            f" + CAST({col} AS HUGEINT) * {lo}) % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH s0 AS (
+  SELECT doc_id,
+         CAST(((CAST(doc_id AS HUGEINT) % {m64} + {m64}) % {m64}
+               + 11400714819323198485 + {EPOCH_SEED}) % {m64} AS UBIGINT) AS z
+  FROM documents
+),
+s1 AS (SELECT doc_id, {mulmod("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z FROM s0),
+s2 AS (SELECT doc_id, {mulmod("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z FROM s1),
+k AS (SELECT doc_id, xor(z, z >> 31) AS skey FROM s2)
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS epoch_pos
+FROM k
+ORDER BY doc_id
+"""
+
+
+SQL_DOCS_EPOCH_SHUFFLE = _epoch_shuffle_sql()
+
+
 ORACLE_SQL = {
+    "docs_epoch_shuffle": SQL_DOCS_EPOCH_SHUFFLE,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3201,4 +3248,5 @@ QUERIES = {
     "docs_fuzzy_dedup": q_docs_fuzzy_dedup,
     "docs_dsir_weights": q_docs_dsir_weights,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
 }

@@ -1,0 +1,107 @@
+"""Deterministic epoch shuffle: global corpus reorder by a keyed hash.
+
+The pre-epoch shuffle of LLM training pipelines — every document gets a
+position in a pseudorandom permutation of the corpus, reproducible from
+``(doc_id, seed)`` alone — expressed as ONE bounded exchange that never
+moves the payload.
+
+Physical plan (the 100-TB shape):
+
+1. one pruned pass computes ``shuffle_key = splitmix64(doc_id + seed)``
+   per row (vectorized uint64; splitmix64 is bijective, so distinct ids
+   give distinct keys — no tie-breaking, and the permutation is exactly
+   "sort by key"). Uniformity of the mix makes the key's TOP bits a
+   perfect range partitioner: ``bucket = key >> (64 - log2 B)`` needs no
+   sample-sort pass;
+2. per-batch bucket-count partials -> ``groupby(bucket)`` of B rows ->
+   exclusive cumsum on the driver (O(B));
+3. a second keyed pass groups rows by bucket; each group sorts WITHIN
+   the bucket by key and adds its broadcast bucket offset ->
+   ``(doc_id, epoch_pos)``.
+
+Only 16-byte ``(doc_id, key)`` rows cross the exchange — training
+readers join ``epoch_pos`` back by ``doc_id`` (or the result is written
+range-partitioned by ``epoch_pos`` and streamed in order). Partitioning
+assumption (SURVEY custom-op rule): one bucket's rows fit in a worker —
+at 10^12 docs pick B so each bucket holds ~10^8 rows.
+
+No reference counterpart: rasterstats has no ordering operators (its
+output order is the sequential generator's input order,
+reference ``src/rasterstats/main.py:183``); this module serves the
+driver's training-data-pipeline axis.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .bucketed import _splitmix64
+
+EPOCH_BUCKETS = 64  # power of two: bucket = key >> (64 - log2 B)
+
+
+def shuffle_keys(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64(doc_id + seed) as uint64 (wraparound addition)."""
+    with np.errstate(over="ignore"):
+        z = ids.astype(np.int64).astype(np.uint64) + np.uint64(seed % (1 << 64))
+    return _splitmix64(z)
+
+
+def epoch_shuffle(ds, seed: int = 0, id_col: str = "doc_id", n_buckets: int = EPOCH_BUCKETS):
+    """Dataset[id_col, ...] -> Dataset[(id_col, epoch_pos)] sorted by id.
+
+    ``epoch_pos`` is the row's rank in ascending ``splitmix64(id+seed)``
+    order — a deterministic pseudorandom permutation of the corpus.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        key = shuffle_keys(ids, seed)
+        return pa.table(
+            {
+                id_col: pa.array(ids.astype(np.int64), pa.int64()),
+                "skey": pa.array(key, pa.uint64()),
+                "bucket": pa.array((key >> shift).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def bucket_partials(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        ub, cnt = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bucket": pa.array(ub, pa.int64()), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    base = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    tot = (
+        base.map_batches(bucket_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .sum("c")
+        .to_pandas()
+    )
+    if tot.empty:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), "epoch_pos": pa.array([], pa.int64())})
+        )
+    tot = tot.sort_values("bucket")
+    csum = tot["sum(c)"].cumsum().shift(fill_value=0)
+    offsets = dict(zip(tot["bucket"].astype(int), csum.astype(int)))
+
+    def assign(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values("skey")
+        off = offsets[int(group["bucket"].iloc[0])]
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(np.int64),
+                "epoch_pos": off + np.arange(len(group), dtype=np.int64),
+            }
+        )
+
+    return base.groupby("bucket").map_groups(assign, batch_format="pandas").sort(id_col)

@@ -1783,3 +1783,49 @@ def test_range_partitioned_store(ray_session, tmp_path):
 
     # window beyond the store
     assert read_range(store, 10 * n, 11 * n).count() == 0
+
+
+def test_epoch_shuffle_matches_sequential(ray_session):
+    """Distributed epoch shuffle == argsort of splitmix64 keys, and the
+    result is invariant across input repartitionings (the exchange plan
+    must not leak block layout into positions)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.ordering import epoch_shuffle, shuffle_keys
+
+    rng = np.random.default_rng(3)
+    ids = rng.permutation(5000).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    # sequential reference: rank in ascending key order
+    keys = shuffle_keys(ids, seed=7)
+    order = np.argsort(keys, kind="stable")
+    ref = np.empty(len(ids), np.int64)
+    ref[order] = np.arange(len(ids), dtype=np.int64)
+    ref_by_id = dict(zip(ids.tolist(), ref.tolist()))
+
+    for nblocks in (1, 3, 17):
+        out = (
+            epoch_shuffle(ray.data.from_arrow(tbl).repartition(nblocks), seed=7)
+            .to_pandas()
+        )
+        assert len(out) == len(ids)
+        assert out["doc_id"].is_monotonic_increasing
+        got = dict(zip(out["doc_id"].astype(int), out["epoch_pos"].astype(int)))
+        assert got == ref_by_id
+        # a permutation: every position exactly once
+        assert sorted(out["epoch_pos"]) == list(range(len(ids)))
+
+    # different seed -> different permutation (overwhelmingly)
+    out2 = epoch_shuffle(ray.data.from_arrow(tbl), seed=8).to_pandas()
+    got2 = dict(zip(out2["doc_id"].astype(int), out2["epoch_pos"].astype(int)))
+    assert got2 != ref_by_id
+
+    # empty corpus -> empty result with the full schema (Dataset.schema();
+    # to_pandas() on a zero-block dataset drops columns, a Ray quirk)
+    empty = pa.table({"doc_id": pa.array([], pa.int64())})
+    ds3 = epoch_shuffle(ray.data.from_arrow(empty), seed=7)
+    assert ds3.schema().names == ["doc_id", "epoch_pos"]
+    assert ds3.count() == 0
