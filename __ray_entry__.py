@@ -136,6 +136,7 @@ EXTRA_QUERY_ORDER = [
     "embeddings_kmeans",
     "docs_kll_quantiles",
     "docs_epoch_shuffle",
+    "embeddings_semdedup",
 ]
 
 
@@ -262,6 +263,17 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_clusters(ds, k=8, n_iter=6)
 
 
+def _q_embeddings_semdedup(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import semantic_dedup
+
+    # SemDeDup (kmeans cluster -> in-cluster cosine prune) — bit-identical
+    # to the sequential reference across layouts (pytest differential)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=8, n_iter=6, threshold=0.95).sort("vec_id")
+
+
 def _q_docs_bpe_merges(sf_dir: str):
     import ray.data
 
@@ -348,6 +360,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "docs_bpe_merges": _q_docs_bpe_merges,
             "docs_bpe_encode": _q_docs_bpe_encode,
             "embeddings_kmeans": _q_embeddings_kmeans,
+            "embeddings_semdedup": _q_embeddings_semdedup,
             "docs_kll_quantiles": _q_docs_kll_quantiles,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,

@@ -369,6 +369,111 @@ def embedding_neardup_pairs(
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
 
 
+# ----------------------------------------------------------- SemDeDup
+
+
+def semantic_dedup(
+    emb_ds,
+    k: int = 8,
+    n_iter: int = 6,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster
+    the corpus embeddings, then inside each cluster mark every vector
+    whose cosine to a LOWER-id cluster member is >= ``threshold`` as a
+    semantic duplicate (keep iff NO strictly-lower-id cluster member is
+    within threshold). Returns one (id, cluster_id, keep) row per input
+    vector. ``threshold`` must be positive.
+
+    Physical plan: ``kmeans_train_int`` (int64 fixed-point — bit-exact
+    across block layouts) -> broadcast the (k, d) centroid matrix ->
+    per-batch INTEGER argmin assignment (the training score kernel, so
+    assignment is bit-identical to training's final E-step) -> ONE
+    ``groupby(cluster_id)`` exchange -> in-cluster exact cosine verify
+    (float64 matmul over id-sorted rows: each cluster lands on one
+    worker, so the float reduction order is fixed and the result is
+    layout-independent).
+
+    Scale bounds, stated (SURVEY custom-op rule): this is the one dedup
+    variant whose exchange moves the embedding payload (the verify needs
+    vectors); pick k so a cluster's (n/k, d) block fits a worker, and
+    the in-cluster O((n/k)^2) matmul is the SemDeDup cost model's own
+    bound — for clusters beyond it, sub-bucket with the hyperplane-LSH
+    trick of ``embedding_neardup_pairs``.
+    """
+    import ray as _ray
+
+    from .similarity import kmeans_train_int
+
+    if threshold <= 0:  # tril(...)-based verify assumes a positive cut
+        raise ValueError("threshold must be > 0")
+    cents, _counts = kmeans_train_int(emb_ds, k, n_iter=n_iter, emb_col=emb_col)
+    cref = _ray.put(cents)
+
+    class AssignKernel:
+        def __init__(self, ref=cref):
+            self.cents = _ray.get(ref)
+            self.c_sq = np.sum(self.cents * self.cents, axis=1)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from .similarity import _micro_block
+
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], pa.int64()),
+                        "cluster_id": pa.array([], pa.int64()),
+                        emb_col: batch[emb_col],
+                    }
+                )
+            x = _micro_block(batch, emb_col)
+            scores = self.c_sq[None, :] - 2 * (x @ self.cents.T)
+            assign = np.argmin(scores, axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array(
+                        batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64),
+                        pa.int64(),
+                    ),
+                    "cluster_id": pa.array(assign, pa.int64()),
+                    emb_col: batch[emb_col],
+                }
+            )
+
+    from ._cluster import pool
+
+    assigned = emb_ds.map_batches(
+        AssignKernel, batch_format="pyarrow", concurrency=pool(2), zero_copy_batch=True
+    )
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        cluster = int(group["cluster_id"][0].as_py())
+        keep = np.ones(len(ids), bool)
+        if len(ids) > 1:
+            embs = np.stack(group[emb_col].to_pylist()).astype(np.float64)[order]
+            norms = np.linalg.norm(embs, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = embs / norms
+            sim = unit @ unit.T
+            # dup if ANY strictly-lower-id row is >= threshold
+            dup = (np.tril(sim, k=-1) >= threshold).any(axis=1)
+            keep = ~dup
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(np.full(len(ids), cluster), pa.int64()),
+                "keep": pa.array(keep, pa.bool_()),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(verify, batch_format="pyarrow")
+
+
 # ------------------------------------------- incremental dedup vs a store
 
 def _md5_bucket(hexes: list[str], n_buckets: int) -> np.ndarray:

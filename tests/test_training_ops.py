@@ -1829,3 +1829,73 @@ def test_epoch_shuffle_matches_sequential(ray_session):
     ds3 = epoch_shuffle(ray.data.from_arrow(empty), seed=7)
     assert ds3.schema().names == ["doc_id", "epoch_pos"]
     assert ds3.count() == 0
+
+
+def test_semantic_dedup_matches_sequential(ray_session):
+    """SemDeDup: distributed (kmeans assign -> in-cluster cosine prune)
+    must match an independent sequential reference exactly, be invariant
+    across block layouts, and drop planted near-duplicate clones while
+    keeping their lower-id originals."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.dedup import semantic_dedup
+    from python_rasterstats_ray.stages.similarity import KMEANS_SCALE
+
+    rng = np.random.default_rng(11)
+    n_base, d, k, iters, tau = 120, 16, 4, 5, 0.95
+    base = rng.standard_normal((n_base, d))
+    # plant clones: ids n_base.. are tiny perturbations of base rows
+    clones = base[:20] + 1e-4 * rng.standard_normal((20, d))
+    x = np.vstack([base, clones])
+    ids = np.arange(len(x), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float64())),
+        }
+    )
+
+    # ---- independent sequential reference (same integer semantics)
+    xm = np.round(x * KMEANS_SCALE).astype(np.int64)
+    ref_c = xm[:k].copy()
+    for _ in range(iters):
+        scores = np.sum(ref_c * ref_c, axis=1)[None, :] - 2 * (xm @ ref_c.T)
+        assign = np.argmin(scores, axis=1)
+        sums = np.zeros((k, d), np.int64)
+        np.add.at(sums, assign, xm)
+        cnt = np.bincount(assign, minlength=k)
+        nz = cnt > 0
+        ref_c[nz] = np.floor_divide(sums[nz], cnt[nz][:, None])
+    scores = np.sum(ref_c * ref_c, axis=1)[None, :] - 2 * (xm @ ref_c.T)
+    assign = np.argmin(scores, axis=1)
+    unit = x / np.linalg.norm(x, axis=1, keepdims=True)
+    ref_keep = np.ones(len(x), bool)
+    for c in range(k):
+        m = np.flatnonzero(assign == c)
+        if len(m) < 2:
+            continue
+        sim = unit[m] @ unit[m].T
+        ref_keep[m] = ~(np.tril(sim, k=-1) >= tau).any(axis=1)
+
+    for nblocks in (1, 5):
+        out = (
+            semantic_dedup(
+                ray.data.from_arrow(tbl).repartition(nblocks),
+                k=k, n_iter=iters, threshold=tau,
+            )
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == len(x)
+        assert np.array_equal(out["cluster_id"].to_numpy(), assign[out["vec_id"]])
+        assert np.array_equal(out["keep"].to_numpy(), ref_keep[out["vec_id"]])
+
+    keep_by_id = dict(zip(out["vec_id"].astype(int), out["keep"]))
+    # every planted clone is in its original's cluster neighborhood:
+    # clone dropped, original (lower id, no lower near-dup) kept
+    dropped = [i for i in range(n_base, len(x)) if not keep_by_id[i]]
+    assert len(dropped) >= 15  # most clones land in the same cluster
+    assert all(keep_by_id[i - n_base] for i in dropped)
