@@ -136,6 +136,7 @@ EXTRA_QUERY_ORDER = [
     "embeddings_kmeans",
     "docs_kll_quantiles",
     "docs_epoch_shuffle",
+    "docs_corpus_mix",
     "embeddings_semdedup",
 ]
 

@@ -3108,10 +3108,12 @@ def q_docs_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(_read(sf_dir, "documents", columns=["doc_id"]), seed=EPOCH_SEED)
 
 
-def _epoch_shuffle_sql() -> str:
-    # splitmix64 re-derived in SQL: HUGEINT (int128) arithmetic mod 2^64;
-    # the 64x64-bit multiplies are split into hi/lo 32-bit halves so no
-    # intermediate exceeds 2^96 (a full product would overflow int128).
+def _splitmix_key_cte(seed: int, src: str = "documents", id_col: str = "doc_id") -> str:
+    """CTE chain computing ``skey = splitmix64(id + seed)`` per row of
+    ``src`` — bit-parity with ``stages.ordering.shuffle_keys``. HUGEINT
+    (int128) arithmetic mod 2^64; the 64x64-bit multiplies are split
+    into hi/lo 32-bit halves so no intermediate exceeds 2^96 (a full
+    product would overflow int128)."""
     m64 = "CAST(18446744073709551616 AS HUGEINT)"
 
     def mulmod(col: str, c: int) -> str:
@@ -3121,16 +3123,19 @@ def _epoch_shuffle_sql() -> str:
             f" + CAST({col} AS HUGEINT) * {lo}) % {m64} AS UBIGINT)"
         )
 
-    return f"""
-WITH s0 AS (
-  SELECT doc_id,
-         CAST(((CAST(doc_id AS HUGEINT) % {m64} + {m64}) % {m64}
-               + 11400714819323198485 + {EPOCH_SEED}) % {m64} AS UBIGINT) AS z
-  FROM documents
+    return f"""s0 AS (
+  SELECT {id_col},
+         CAST(((CAST({id_col} AS HUGEINT) % {m64} + {m64}) % {m64}
+               + 11400714819323198485 + {seed}) % {m64} AS UBIGINT) AS z
+  FROM {src}
 ),
-s1 AS (SELECT doc_id, {mulmod("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z FROM s0),
-s2 AS (SELECT doc_id, {mulmod("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z FROM s1),
-k AS (SELECT doc_id, xor(z, z >> 31) AS skey FROM s2)
+s1 AS (SELECT {id_col}, {mulmod("xor(z, z >> 30)", 0xBF58476D1CE4E5B9)} AS z FROM s0),
+s2 AS (SELECT {id_col}, {mulmod("xor(z, z >> 27)", 0x94D049BB133111EB)} AS z FROM s1),
+k AS (SELECT {id_col}, xor(z, z >> 31) AS skey FROM s2)"""
+
+
+SQL_DOCS_EPOCH_SHUFFLE = f"""
+WITH {_splitmix_key_cte(EPOCH_SEED)}
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY skey, doc_id) - 1 AS BIGINT) AS epoch_pos
 FROM k
@@ -3138,11 +3143,49 @@ ORDER BY doc_id
 """
 
 
-SQL_DOCS_EPOCH_SHUFFLE = _epoch_shuffle_sql()
+MIX_WEIGHTS = {"en": 0.35, "es": 0.20, "de": 0.15, "fr": 0.15, "zh": 0.15}
+MIX_BUDGET = 200
+
+
+def q_docs_corpus_mix(sf_dir: str):
+    """Deterministic data-mixture selection: per-domain quotas from a
+    DoReMi-style weight spec, each filled by the domain's smallest
+    shuffle keys. See ``stages/ordering.py::corpus_mix`` (bounded
+    partial-top-k exchange; only (id, lang, key) rows move)."""
+    from python_rasterstats_ray.stages.ordering import corpus_mix
+
+    return corpus_mix(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        MIX_WEIGHTS,
+        MIX_BUDGET,
+        seed=EPOCH_SEED,
+    )
+
+
+def _corpus_mix_sql() -> str:
+    case = " ".join(
+        f"WHEN '{g}' THEN {int(w * MIX_BUDGET)}" for g, w in MIX_WEIGHTS.items()
+    )
+    return f"""
+WITH {_splitmix_key_cte(EPOCH_SEED)},
+r AS (
+  SELECT d.doc_id, d.lang,
+         row_number() OVER (PARTITION BY d.lang ORDER BY k.skey, d.doc_id) AS rk
+  FROM documents d JOIN k USING (doc_id)
+)
+SELECT doc_id, lang
+FROM r
+WHERE rk <= CASE lang {case} ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+SQL_DOCS_CORPUS_MIX = _corpus_mix_sql()
 
 
 ORACLE_SQL = {
     "docs_epoch_shuffle": SQL_DOCS_EPOCH_SHUFFLE,
+    "docs_corpus_mix": SQL_DOCS_CORPUS_MIX,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3249,4 +3292,5 @@ QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "docs_corpus_mix": q_docs_corpus_mix,
 }

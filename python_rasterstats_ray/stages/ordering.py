@@ -105,3 +105,75 @@ def epoch_shuffle(ds, seed: int = 0, id_col: str = "doc_id", n_buckets: int = EP
         )
 
     return base.groupby("bucket").map_groups(assign, batch_format="pandas").sort(id_col)
+
+
+def corpus_mix(
+    ds,
+    weights: dict[str, float],
+    budget: int,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+):
+    """Deterministic data-mixture selection: fill a ``budget``-doc corpus
+    at the given per-domain ``weights`` (a DoReMi/DSIR-style mixture
+    spec), choosing WITHIN each domain by smallest shuffle key — i.e.
+    each domain contributes a seed-reproducible pseudorandom sample of
+    exactly ``floor(weight * budget)`` docs (fewer if the domain is
+    smaller). Domains absent from ``weights`` contribute nothing.
+
+    Physical plan: per-batch PARTIAL top-k per domain (each batch emits
+    at most quota rows per domain, so the exchange is bounded at
+    #blocks x quota regardless of corpus size) -> ``groupby(domain)``
+    of those partials -> final quota-smallest-keys per domain. Only
+    (id, domain, key) rows move; the payload is re-attached by id
+    downstream if needed.
+    """
+    quotas = {g: int(w * budget) for g, w in weights.items()}
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        groups = batch[group_col].to_pylist()
+        key = shuffle_keys(ids, seed)
+        out_ids: list[np.ndarray] = []
+        out_grp: list[str] = []
+        out_key: list[np.ndarray] = []
+        garr = np.asarray(groups, dtype=object)
+        for g, q in quotas.items():
+            m = np.flatnonzero(garr == g)
+            if len(m) == 0 or q <= 0:
+                continue
+            if len(m) > q:
+                m = m[np.argsort(key[m], kind="stable")[:q]]
+            out_ids.append(ids[m])
+            out_grp.extend([g] * len(m))
+            out_key.append(key[m])
+        if not out_ids:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.string()),
+                    "skey": pa.array([], pa.uint64()),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_ids), pa.int64()),
+                group_col: pa.array(out_grp, pa.string()),
+                "skey": pa.array(np.concatenate(out_key), pa.uint64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group[group_col].iloc[0]
+        group = group.sort_values(["skey", id_col]).head(quotas[g])
+        return pd.DataFrame(
+            {
+                id_col: group[id_col].to_numpy(np.int64),
+                group_col: group[group_col],
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(final_topk, batch_format="pandas").sort(id_col)

@@ -1899,3 +1899,50 @@ def test_semantic_dedup_matches_sequential(ray_session):
     dropped = [i for i in range(n_base, len(x)) if not keep_by_id[i]]
     assert len(dropped) >= 15  # most clones land in the same cluster
     assert all(keep_by_id[i - n_base] for i in dropped)
+
+
+def test_corpus_mix_matches_sequential(ray_session):
+    """Deterministic mixture selection == per-domain smallest-shuffle-key
+    quota fill, invariant across block layouts; undersized domains
+    contribute everything they have."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.ordering import corpus_mix, shuffle_keys
+
+    rng = np.random.default_rng(5)
+    langs = np.array(["en"] * 300 + ["de"] * 100 + ["fr"] * 8 + ["xx"] * 50)
+    rng.shuffle(langs)
+    ids = np.arange(len(langs), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+        }
+    )
+    weights, budget = {"en": 0.5, "de": 0.3, "fr": 0.2}, 100  # fr quota 20 > 8 docs
+
+    # sequential reference
+    key = shuffle_keys(ids, seed=7)
+    ref: set[tuple[int, str]] = set()
+    for g, w in weights.items():
+        q = int(w * budget)
+        m = np.flatnonzero(langs == g)
+        take = m[np.argsort(key[m], kind="stable")[:q]]
+        ref.update((int(i), g) for i in take)
+
+    for nblocks in (1, 6):
+        out = (
+            corpus_mix(
+                ray.data.from_arrow(tbl).repartition(nblocks), weights, budget, seed=7
+            )
+            .to_pandas()
+        )
+        got = set(zip(out["doc_id"].astype(int), out["lang"]))
+        assert got == ref
+        assert out["doc_id"].is_monotonic_increasing
+    # quotas: en=50, de=30, fr=all 8; 'xx' (unweighted) contributes 0
+    counts = out["lang"].value_counts()
+    assert counts["en"] == 50 and counts["de"] == 30 and counts["fr"] == 8
+    assert "xx" not in counts
