@@ -137,6 +137,7 @@ EXTRA_QUERY_ORDER = [
     "docs_kll_quantiles",
     "docs_epoch_shuffle",
     "docs_corpus_mix",
+    "docs_token_budget",
     "embeddings_semdedup",
 ]
 

@@ -3183,9 +3183,56 @@ ORDER BY doc_id
 SQL_DOCS_CORPUS_MIX = _corpus_mix_sql()
 
 
+TOKEN_BUDGETS = {"en": 8000, "es": 3000, "de": 3000, "fr": 3000, "zh": 3000}
+
+
+def q_docs_token_budget(sf_dir: str):
+    """Budget-capped curation: per-domain token budgets filled in
+    shuffle-key order (keep iff the doc still fits). Distributed grouped
+    ordered prefix sum — see ``stages/ordering.py::token_budget_fill``."""
+    from python_rasterstats_ray.stages.ordering import token_budget_fill
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang": batch["lang"], "n_tokens": n}
+        )
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return token_budget_fill(base, TOKEN_BUDGETS, seed=EPOCH_SEED)
+
+
+def _token_budget_sql() -> str:
+    case = " ".join(f"WHEN '{g}' THEN {b}" for g, b in TOKEN_BUDGETS.items())
+    return rf"""
+WITH {_splitmix_key_cte(EPOCH_SEED)},
+t AS (
+  SELECT d.doc_id, d.lang,
+         len(regexp_extract_all(d.text, '\S+')) AS n_tokens, k.skey
+  FROM documents d JOIN k USING (doc_id)
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY skey, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM c
+WHERE before + n_tokens <= CASE lang {case} ELSE 0 END
+ORDER BY doc_id
+"""
+
+
+SQL_DOCS_TOKEN_BUDGET = _token_budget_sql()
+
+
 ORACLE_SQL = {
     "docs_epoch_shuffle": SQL_DOCS_EPOCH_SHUFFLE,
     "docs_corpus_mix": SQL_DOCS_CORPUS_MIX,
+    "docs_token_budget": SQL_DOCS_TOKEN_BUDGET,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3293,4 +3340,5 @@ QUERIES = {
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_corpus_mix": q_docs_corpus_mix,
+    "docs_token_budget": q_docs_token_budget,
 }

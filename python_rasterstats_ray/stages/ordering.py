@@ -177,3 +177,110 @@ def corpus_mix(
         )
 
     return partials.groupby(group_col).map_groups(final_topk, batch_format="pandas").sort(id_col)
+
+
+def token_budget_fill(
+    ds,
+    budgets: dict[str, int],
+    seed: int = 0,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    size_col: str = "n_tokens",
+    n_buckets: int = EPOCH_BUCKETS,
+):
+    """Budget-capped curation: within each domain, walk docs in shuffle-key
+    order (a seed-reproducible pseudorandom order) and keep each doc iff
+    it still fits the domain's remaining token budget under a straight
+    cutoff — keep iff ``cum_tokens_before + n_tokens <= budget``. Domains
+    absent from ``budgets`` are dropped.
+
+    The grouped ORDERED PREFIX SUM is distributed with the two-pass
+    bucket scheme of ``docs_pack_sequences``: the uniform shuffle key's
+    top bits range-partition each domain into ``n_buckets`` buckets, so
+
+    1. per-batch (domain, bucket, sum_tokens) partials -> groupby of
+       |domains| x B rows -> exclusive cumsum per domain on the driver;
+    2. groupby((domain, bucket)) sorts WITHIN the bucket by key, local
+       cumsum + broadcast bucket offset -> keep decision per row.
+
+    ``ds`` must carry (id, domain, size) columns — compute ``size_col``
+    upstream (it is scanned twice; at 100 TB that beats materializing a
+    corpus-sized intermediate, same trade as pack_sequences).
+    Partitioning assumption: one (domain, bucket)'s thin rows fit a
+    worker; size B accordingly.
+    """
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
+    shift = np.uint64(64 - int(n_buckets).bit_length() + 1)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        size = batch[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = shuffle_keys(ids, seed)
+        m = np.flatnonzero(np.isin(grp, list(budgets)))
+        return pa.table(
+            {
+                id_col: pa.array(ids[m], pa.int64()),
+                group_col: pa.array(grp[m].tolist(), pa.string()),
+                size_col: pa.array(size[m], pa.int64()),
+                "skey": pa.array(key[m], pa.uint64()),
+                "gb": pa.array(
+                    [f"{g}#{b}" for g, b in zip(grp[m], (key[m] >> shift).astype(np.int64))],
+                    pa.string(),
+                ),
+            }
+        )
+
+    def partials_fn(batch: pa.Table) -> pa.Table:
+        gb = np.asarray(batch["gb"].to_pylist(), dtype=object)
+        size = batch[size_col].to_numpy(zero_copy_only=False)
+        ug, inv = np.unique(gb, return_inverse=True)
+        sums = np.zeros(len(ug), np.int64)
+        np.add.at(sums, inv, size)
+        return pa.table(
+            {"gb": pa.array(ug.tolist(), pa.string()), "c": pa.array(sums, pa.int64())}
+        )
+
+    base = ds.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    tot = (
+        base.map_batches(partials_fn, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("gb")
+        .sum("c")
+        .to_pandas()
+    )
+    if tot.empty:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    group_col: pa.array([], pa.string()),
+                    size_col: pa.array([], pa.int64()),
+                }
+            )
+        )
+    split = tot["gb"].str.rsplit("#", n=1, expand=True)
+    tot["grp"] = split[0]
+    tot["bucket"] = split[1].astype(int)
+    tot = tot.sort_values(["grp", "bucket"])
+    tot["off"] = tot.groupby("grp")["sum(c)"].cumsum() - tot["sum(c)"]
+    offsets = dict(zip(tot["gb"], tot["off"].astype(int)))
+
+    def fill(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(["skey", id_col])
+        g = group[group_col].iloc[0]
+        n = group[size_col].to_numpy(np.int64)
+        before = offsets[group["gb"].iloc[0]] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        keep = before + n <= budgets[g]
+        kept = group[keep]
+        return pd.DataFrame(
+            {
+                id_col: kept[id_col].to_numpy(np.int64),
+                group_col: kept[group_col],
+                size_col: kept[size_col].to_numpy(np.int64),
+            }
+        )
+
+    return base.groupby("gb").map_groups(fill, batch_format="pandas").sort(id_col)

@@ -1946,3 +1946,52 @@ def test_corpus_mix_matches_sequential(ray_session):
     counts = out["lang"].value_counts()
     assert counts["en"] == 50 and counts["de"] == 30 and counts["fr"] == 8
     assert "xx" not in counts
+
+
+def test_token_budget_fill_matches_sequential(ray_session):
+    """Grouped ordered prefix-sum curation == sequential walk per domain
+    in shuffle-key order, invariant across block layouts; unbudgeted
+    domains contribute nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.ordering import shuffle_keys, token_budget_fill
+
+    rng = np.random.default_rng(9)
+    n = 600
+    langs = np.array(["en"] * 350 + ["de"] * 200 + ["xx"] * 50)
+    rng.shuffle(langs)
+    ids = np.arange(n, dtype=np.int64)
+    toks = rng.integers(1, 200, n).astype(np.int64)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "lang": pa.array(langs.tolist(), pa.string()),
+            "n_tokens": pa.array(toks, pa.int64()),
+        }
+    )
+    budgets = {"en": 5000, "de": 2500}
+
+    # exact reference: keep iff cum_before (over ALL docs in order) + n <= b
+    key = shuffle_keys(ids, seed=7)
+    ref: set[int] = set()
+    for g, b in budgets.items():
+        m = np.flatnonzero(langs == g)
+        m = m[np.argsort(key[m], kind="stable")]
+        before = np.concatenate(([0], np.cumsum(toks[m])[:-1]))
+        ref.update(int(i) for i in m[before + toks[m] <= b])
+
+    for nblocks in (1, 6):
+        out = (
+            token_budget_fill(
+                ray.data.from_arrow(tbl).repartition(nblocks), budgets, seed=7
+            )
+            .to_pandas()
+        )
+        assert set(out["doc_id"].astype(int)) == ref
+        assert out["doc_id"].is_monotonic_increasing
+        assert "xx" not in set(out["lang"])
+        # per-domain token sums within budget
+        sums = out.groupby("lang")["n_tokens"].sum()
+        assert all(sums[g] <= budgets[g] for g in sums.index)
