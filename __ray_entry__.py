@@ -138,6 +138,7 @@ EXTRA_QUERY_ORDER = [
     "docs_epoch_shuffle",
     "docs_corpus_mix",
     "docs_token_budget",
+    "docs_training_shards",
     "embeddings_semdedup",
 ]
 

@@ -3229,10 +3229,106 @@ ORDER BY doc_id
 SQL_DOCS_TOKEN_BUDGET = _token_budget_sql()
 
 
+SHARD_DOCS = 64
+
+
+def q_docs_training_shards(sf_dir: str):
+    """End-to-end training-shard preparation: exact dedup (min-id per
+    md5) -> deterministic epoch shuffle of the survivors -> fixed-size
+    shards (``epoch_pos // SHARD_DOCS``) -> per-shard byte-identity
+    digest (order-insensitive xor of sha256(text)) + doc count.
+
+    The composite every stage is already oracled for, chained: only
+    (md5, id) rows cross the dedup exchange, only (id, key) rows cross
+    the shuffle exchange, and the payload moves exactly once — through
+    the shard-assignment join that a real run would use to WRITE the
+    shards (join_auto broadcasts the thin assignment side when it
+    fits). The per-shard digest is what a resumable writer would store
+    in its manifest (pipelines/checkpoint.py's lineage rule).
+    """
+    import numpy as np
+
+    from python_rasterstats_ray.pipelines.webpages import sha256_hex, xor_digest
+    from python_rasterstats_ray.stages.dedup import exact_dedup_keep_first
+    from python_rasterstats_ray.stages.joins import join_auto
+    from python_rasterstats_ray.stages.ordering import epoch_shuffle
+
+    base = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    survivors = exact_dedup_keep_first(base).rename_columns({"rep_doc_id": "doc_id"})
+    pos = epoch_shuffle(survivors, seed=EPOCH_SEED)
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        ep = batch["epoch_pos"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "shard_id": pa.array(ep // SHARD_DOCS, pa.int64()),
+            }
+        )
+
+    assign = pos.map_batches(to_shard, batch_format="pyarrow", zero_copy_batch=True)
+    joined = join_auto(base, assign, on=["doc_id"], join_type="inner")
+
+    def shard_partials(batch: pa.Table) -> pa.Table:
+        sh = batch["shard_id"].to_numpy(zero_copy_only=False)
+        shas = sha256_hex(batch["text"].to_pylist())
+        us = np.unique(sh)
+        n = np.zeros(len(us), np.int64)
+        acc = [0] * len(us)
+        idx = np.searchsorted(us, sh)
+        for i, h in zip(idx, shas):
+            n[i] += 1
+            acc[i] ^= int(h, 16)
+        return pa.table(
+            {
+                "shard_id": pa.array(us, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "digest": pa.array([f"{a:064x}" for a in acc], pa.string()),
+            }
+        )
+
+    partials = joined.map_batches(
+        shard_partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard_id": [int(group["shard_id"].iloc[0])],
+                "n_docs": [int(group["n"].sum())],
+                "digest": [xor_digest(group["digest"])],
+            }
+        )
+
+    return partials.groupby("shard_id").map_groups(merge, batch_format="pandas").sort(
+        "shard_id"
+    )
+
+
+SQL_DOCS_TRAINING_SHARDS = f"""
+WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+{_splitmix_key_cte(EPOCH_SEED, src="surv")},
+pos AS (
+  SELECT doc_id, row_number() OVER (ORDER BY skey, doc_id) - 1 AS ep FROM k
+),
+j AS (
+  SELECT CAST(pos.ep // {SHARD_DOCS} AS BIGINT) AS shard_id, sha256(d.text) AS sha
+  FROM pos JOIN documents d USING (doc_id)
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {_sha_xor_expr("sha")} AS digest
+FROM j
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 ORACLE_SQL = {
     "docs_epoch_shuffle": SQL_DOCS_EPOCH_SHUFFLE,
     "docs_corpus_mix": SQL_DOCS_CORPUS_MIX,
     "docs_token_budget": SQL_DOCS_TOKEN_BUDGET,
+    "docs_training_shards": SQL_DOCS_TRAINING_SHARDS,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3341,4 +3437,5 @@ QUERIES = {
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_corpus_mix": q_docs_corpus_mix,
     "docs_token_budget": q_docs_token_budget,
+    "docs_training_shards": q_docs_training_shards,
 }
