@@ -140,6 +140,7 @@ EXTRA_QUERY_ORDER = [
     "docs_token_budget",
     "docs_training_shards",
     "embeddings_semdedup",
+    "media_phash_dups",
 ]
 
 
@@ -242,6 +243,22 @@ def _q_media_features(sf_dir: str):
 
     # REAL decode path: payloads are actual PNGs (from-scratch codec)
     return media_feature_pipeline(ray.data.from_arrow(synth_png_media_table(200)))
+
+
+def _q_media_phash_dups(sf_dir: str):
+    import ray.data
+
+    from python_rasterstats_ray.stages.multimodal import (
+        image_phash_dups,
+        synth_png_media_table_with_dups,
+    )
+
+    # REAL decode -> 64-bit DCT pHash -> band-bucket near-dup pairs;
+    # 20 planted pixel-identical re-encodes are the ground truth
+    # max_distance=2: the synthetic gradient family is self-similar at
+    # looser cuts; the planted re-encodes sit at exactly 0
+    tbl = synth_png_media_table_with_dups(200, 20)
+    return image_phash_dups(ray.data.from_arrow(tbl), max_distance=2)
 
 
 def _q_docs_kll_quantiles(sf_dir: str):
@@ -364,6 +381,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "docs_bpe_encode": _q_docs_bpe_encode,
             "embeddings_kmeans": _q_embeddings_kmeans,
             "embeddings_semdedup": _q_embeddings_semdedup,
+            "media_phash_dups": _q_media_phash_dups,
             "docs_kll_quantiles": _q_docs_kll_quantiles,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,

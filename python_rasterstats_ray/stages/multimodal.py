@@ -225,6 +225,195 @@ def media_feature_pipeline(media_ds, target_size=(16, 12), concurrency=None,
     )
 
 
+# ------------------------------------------------ perceptual-hash dedup
+
+
+def synth_png_media_table_with_dups(
+    n: int, n_dups: int, size: tuple[int, int] = (64, 48), seed: int = 42
+) -> pa.Table:
+    """``synth_png_media_table`` plus ``n_dups`` planted duplicates:
+    ids n..n+n_dups-1 are pixel-identical re-encodes of ids 0..n_dups-1
+    under a different PNG filter (same decoded pixels, different
+    bytes) — the ground truth for phash dedup."""
+    from ..sources.png import png_decode, png_encode
+
+    base = synth_png_media_table(n, size=size, seed=seed)
+    w, h = size
+    payloads = []
+    for i in range(n_dups):
+        img = png_decode(base["payload"][i].as_py())
+        payloads.append(png_encode(img, filter_type=(i + 1) % 5))
+    clones = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, n + n_dups), pa.int64()),
+            "kind": pa.array(["png"] * n_dups, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(n_dups, w, np.int32)),
+            "height": pa.array(np.full(n_dups, h, np.int32)),
+            "sample_rate": pa.array(np.zeros(n_dups, np.int32)),
+            "n_frames": pa.array(np.ones(n_dups, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    return pa.concat_tables([base, clones])
+
+PHASH_GRID = 32  # downsample grid feeding the DCT
+PHASH_BLOCK = 8  # low-frequency block kept (64 bits)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit DCT perceptual hash (the classic pHash recipe): integer
+    Rec.601 luma -> 32x32 area-mean downsample -> 2-D DCT-II -> top-left
+    8x8 low-frequency block -> bit i set iff coeff_i > median of the 63
+    non-DC coeffs. Deterministic: the whole hash is computed on one
+    worker per image in fixed float64 order, so it is layout-independent
+    by construction."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        r, g, b = (img[:, :, c].astype(np.int64) for c in range(3))
+        gray = (299 * r + 587 * g + 114 * b) // 1000
+    else:
+        gray = img.astype(np.int64)
+    h, w = gray.shape
+    g = PHASH_GRID
+    # area-mean over integer bin edges (handles any h, w >= 1)
+    ys = (np.arange(g + 1) * h) // g
+    xs = (np.arange(g + 1) * w) // g
+    ys, xs = np.maximum(ys, 0), np.maximum(xs, 0)
+    c2 = np.cumsum(np.cumsum(gray, axis=0), axis=1)
+    cpad = np.zeros((h + 1, w + 1), np.int64)
+    cpad[1:, 1:] = c2
+    area = (ys[1:, None] - ys[:-1, None]) * (xs[None, 1:] - xs[None, :-1])
+    area = np.maximum(area, 1)
+    sums = (
+        cpad[ys[1:], :][:, xs[1:]]
+        - cpad[ys[:-1], :][:, xs[1:]]
+        - cpad[ys[1:], :][:, xs[:-1]]
+        + cpad[ys[:-1], :][:, xs[:-1]]
+    )
+    small = sums.astype(np.float64) / area
+    n = g
+    k = np.arange(n)
+    dct_m = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    freq = dct_m @ small @ dct_m.T
+    block = freq[:PHASH_BLOCK, :PHASH_BLOCK].ravel()
+    med = np.median(block[1:])  # DC excluded
+    bits = block > med
+    return int(sum(1 << i for i, b in enumerate(bits) if b))
+
+
+class ImagePHashKernel:
+    """Actor-pool kernel: media payload -> 64-bit perceptual hash plus
+    8-bit band keys for LSH-style candidate bucketing (8 bands of 8
+    bits: any pair within hamming distance <= 7 shares at least one
+    band by pigeonhole, so candidate generation has NO false negatives
+    for the verify threshold used downstream)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        hashes = np.empty(len(batch), np.uint64)
+        for i, payload in enumerate(batch["payload"]):
+            img = decode_image(payload.as_py(), int(ws[i]), int(hs[i]))
+            hashes[i] = phash64(img)
+        out = {
+            "media_id": pa.array(ids.astype(np.int64), pa.int64()),
+            "phash": pa.array(hashes.astype(np.int64), pa.int64()),
+        }
+        for blk in range(8):
+            key = (hashes >> np.uint64(8 * blk)) & np.uint64(0xFF)
+            out[f"band{blk}"] = pa.array(key.astype(np.int64), pa.int64())
+        return pa.table(out)
+
+
+def image_phash_dups(media_ds, max_distance: int = 6, concurrency=None,
+                     batch_size: int = 32):
+    """Near-duplicate image pairs by perceptual hash: actor-pool decode +
+    pHash -> band-bucket groupby (8x8-bit bands; exhaustive for any
+    ``max_distance`` <= 7) -> in-bucket hamming verify -> distinct pairs.
+
+    The exchange moves only (media_id, phash, band) rows — pixels never
+    leave the decode stage. Output: (id_a, id_b, distance), id_a < id_b,
+    each pair once.
+    """
+    if max_distance > 7:
+        raise ValueError("banding guarantees recall only for max_distance <= 7")
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool(2)
+    hashed = media_ds.map_batches(
+        ImagePHashKernel,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+    import ray.data  # noqa: F401
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        ph = batch["phash"].to_numpy(zero_copy_only=False)
+        out_id, out_ph, out_key = [], [], []
+        for blk in range(8):
+            key = batch[f"band{blk}"].to_numpy(zero_copy_only=False)
+            out_id.append(ids)
+            out_ph.append(ph)
+            out_key.append(key * 8 + blk)  # (band value, band index) fused
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "phash": pa.array(np.concatenate(out_ph), pa.int64()),
+                "bucket": pa.array(np.concatenate(out_key), pa.int64()),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        ids = group["media_id"].to_numpy(zero_copy_only=False)
+        ph = group["phash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "distance": pa.array([], pa.int64()),
+            }
+        )
+        if len(ids) < 2:
+            return empty
+        ia, ib = np.triu_indices(len(ids), k=1)
+        dist = np.zeros(len(ia), np.int64)
+        x = ph[ia] ^ ph[ib]
+        while np.any(x):
+            dist += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        mask = (dist <= max_distance) & (ids[ia] != ids[ib])
+        if not mask.any():
+            return empty
+        a, b = ids[ia[mask]], ids[ib[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "id_a": pa.array(lo, pa.int64()),
+                "id_b": pa.array(hi, pa.int64()),
+                "distance": pa.array(dist[mask], pa.int64()),
+            }
+        )
+
+    pairs = exploded.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    # same pair can surface from several bands: one distinct pass on the
+    # tiny pair set
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .min("distance")
+        .rename_columns({"min(distance)": "distance"})
+        .sort(["id_a", "id_b"])
+    )
+
+
 def synth_mjpeg_media_table(
     n: int,
     size: tuple[int, int] = (48, 32),

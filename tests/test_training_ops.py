@@ -1995,3 +1995,75 @@ def test_token_budget_fill_matches_sequential(ray_session):
         # per-domain token sums within budget
         sums = out.groupby("lang")["n_tokens"].sum()
         assert all(sums[g] <= budgets[g] for g in sums.index)
+
+
+def test_image_phash_dups_matches_sequential(ray_session):
+    """Perceptual-hash image dedup: distributed band-bucket plan == a
+    sequential reference applying the same banding candidate rule;
+    planted pixel-identical re-encodes (different PNG filter) surface at
+    distance 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.sources.png import png_encode
+    from python_rasterstats_ray.stages.multimodal import (
+        MEDIA_SCHEMA,
+        decode_image,
+        image_phash_dups,
+        phash64,
+        synth_png_media_table,
+    )
+
+    base = synth_png_media_table(24, size=(64, 48), seed=4)
+    # plant: ids 24..29 are pixel-identical re-encodes of ids 0..5 with a
+    # different filter type (same decoded pixels -> same phash)
+    payloads, ids = [], []
+    for i in range(6):
+        img = decode_image(base["payload"][i].as_py(), 64, 48)
+        payloads.append(png_encode(img, filter_type=(i + 1) % 5))
+        ids.append(24 + i)
+    clones = pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(["png"] * 6, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.full(6, 64, np.int32)),
+            "height": pa.array(np.full(6, 48, np.int32)),
+            "sample_rate": pa.array(np.zeros(6, np.int32)),
+            "n_frames": pa.array(np.ones(6, np.int32)),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+    tbl = pa.concat_tables([base, clones])
+
+    # sequential reference: same hashes, same banding candidate rule
+    tau = 6
+    hashes = {}
+    for row in range(len(tbl)):
+        img = decode_image(tbl["payload"][row].as_py(), 64, 48)
+        hashes[int(tbl["media_id"][row].as_py())] = phash64(img)
+    ref = {}
+    keys = sorted(hashes)
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            x = hashes[a] ^ hashes[b]
+            shares_band = any(((x >> (8 * k)) & 0xFF) == 0 for k in range(8))
+            d = bin(x).count("1")
+            if shares_band and d <= tau:
+                ref[(a, b)] = d
+
+    for nblocks in (1, 4):
+        out = (
+            image_phash_dups(
+                ray.data.from_arrow(tbl).repartition(nblocks), max_distance=tau
+            )
+            .to_pandas()
+        )
+        got = {
+            (int(r.id_a), int(r.id_b)): int(r.distance) for r in out.itertuples()
+        }
+        assert got == ref
+    # every planted re-encode found at distance 0
+    for i in range(6):
+        assert ref[(i, 24 + i)] == 0
