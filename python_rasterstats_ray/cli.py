@@ -267,6 +267,53 @@ def cmd_dedup_probe(args) -> int:
     return 0
 
 
+def cmd_shuffle(args) -> int:
+    """Deterministic epoch shuffle: (doc_id, epoch_pos) parquet."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.ordering import epoch_shuffle
+
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col])
+    epoch_shuffle(ds, seed=args.seed, id_col=args.id_col).write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "seed": args.seed}))
+    _ray_down(ray, owned)
+    return 0
+
+
+def cmd_mix(args) -> int:
+    """Domain-weighted mixture selection: kept (doc_id, domain) parquet.
+
+    --weights is JSON, e.g. '{"en":0.5,"de":0.5}'."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.ordering import corpus_mix
+
+    weights = json.loads(args.weights)
+    ds = ray.data.read_parquet(args.docs, columns=[args.id_col, args.group_col])
+    corpus_mix(
+        ds, weights, args.budget, seed=args.seed,
+        id_col=args.id_col, group_col=args.group_col,
+    ).write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "budget": args.budget}))
+    _ray_down(ray, owned)
+    return 0
+
+
+def cmd_shards(args) -> int:
+    """Training-shard manifest: dedup -> shuffle -> shards -> digests."""
+    ray, owned = _ray_up()
+
+    from .pipelines.queries import q_docs_training_shards
+
+    sf_dir = args.sf_dir
+    df = q_docs_training_shards(sf_dir).to_pandas()
+    print(df.to_json(orient="records"))
+    _ray_down(ray, owned)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python_rasterstats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -351,6 +398,27 @@ def build_parser() -> argparse.ArgumentParser:
     st.add_argument("--text-col", default="text")
     st.add_argument("--id-col", default="doc_id")
     st.set_defaults(fn=cmd_dedup_store)
+
+    sh = sub.add_parser("shuffle", help="deterministic epoch shuffle -> (id, epoch_pos) parquet")
+    sh.add_argument("docs")
+    sh.add_argument("out_dir")
+    sh.add_argument("--seed", type=int, default=0)
+    sh.add_argument("--id-col", default="doc_id")
+    sh.set_defaults(fn=cmd_shuffle)
+
+    mx = sub.add_parser("mix", help="domain-weighted mixture selection (JSON weights)")
+    mx.add_argument("docs")
+    mx.add_argument("out_dir")
+    mx.add_argument("--weights", required=True, help='JSON, e.g. \'{"en":0.5,"de":0.5}\'')
+    mx.add_argument("--budget", type=int, required=True)
+    mx.add_argument("--seed", type=int, default=0)
+    mx.add_argument("--id-col", default="doc_id")
+    mx.add_argument("--group-col", default="lang")
+    mx.set_defaults(fn=cmd_mix)
+
+    tsh = sub.add_parser("shards", help="training-shard manifest (dedup->shuffle->digests)")
+    tsh.add_argument("sf_dir", help="directory holding documents.parquet")
+    tsh.set_defaults(fn=cmd_shards)
 
     pr = sub.add_parser("dedup-probe", help="dedup a new shard against a persisted store")
     pr.add_argument("docs")

@@ -166,3 +166,39 @@ def test_cli_round3_ops(ray_session, capsys, tmp_path):
     assert t.num_rows == n_docs
     # the corpus probed against itself: every doc is a duplicate of one
     assert all(t["is_dup"].to_pylist())
+
+
+def test_cli_ordering_ops(ray_session, capsys, tmp_path):
+    """shuffle / mix / shards subcommands run end-to-end on sf0.001."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+
+    shuf_dir = str(tmp_path / "shuf_out")
+    rc, out = run_cli(
+        capsys, ["shuffle", f"{sf}/documents.parquet", shuf_dir, "--seed", "7"]
+    )
+    assert rc == 0 and json.loads(out.strip().splitlines()[-1])["seed"] == 7
+    t = pq.read_table(shuf_dir)
+    assert t.num_rows == n_docs
+    assert sorted(t["epoch_pos"].to_pylist()) == list(range(n_docs))
+
+    mix_dir = str(tmp_path / "mix_out")
+    rc, _ = run_cli(
+        capsys,
+        ["mix", f"{sf}/documents.parquet", mix_dir,
+         "--weights", '{"en":0.5,"de":0.5}', "--budget", "40"],
+    )
+    assert rc == 0
+    t = pq.read_table(mix_dir)
+    counts = {}
+    for g in t["lang"].to_pylist():
+        counts[g] = counts.get(g, 0) + 1
+    assert counts.get("en", 0) == 20 and counts.get("de", 0) == 20
+
+    rc, out = run_cli(capsys, ["shards", sf])
+    assert rc == 0
+    rows = json.loads(out.strip().splitlines()[-1])
+    assert sum(r["n_docs"] for r in rows) <= n_docs  # dedup may drop rows
+    assert all(len(r["digest"]) == 64 for r in rows)
