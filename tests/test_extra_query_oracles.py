@@ -101,20 +101,31 @@ def _assert_equal(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str) -> None
             )
 
 
-@pytest.mark.parametrize("name", [n for n in [
-    "docs_jaccard_pairs", "orders_by_region", "parts_by_brand", "top_orders",
-    "top_docs_per_lang", "docs_stratified_sample", "pages_host_stats",
-    "customer_segments", "events_by_type", "events_sessionize",
-    "docs_dedup_filtered", "docs_geocells", "docs_pip_zones", "tpch_q10",
-    "docs_inverted_index", "docs_tfidf_top", "docs_length_quantiles",
-    "docs_length_quantiles_by_lang", "docs_bigrams", "knn_points_partitioned",
-    "doc_fingerprint", "flagship_zone_stats", "minhash_pairs", "docs_fuzzy_dedup",
-    "docs_dsir_weights",
-    "simhash_signatures",
-    "docs_decontaminate_bloom",
-    "docs_incremental_dedup",
-    "events_range_window",
-]])
+# rows-only extras: no SQL oracle; each carries an exact pytest
+# differential elsewhere (tests/test_training_ops.py) or an
+# exact-checked companion query. min_rows pins the smoke contract.
+ROWS_ONLY = {
+    "knn_ivf": 30,
+    "knn_pq": 30,
+    "media_features": 200,
+    "audio_features": 200,
+    "video_features": 200,
+    "docs_bpe_merges": 10,
+    "docs_bpe_encode": 400,
+    "embeddings_kmeans": 8,
+    "docs_kll_quantiles": 6,
+    "embeddings_semdedup": 100,
+    "media_phash_dups": 20,
+}
+
+# derive the oracled list from the registry so a new extra query is
+# auto-covered (a hand-maintained literal silently skips additions)
+import __ray_entry__ as _entry_for_params  # noqa: E402
+
+ORACLED_EXTRAS = [n for n in _entry_for_params.EXTRA_QUERY_ORDER if n not in ROWS_ONLY]
+
+
+@pytest.mark.parametrize("name", ORACLED_EXTRAS)
 def test_extra_query_matches_oracle(ray_session, duck, name):
     entrymod = _entrymod()
     extras = entrymod.extra_queries()
@@ -125,17 +136,7 @@ def test_extra_query_matches_oracle(ray_session, duck, name):
     _assert_equal(ray_df, sql_df, name)
 
 
-@pytest.mark.parametrize("name,min_rows", [
-    ("knn_ivf", 30),
-    ("knn_pq", 30),
-    ("media_features", 200),
-    ("audio_features", 200),
-    ("video_features", 200),
-    ("docs_bpe_merges", 10),
-    ("docs_bpe_encode", 400),
-    ("embeddings_kmeans", 8),
-    ("docs_kll_quantiles", 6),
-])
+@pytest.mark.parametrize("name,min_rows", sorted(ROWS_ONLY.items()))
 def test_extra_rows_only(ray_session, name, min_rows):
     entrymod = _entrymod()
     ray_df = _to_df(entrymod.extra_queries()[name](SF_DIR))
@@ -150,4 +151,4 @@ def test_registry_partition():
     assert not set(q) & set(x)
     # the parametrized list above stays in sync with EXTRA_QUERY_ORDER
     oracled = set(entrymod.extra_oracle_sql())
-    assert oracled == set(x) - {"knn_ivf", "knn_pq", "media_features", "audio_features", "video_features", "docs_bpe_merges", "docs_bpe_encode", "embeddings_kmeans", "docs_kll_quantiles"}
+    assert oracled == set(x) - set(ROWS_ONLY)
