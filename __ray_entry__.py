@@ -139,6 +139,7 @@ EXTRA_QUERY_ORDER = [
     "docs_corpus_mix",
     "docs_token_budget",
     "docs_training_shards",
+    "docs_heavy_tokens",
     "embeddings_semdedup",
     "media_phash_dups",
 ]

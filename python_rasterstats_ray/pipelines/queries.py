@@ -3229,6 +3229,31 @@ ORDER BY doc_id
 SQL_DOCS_TOKEN_BUDGET = _token_budget_sql()
 
 
+HH_NUM, HH_DEN = 1, 33  # heavy-hitter threshold: count >= total/33 (~3%)
+
+
+def q_docs_heavy_tokens(sf_dir: str):
+    """Exact frequency-threshold heavy hitters over the corpus vocabulary
+    (two bounded passes: vectorized local-heavy-hitter candidates, then a
+    broadcast exact verify — see ``stages/sketch.py::heavy_hitters``)."""
+    from python_rasterstats_ray.stages.sketch import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "documents", columns=["text"]), HH_NUM, HH_DEN
+    )
+
+
+SQL_DOCS_HEAVY_TOKENS = f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+tot AS (SELECT count(*) AS n FROM w)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w, tot
+GROUP BY word, tot.n
+HAVING count(*) * {HH_DEN} >= {HH_NUM} * tot.n
+ORDER BY word
+"""
+
+
 SHARD_DOCS = 64
 
 
@@ -3329,6 +3354,7 @@ ORACLE_SQL = {
     "docs_corpus_mix": SQL_DOCS_CORPUS_MIX,
     "docs_token_budget": SQL_DOCS_TOKEN_BUDGET,
     "docs_training_shards": SQL_DOCS_TRAINING_SHARDS,
+    "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3438,4 +3464,5 @@ QUERIES = {
     "docs_corpus_mix": q_docs_corpus_mix,
     "docs_token_budget": q_docs_token_budget,
     "docs_training_shards": q_docs_training_shards,
+    "docs_heavy_tokens": q_docs_heavy_tokens,
 }

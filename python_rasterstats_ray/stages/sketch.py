@@ -405,3 +405,115 @@ def bloom_assemble(sketch_tbl, m_bits: int) -> np.ndarray:
     bits = np.asarray(sketch_tbl["bits"], np.int64).view(np.uint64)
     words[idx] = bits
     return words
+
+
+# ---------------------------------------- exact heavy hitters (two-pass)
+#
+# Frequency-threshold heavy hitters (all words with count*DEN >= NUM*N,
+# phi = NUM/DEN) computed EXACTLY in two bounded passes — the classic
+# "local heavy hitters then verify" distributed scheme:
+#
+# pass 1: each batch emits its LOCAL heavy hitters (count >= phi *
+#   batch_tokens, a vectorized np.unique — no sketch loop needed). By
+#   averaging, any global heavy hitter is a local heavy hitter in at
+#   least one batch, so the candidate union (<= #batches/phi rows, tiny)
+#   has NO false negatives.
+# pass 2: the candidate set is broadcast; each batch counts ONLY
+#   candidate words exactly; one groupby(word) of candidate-sized
+#   partials; filter by the integer threshold.
+#
+# Both passes are pruned single-column scans; nothing corpus-sized ever
+# moves. The word rule is DuckDB string_split parity (_split_words), so
+# the result equals a GROUP BY/HAVING oracle bit-for-bit.
+
+
+def heavy_hitters(ds, phi_num: int, phi_den: int, text_col: str = "text"):
+    """Dataset[text] -> (word, n) rows for every word with
+    ``n * phi_den >= phi_num * total_words``, exact."""
+    import ray as _ray
+
+    from .text import _split_words
+
+    def token_total(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        words = _pc.split_pattern(batch[text_col], " ")
+        n = _pc.sum(_pc.list_value_length(words)).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    total = int(
+        ds.map_batches(token_total, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+        or 0
+    )
+    if total == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table({"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        )
+
+    def local_hh(batch: pa.Table) -> pa.Table:
+        _, codes, dictionary = _split_words(batch[text_col])
+        if len(codes) == 0:
+            return pa.table({"word": pa.array([], pa.string())})
+        cnt = np.bincount(codes, minlength=len(dictionary))
+        keep = np.flatnonzero(cnt.astype(np.int64) * phi_den >= phi_num * len(codes))
+        return pa.table({"word": pa.array(dictionary.take(pa.array(keep)), pa.string())})
+
+    cands = (
+        ds.map_batches(local_hh, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .count()
+        .to_pandas()["word"]
+        .tolist()
+    )
+    cand_ref = _ray.put(np.sort(np.asarray(cands, dtype=object)))
+
+    class CountCandidates:
+        def __init__(self, ref=cand_ref):
+            self.cands = _ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            _, codes, dictionary = _split_words(batch[text_col])
+            if len(codes) == 0:
+                return pa.table(
+                    {"word": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+                )
+            words = np.asarray(dictionary.to_pylist(), dtype=object)
+            pos = np.searchsorted(self.cands, words)
+            pos[pos >= len(self.cands)] = 0
+            is_cand = (
+                self.cands[pos] == words if len(self.cands) else np.zeros(len(words), bool)
+            )
+            cnt = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+            keep = np.flatnonzero(is_cand & (cnt > 0))
+            return pa.table(
+                {
+                    "word": pa.array(words[keep].tolist(), pa.string()),
+                    "c": pa.array(cnt[keep], pa.int64()),
+                }
+            )
+
+    from ._cluster import pool
+
+    partials = ds.map_batches(
+        CountCandidates, batch_format="pyarrow", concurrency=pool(2), zero_copy_batch=True
+    )
+
+    def finalize(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        n = int(_pc.sum(group["c"]).as_py())
+        if n * phi_den < phi_num * total:
+            return pa.table(
+                {"word": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "word": pa.array([group["word"][0].as_py()], pa.string()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    return partials.groupby("word").map_groups(finalize, batch_format="pyarrow").sort("word")

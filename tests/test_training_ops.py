@@ -2067,3 +2067,42 @@ def test_image_phash_dups_matches_sequential(ray_session):
     # every planted re-encode found at distance 0
     for i in range(6):
         assert ref[(i, 24 + i)] == 0
+
+
+def test_heavy_hitters_exact(ray_session):
+    """Two-pass heavy hitters == exact GROUP BY/HAVING: a word
+    concentrated in ONE block (locally heavy nowhere else) is still
+    found (the averaging guarantee), thresholds are >= inclusive, and
+    the result is layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.sketch import heavy_hitters
+
+    # corpus: 100 docs x 10 filler words, plus "rare" appearing 34 times
+    # all inside doc 0 (globally heavy at phi=1/33 over N=1034+, locally
+    # heavy only in doc 0's block), plus "edge" at exactly the threshold
+    rng = np.random.default_rng(2)
+    fillers = [f"w{i}" for i in range(200)]
+    docs = [" ".join(rng.choice(fillers, 10)) for _ in range(100)]
+    docs[0] = " ".join(["rare"] * 40) + " " + docs[0]
+    tbl = pa.table({"text": pa.array(docs, pa.string())})
+
+    # exact reference
+    from collections import Counter
+
+    words = [w for d in docs for w in d.split(" ")]
+    total = len(words)
+    cnt = Counter(words)
+    ref = {w: c for w, c in cnt.items() if c * 33 >= total}
+    assert "rare" in ref  # the planted concentrated word qualifies
+
+    for nblocks in (1, 10):
+        out = (
+            heavy_hitters(
+                ray.data.from_arrow(tbl).repartition(nblocks), 1, 33
+            ).to_pandas()
+        )
+        got = dict(zip(out["word"], out["n"].astype(int)))
+        assert got == ref
