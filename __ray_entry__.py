@@ -140,6 +140,7 @@ EXTRA_QUERY_ORDER = [
     "docs_token_budget",
     "docs_training_shards",
     "docs_heavy_tokens",
+    "docs_bbox_join",
     "embeddings_semdedup",
     "media_phash_dups",
 ]

@@ -3229,6 +3229,68 @@ ORDER BY doc_id
 SQL_DOCS_TOKEN_BUDGET = _token_budget_sql()
 
 
+BBOX_CELL = 256  # PBSM grid cell for the rect spatial self-join
+
+
+def _doc_rects_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic integer rectangle per doc (hash-style arithmetic the
+    SQL oracle reproduces verbatim): origin on a 3840-grid, size 64..255,
+    every 97th rect 8x bigger (multi-cell skew path)."""
+    import numpy as np
+
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x0 = (d * 2654435761) % 3840
+    y0 = (d * 40503) % 3840
+    w = 64 + (d * 9973) % 192
+    h = 64 + (d * 7817) % 192
+    big = d % 97 == 0
+    w = np.where(big, w * 8, w)
+    h = np.where(big, h * 8, h)
+    return pa.table(
+        {
+            "id": pa.array(d, pa.int64()),
+            "xmin": pa.array(x0, pa.int64()),
+            "ymin": pa.array(y0, pa.int64()),
+            "xmax": pa.array(x0 + w, pa.int64()),
+            "ymax": pa.array(y0 + h, pa.int64()),
+        }
+    )
+
+
+def q_docs_bbox_join(sf_dir: str):
+    """Polygon-polygon (bbox) spatial self-join over doc-derived
+    rectangles — PBSM cell partitioning with canonical-cell pair
+    reporting (no distinct pass); see ``stages/joins.py::bbox_self_join``."""
+    from python_rasterstats_ray.stages.joins import bbox_self_join
+
+    rects = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _doc_rects_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bbox_self_join(rects, cell_size=BBOX_CELL)
+
+
+SQL_DOCS_BBOX_JOIN = """
+WITH r AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 3840 AS xmin,
+         (doc_id * 40503) % 3840 AS ymin,
+         (doc_id * 2654435761) % 3840
+           + (64 + (doc_id * 9973) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS xmax,
+         (doc_id * 40503) % 3840
+           + (64 + (doc_id * 7817) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS ymax
+  FROM documents
+)
+SELECT a.id AS id_a, b.id AS id_b
+FROM r a JOIN r b
+  ON a.id < b.id
+ AND a.xmin < b.xmax AND b.xmin < a.xmax
+ AND a.ymin < b.ymax AND b.ymin < a.ymax
+ORDER BY id_a, id_b
+"""
+
+
 HH_NUM, HH_DEN = 1, 33  # heavy-hitter threshold: count >= total/33 (~3%)
 
 
@@ -3355,6 +3417,7 @@ ORACLE_SQL = {
     "docs_token_budget": SQL_DOCS_TOKEN_BUDGET,
     "docs_training_shards": SQL_DOCS_TRAINING_SHARDS,
     "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
+    "docs_bbox_join": SQL_DOCS_BBOX_JOIN,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3465,4 +3528,5 @@ QUERIES = {
     "docs_token_budget": q_docs_token_budget,
     "docs_training_shards": q_docs_training_shards,
     "docs_heavy_tokens": q_docs_heavy_tokens,
+    "docs_bbox_join": q_docs_bbox_join,
 }

@@ -192,3 +192,116 @@ def join_auto(
         left, right, on=on, right_on=right_on, join_type=join_type,
         num_partitions=num_partitions,
     )
+
+
+# ----------------------------------------------- bbox spatial self-join
+#
+# Polygon-polygon (bbox) spatial join — the missing arm of the north
+# rule's spatial-join triangle (zonal = polygon x raster, PIP = point x
+# polygon, this = polygon x polygon). Partition-Based Spatial-Merge
+# (PBSM, Patel & DeWitt 1996) shape:
+#
+# 1. flat_map: each rectangle -> every grid cell its bbox covers (one
+#    (cell, id, bbox) row per cell; bboxes are small so the fanout is
+#    bounded by bbox_area / cell_area);
+# 2. groupby(cell): vectorized pairwise overlap inside the cell;
+# 3. duplicate-pair avoidance WITHOUT a distinct pass: a pair is
+#    REPORTED only by the canonical cell — the one containing the
+#    intersection's (max(xmin), max(ymin)) corner. Every overlapping
+#    pair shares that cell (both bboxes cover the intersection), and
+#    exactly one cell contains the corner.
+#
+# Integer coordinates end to end, so the result is bit-exact vs a SQL
+# range-predicate join; overlap is STRICT interior intersection
+# (a.xmin < b.xmax AND b.xmin < a.xmax, same for y).
+
+
+def bbox_self_join(rects_ds, cell_size: int, id_col: str = "id"):
+    """Dataset[(id, xmin, ymin, xmax, ymax) int64] -> (id_a, id_b) pairs
+    whose rectangles strictly overlap, each pair exactly once.
+
+    Coordinates must be non-negative (the cell key packs (gx, gy) into
+    one int64 as gx<<32|gy); shift inputs before joining otherwise.
+    Partitioning assumption: one cell's rectangles fit a worker — size
+    ``cell_size`` to the data density, and note a rect spanning many
+    cells fans out one thin row per cell (the PBSM trade)."""
+    import numpy as np
+    import pyarrow as pa
+
+    def to_cells(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        x0 = batch["xmin"].to_numpy(zero_copy_only=False)
+        y0 = batch["ymin"].to_numpy(zero_copy_only=False)
+        x1 = batch["xmax"].to_numpy(zero_copy_only=False)
+        y1 = batch["ymax"].to_numpy(zero_copy_only=False)
+        out = {k: [] for k in (id_col, "xmin", "ymin", "xmax", "ymax", "cell")}
+        cx0, cy0 = x0 // cell_size, y0 // cell_size
+        # xmax exclusive edge: a rect touching a cell boundary does not
+        # enter the next cell (strict-interior semantics)
+        cx1, cy1 = (x1 - 1) // cell_size, (y1 - 1) // cell_size
+        for i in range(len(ids)):
+            gx = np.arange(cx0[i], cx1[i] + 1, dtype=np.int64)
+            gy = np.arange(cy0[i], cy1[i] + 1, dtype=np.int64)
+            cells = (gx[:, None] << 32 | gy[None, :]).ravel()
+            k = len(cells)
+            out[id_col].append(np.full(k, ids[i], np.int64))
+            out["xmin"].append(np.full(k, x0[i], np.int64))
+            out["ymin"].append(np.full(k, y0[i], np.int64))
+            out["xmax"].append(np.full(k, x1[i], np.int64))
+            out["ymax"].append(np.full(k, y1[i], np.int64))
+            out["cell"].append(cells)
+        if not out[id_col]:
+            return pa.table(
+                {k: pa.array([], pa.int64()) for k in out}
+            )
+        return pa.table(
+            {k: pa.array(np.concatenate(v), pa.int64()) for k, v in out.items()}
+        )
+
+    tagged = rects_ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+
+    def overlap_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        n = len(group)
+        if n < 2:
+            return empty
+        cell = int(group["cell"][0].as_py())
+        cgx, cgy = cell >> 32, cell & 0xFFFFFFFF
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        x0 = group["xmin"].to_numpy(zero_copy_only=False)
+        y0 = group["ymin"].to_numpy(zero_copy_only=False)
+        x1 = group["xmax"].to_numpy(zero_copy_only=False)
+        y1 = group["ymax"].to_numpy(zero_copy_only=False)
+        ia, ib = np.triu_indices(n, k=1)
+        hit = (
+            (x0[ia] < x1[ib]) & (x0[ib] < x1[ia])
+            & (y0[ia] < y1[ib]) & (y0[ib] < y1[ia])
+            & (ids[ia] != ids[ib])
+        )
+        ia, ib = ia[hit], ib[hit]
+        if len(ia) == 0:
+            return empty
+        # canonical-cell report: intersection's lower-left corner here?
+        corner_x = np.maximum(x0[ia], x0[ib]) // cell_size
+        corner_y = np.maximum(y0[ia], y0[ib]) // cell_size
+        mine = (corner_x == cgx) & (corner_y == cgy)
+        ia, ib = ia[mine], ib[mine]
+        if len(ia) == 0:
+            return empty
+        a, b = ids[ia], ids[ib]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        order = np.lexsort((hi, lo))
+        return pa.table(
+            {
+                "id_a": pa.array(lo[order], pa.int64()),
+                "id_b": pa.array(hi[order], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("cell")
+        .map_groups(overlap_pairs, batch_format="pyarrow")
+        .sort(["id_a", "id_b"])
+    )

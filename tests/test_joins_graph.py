@@ -523,3 +523,50 @@ def test_q10_two_join_plan_completes_on_small_cluster(ray_session):
     df = q_tpch_q10("/root/testdata/sf0.01").to_pandas()
     assert len(df) == 20
     assert (df["revenue"].to_numpy()[:-1] >= df["revenue"].to_numpy()[1:]).all()
+
+
+def test_bbox_self_join_edges(ray_session):
+    """PBSM bbox self-join: strict-interior semantics (touching edges are
+    NOT overlaps), pairs overlapping across many cells reported exactly
+    once (canonical-cell rule), layout-invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import bbox_self_join
+
+    rects = [
+        # (id, xmin, ymin, xmax, ymax)
+        (0, 0, 0, 100, 100),
+        (1, 100, 0, 200, 100),      # touches 0 at x=100: NOT an overlap
+        (2, 50, 50, 150, 150),      # overlaps 0 and 1
+        (3, 0, 0, 1000, 1000),      # spans many cells; overlaps 0,1,2,4
+        (4, 900, 900, 1100, 1100),  # crosses the grid far from others
+        (5, 2000, 2000, 2001, 2001),  # 1x1, alone
+        (6, 255, 255, 257, 257),    # straddles a cell corner; inside 3
+    ]
+    cols = list(zip(*rects))
+    tbl = pa.table(
+        {
+            k: pa.array(np.asarray(v, np.int64), pa.int64())
+            for k, v in zip(["id", "xmin", "ymin", "xmax", "ymax"], cols)
+        }
+    )
+
+    # exact reference
+    ref = set()
+    for i in range(len(rects)):
+        for j in range(i + 1, len(rects)):
+            _, ax0, ay0, ax1, ay1 = rects[i]
+            _, bx0, by0, bx1, by1 = rects[j]
+            if ax0 < bx1 and bx0 < ax1 and ay0 < by1 and by0 < ay1:
+                ref.add((rects[i][0], rects[j][0]))
+
+    assert (0, 1) not in ref and (0, 2) in ref and (3, 6) in ref
+    for nblocks in (1, 3):
+        out = bbox_self_join(
+            ray.data.from_arrow(tbl).repartition(nblocks), cell_size=256
+        ).to_pandas()
+        got = list(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
+        assert sorted(got) == sorted(ref)
+        assert len(got) == len(set(got))  # each pair exactly once
