@@ -234,28 +234,31 @@ def bbox_self_join(rects_ds, cell_size: int, id_col: str = "id"):
         y0 = batch["ymin"].to_numpy(zero_copy_only=False)
         x1 = batch["xmax"].to_numpy(zero_copy_only=False)
         y1 = batch["ymax"].to_numpy(zero_copy_only=False)
-        out = {k: [] for k in (id_col, "xmin", "ymin", "xmax", "ymax", "cell")}
+        cols = (id_col, "xmin", "ymin", "xmax", "ymax", "cell")
+        if len(ids) == 0:
+            return pa.table({k: pa.array([], pa.int64()) for k in cols})
         cx0, cy0 = x0 // cell_size, y0 // cell_size
         # xmax exclusive edge: a rect touching a cell boundary does not
         # enter the next cell (strict-interior semantics)
         cx1, cy1 = (x1 - 1) // cell_size, (y1 - 1) // cell_size
-        for i in range(len(ids)):
-            gx = np.arange(cx0[i], cx1[i] + 1, dtype=np.int64)
-            gy = np.arange(cy0[i], cy1[i] + 1, dtype=np.int64)
-            cells = (gx[:, None] << 32 | gy[None, :]).ravel()
-            k = len(cells)
-            out[id_col].append(np.full(k, ids[i], np.int64))
-            out["xmin"].append(np.full(k, x0[i], np.int64))
-            out["ymin"].append(np.full(k, y0[i], np.int64))
-            out["xmax"].append(np.full(k, x1[i], np.int64))
-            out["ymax"].append(np.full(k, y1[i], np.int64))
-            out["cell"].append(cells)
-        if not out[id_col]:
-            return pa.table(
-                {k: pa.array([], pa.int64()) for k in out}
-            )
+        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+        # fully vectorized fanout: rect i emits nx[i]*ny[i] rows. Within
+        # a rect's span, local index j enumerates its cell grid row-major.
+        k = nx * ny
+        row = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+        starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+        j = np.arange(int(k.sum()), dtype=np.int64) - starts[row]
+        gx = cx0[row] + j // ny[row]
+        gy = cy0[row] + j % ny[row]
         return pa.table(
-            {k: pa.array(np.concatenate(v), pa.int64()) for k, v in out.items()}
+            {
+                id_col: pa.array(ids[row], pa.int64()),
+                "xmin": pa.array(x0[row], pa.int64()),
+                "ymin": pa.array(y0[row], pa.int64()),
+                "xmax": pa.array(x1[row], pa.int64()),
+                "ymax": pa.array(y1[row], pa.int64()),
+                "cell": pa.array(gx << 32 | gy, pa.int64()),
+            }
         )
 
     tagged = rects_ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
