@@ -141,6 +141,7 @@ EXTRA_QUERY_ORDER = [
     "docs_training_shards",
     "docs_heavy_tokens",
     "docs_bbox_join",
+    "docs_customer_bbox_join",
     "embeddings_semdedup",
     "media_phash_dups",
 ]

@@ -3291,6 +3291,71 @@ ORDER BY id_a, id_b
 """
 
 
+def _cust_rects_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic integer rectangle per customer (distinct multipliers
+    from the doc rects so the two sets interleave)."""
+    import numpy as np
+
+    d = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x0 = (d * 1103515245) % 3840
+    y0 = (d * 69069) % 3840
+    w = 64 + (d * 6151) % 192
+    h = 64 + (d * 3079) % 192
+    return pa.table(
+        {
+            "id": pa.array(d, pa.int64()),
+            "xmin": pa.array(x0, pa.int64()),
+            "ymin": pa.array(y0, pa.int64()),
+            "xmax": pa.array(x0 + w, pa.int64()),
+            "ymax": pa.array(y0 + h, pa.int64()),
+        }
+    )
+
+
+def q_docs_customer_bbox_join(sf_dir: str):
+    """Two-table bbox spatial join (docs rects x customer rects) — the
+    canonical A x B form of the PBSM plan; see
+    ``stages/joins.py::bbox_join``."""
+    from python_rasterstats_ray.stages.joins import bbox_join
+
+    left = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _doc_rects_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        _cust_rects_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bbox_join(left, right, cell_size=BBOX_CELL)
+
+
+SQL_DOCS_CUSTOMER_BBOX_JOIN = """
+WITH l AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 3840 AS xmin,
+         (doc_id * 40503) % 3840 AS ymin,
+         (doc_id * 2654435761) % 3840
+           + (64 + (doc_id * 9973) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS xmax,
+         (doc_id * 40503) % 3840
+           + (64 + (doc_id * 7817) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS ymax
+  FROM documents
+),
+r AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 1103515245) % 3840 AS xmin,
+         (c_custkey * 69069) % 3840 AS ymin,
+         (c_custkey * 1103515245) % 3840 + 64 + (c_custkey * 6151) % 192 AS xmax,
+         (c_custkey * 69069) % 3840 + 64 + (c_custkey * 3079) % 192 AS ymax
+  FROM customer
+)
+SELECT l.id AS left_id, r.id AS right_id
+FROM l JOIN r
+  ON l.xmin < r.xmax AND r.xmin < l.xmax
+ AND l.ymin < r.ymax AND r.ymin < l.ymax
+ORDER BY left_id, right_id
+"""
+
+
 HH_NUM, HH_DEN = 1, 33  # heavy-hitter threshold: count >= total/33 (~3%)
 
 
@@ -3418,6 +3483,7 @@ ORACLE_SQL = {
     "docs_training_shards": SQL_DOCS_TRAINING_SHARDS,
     "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
     "docs_bbox_join": SQL_DOCS_BBOX_JOIN,
+    "docs_customer_bbox_join": SQL_DOCS_CUSTOMER_BBOX_JOIN,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3529,4 +3595,5 @@ QUERIES = {
     "docs_training_shards": q_docs_training_shards,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_bbox_join": q_docs_bbox_join,
+    "docs_customer_bbox_join": q_docs_customer_bbox_join,
 }

@@ -216,6 +216,44 @@ def join_auto(
 # (a.xmin < b.xmax AND b.xmin < a.xmax, same for y).
 
 
+def _bbox_to_cells(batch, cell_size: int, id_col: str = "id"):
+    """Vectorized PBSM cell fanout: rect i emits one thin row per grid
+    cell its bbox covers (nx[i]*ny[i] rows; local index j enumerates the
+    cell grid row-major). xmax/ymax are EXCLUSIVE edges: a rect touching
+    a cell boundary does not enter the next cell (strict-interior
+    semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    x0 = batch["xmin"].to_numpy(zero_copy_only=False)
+    y0 = batch["ymin"].to_numpy(zero_copy_only=False)
+    x1 = batch["xmax"].to_numpy(zero_copy_only=False)
+    y1 = batch["ymax"].to_numpy(zero_copy_only=False)
+    cols = (id_col, "xmin", "ymin", "xmax", "ymax", "cell")
+    if len(ids) == 0:
+        return pa.table({k: pa.array([], pa.int64()) for k in cols})
+    cx0, cy0 = x0 // cell_size, y0 // cell_size
+    cx1, cy1 = (x1 - 1) // cell_size, (y1 - 1) // cell_size
+    nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
+    k = nx * ny
+    row = np.repeat(np.arange(len(ids), dtype=np.int64), k)
+    starts = np.concatenate(([0], np.cumsum(k)[:-1]))
+    j = np.arange(int(k.sum()), dtype=np.int64) - starts[row]
+    gx = cx0[row] + j // ny[row]
+    gy = cy0[row] + j % ny[row]
+    return pa.table(
+        {
+            id_col: pa.array(ids[row], pa.int64()),
+            "xmin": pa.array(x0[row], pa.int64()),
+            "ymin": pa.array(y0[row], pa.int64()),
+            "xmax": pa.array(x1[row], pa.int64()),
+            "ymax": pa.array(y1[row], pa.int64()),
+            "cell": pa.array(gx << 32 | gy, pa.int64()),
+        }
+    )
+
+
 def bbox_self_join(rects_ds, cell_size: int, id_col: str = "id"):
     """Dataset[(id, xmin, ymin, xmax, ymax) int64] -> (id_a, id_b) pairs
     whose rectangles strictly overlap, each pair exactly once.
@@ -228,40 +266,11 @@ def bbox_self_join(rects_ds, cell_size: int, id_col: str = "id"):
     import numpy as np
     import pyarrow as pa
 
-    def to_cells(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        x0 = batch["xmin"].to_numpy(zero_copy_only=False)
-        y0 = batch["ymin"].to_numpy(zero_copy_only=False)
-        x1 = batch["xmax"].to_numpy(zero_copy_only=False)
-        y1 = batch["ymax"].to_numpy(zero_copy_only=False)
-        cols = (id_col, "xmin", "ymin", "xmax", "ymax", "cell")
-        if len(ids) == 0:
-            return pa.table({k: pa.array([], pa.int64()) for k in cols})
-        cx0, cy0 = x0 // cell_size, y0 // cell_size
-        # xmax exclusive edge: a rect touching a cell boundary does not
-        # enter the next cell (strict-interior semantics)
-        cx1, cy1 = (x1 - 1) // cell_size, (y1 - 1) // cell_size
-        nx, ny = cx1 - cx0 + 1, cy1 - cy0 + 1
-        # fully vectorized fanout: rect i emits nx[i]*ny[i] rows. Within
-        # a rect's span, local index j enumerates its cell grid row-major.
-        k = nx * ny
-        row = np.repeat(np.arange(len(ids), dtype=np.int64), k)
-        starts = np.concatenate(([0], np.cumsum(k)[:-1]))
-        j = np.arange(int(k.sum()), dtype=np.int64) - starts[row]
-        gx = cx0[row] + j // ny[row]
-        gy = cy0[row] + j % ny[row]
-        return pa.table(
-            {
-                id_col: pa.array(ids[row], pa.int64()),
-                "xmin": pa.array(x0[row], pa.int64()),
-                "ymin": pa.array(y0[row], pa.int64()),
-                "xmax": pa.array(x1[row], pa.int64()),
-                "ymax": pa.array(y1[row], pa.int64()),
-                "cell": pa.array(gx << 32 | gy, pa.int64()),
-            }
-        )
-
-    tagged = rects_ds.map_batches(to_cells, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = rects_ds.map_batches(
+        lambda b: _bbox_to_cells(b, cell_size, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
     def overlap_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -307,4 +316,84 @@ def bbox_self_join(rects_ds, cell_size: int, id_col: str = "id"):
         tagged.groupby("cell")
         .map_groups(overlap_pairs, batch_format="pyarrow")
         .sort(["id_a", "id_b"])
+    )
+
+
+def bbox_join(left_ds, right_ds, cell_size: int, id_col: str = "id"):
+    """Two-table bbox spatial join: (left_id, right_id) for every
+    strictly-overlapping rectangle pair — the canonical A x B form of
+    ``bbox_self_join`` (same PBSM cells, same canonical-cell reporting;
+    pairs are (left, right), NOT id-ordered). Both inputs carry
+    (id, xmin, ymin, xmax, ymax) int64 with non-negative coords.
+
+    Plan: tag each side, union the thin tagged cell rows (a union of
+    streams, no exchange), one groupby(cell), in-cell left-vs-right
+    vectorized overlap. Same partitioning assumption as the self join.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def tagger(side: int):
+        def tag(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(len(batch), side, np.int64), pa.int64())
+            )
+
+        return tag
+
+    # reuse the cell fanout by composing: fan out first, then tag
+    def fan_and_tag(side: int):
+        tag = tagger(side)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            return tag(_bbox_to_cells(batch, cell_size, id_col))
+
+        return fn
+
+    lt = left_ds.map_batches(fan_and_tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(fan_and_tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    tagged = lt.union(rt)
+
+    def overlap_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"left_id": pa.array([], pa.int64()), "right_id": pa.array([], pa.int64())}
+        )
+        side = group["side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        cell = int(group["cell"][0].as_py())
+        cgx, cgy = cell >> 32, cell & 0xFFFFFFFF
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        x0 = group["xmin"].to_numpy(zero_copy_only=False)
+        y0 = group["ymin"].to_numpy(zero_copy_only=False)
+        x1 = group["xmax"].to_numpy(zero_copy_only=False)
+        y1 = group["ymax"].to_numpy(zero_copy_only=False)
+        ia, ib = np.repeat(li, len(ri)), np.tile(ri, len(li))
+        hit = (
+            (x0[ia] < x1[ib]) & (x0[ib] < x1[ia])
+            & (y0[ia] < y1[ib]) & (y0[ib] < y1[ia])
+        )
+        ia, ib = ia[hit], ib[hit]
+        if len(ia) == 0:
+            return empty
+        corner_x = np.maximum(x0[ia], x0[ib]) // cell_size
+        corner_y = np.maximum(y0[ia], y0[ib]) // cell_size
+        mine = (corner_x == cgx) & (corner_y == cgy)
+        ia, ib = ia[mine], ib[mine]
+        if len(ia) == 0:
+            return empty
+        order = np.lexsort((ids[ib], ids[ia]))
+        return pa.table(
+            {
+                "left_id": pa.array(ids[ia][order], pa.int64()),
+                "right_id": pa.array(ids[ib][order], pa.int64()),
+            }
+        )
+
+    return (
+        tagged.groupby("cell")
+        .map_groups(overlap_pairs, batch_format="pyarrow")
+        .sort(["left_id", "right_id"])
     )

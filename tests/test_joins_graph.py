@@ -570,3 +570,53 @@ def test_bbox_self_join_edges(ray_session):
         got = list(zip(out["id_a"].astype(int), out["id_b"].astype(int)))
         assert sorted(got) == sorted(ref)
         assert len(got) == len(set(got))  # each pair exactly once
+
+
+def test_bbox_two_table_join(ray_session):
+    """A x B bbox join == brute-force reference, layout-invariant; left
+    and right roles are not symmetric in the output columns."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import bbox_join
+
+    rng = np.random.default_rng(6)
+
+    def mk(n, seed_shift):
+        x0 = rng.integers(0, 1000, n)
+        y0 = rng.integers(0, 1000, n)
+        w = rng.integers(1, 300, n)
+        h = rng.integers(1, 300, n)
+        return pa.table(
+            {
+                "id": pa.array(np.arange(n) + seed_shift, pa.int64()),
+                "xmin": pa.array(x0, pa.int64()),
+                "ymin": pa.array(y0, pa.int64()),
+                "xmax": pa.array(x0 + w, pa.int64()),
+                "ymax": pa.array(y0 + h, pa.int64()),
+            }
+        )
+
+    L, R = mk(40, 0), mk(60, 1000)
+    ref = set()
+    for i in range(len(L)):
+        for j in range(len(R)):
+            if (
+                L["xmin"][i].as_py() < R["xmax"][j].as_py()
+                and R["xmin"][j].as_py() < L["xmax"][i].as_py()
+                and L["ymin"][i].as_py() < R["ymax"][j].as_py()
+                and R["ymin"][j].as_py() < L["ymax"][i].as_py()
+            ):
+                ref.add((L["id"][i].as_py(), R["id"][j].as_py()))
+    assert len(ref) > 50  # dense enough to be a real test
+
+    for nl, nr in ((1, 1), (4, 3)):
+        out = bbox_join(
+            ray.data.from_arrow(L).repartition(nl),
+            ray.data.from_arrow(R).repartition(nr),
+            cell_size=256,
+        ).to_pandas()
+        got = list(zip(out["left_id"].astype(int), out["right_id"].astype(int)))
+        assert sorted(got) == sorted(ref)
+        assert len(got) == len(set(got))
