@@ -142,6 +142,7 @@ EXTRA_QUERY_ORDER = [
     "docs_heavy_tokens",
     "docs_bbox_join",
     "docs_customer_bbox_join",
+    "docs_bbox_overlap_area",
     "embeddings_semdedup",
     "media_phash_dups",
 ]

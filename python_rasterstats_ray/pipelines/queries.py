@@ -3356,6 +3356,56 @@ ORDER BY left_id, right_id
 """
 
 
+def q_docs_bbox_overlap_area(sf_dir: str):
+    """Spatial aggregate over the bbox join: per doc rect, TOTAL overlap
+    area with the customer rect set — distributive per-cell clipped
+    areas, NO duplicate-elimination pass (see
+    ``stages/joins.py::bbox_join_area``)."""
+    from python_rasterstats_ray.stages.joins import bbox_join_area
+
+    left = _read(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        _doc_rects_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    right = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        _cust_rects_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bbox_join_area(left, right, cell_size=BBOX_CELL).rename_columns(
+        {"left_id": "doc_id"}
+    )
+
+
+SQL_DOCS_BBOX_OVERLAP_AREA = """
+WITH l AS (
+  SELECT doc_id AS id,
+         (doc_id * 2654435761) % 3840 AS xmin,
+         (doc_id * 40503) % 3840 AS ymin,
+         (doc_id * 2654435761) % 3840
+           + (64 + (doc_id * 9973) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS xmax,
+         (doc_id * 40503) % 3840
+           + (64 + (doc_id * 7817) % 192)
+             * (CASE WHEN doc_id % 97 = 0 THEN 8 ELSE 1 END) AS ymax
+  FROM documents
+),
+r AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 1103515245) % 3840 AS xmin,
+         (c_custkey * 69069) % 3840 AS ymin,
+         (c_custkey * 1103515245) % 3840 + 64 + (c_custkey * 6151) % 192 AS xmax,
+         (c_custkey * 69069) % 3840 + 64 + (c_custkey * 3079) % 192 AS ymax
+  FROM customer
+)
+SELECT l.id AS doc_id,
+       CAST(sum((least(l.xmax, r.xmax) - greatest(l.xmin, r.xmin))
+                * (least(l.ymax, r.ymax) - greatest(l.ymin, r.ymin))) AS BIGINT) AS area
+FROM l JOIN r
+  ON l.xmin < r.xmax AND r.xmin < l.xmax
+ AND l.ymin < r.ymax AND r.ymin < l.ymax
+GROUP BY l.id
+ORDER BY doc_id
+"""
+
+
 HH_NUM, HH_DEN = 1, 33  # heavy-hitter threshold: count >= total/33 (~3%)
 
 
@@ -3484,6 +3534,7 @@ ORACLE_SQL = {
     "docs_heavy_tokens": SQL_DOCS_HEAVY_TOKENS,
     "docs_bbox_join": SQL_DOCS_BBOX_JOIN,
     "docs_customer_bbox_join": SQL_DOCS_CUSTOMER_BBOX_JOIN,
+    "docs_bbox_overlap_area": SQL_DOCS_BBOX_OVERLAP_AREA,
     "docs_chunk": SQL_DOCS_CHUNK,
     "docs_decontaminate_bloom": SQL_DOCS_DECONTAMINATE,
     "docs_incremental_dedup": SQL_DOCS_INCREMENTAL_DEDUP,
@@ -3596,4 +3647,5 @@ QUERIES = {
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_bbox_join": q_docs_bbox_join,
     "docs_customer_bbox_join": q_docs_customer_bbox_join,
+    "docs_bbox_overlap_area": q_docs_bbox_overlap_area,
 }

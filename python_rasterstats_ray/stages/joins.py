@@ -397,3 +397,78 @@ def bbox_join(left_ds, right_ds, cell_size: int, id_col: str = "id"):
         .map_groups(overlap_pairs, batch_format="pyarrow")
         .sort(["left_id", "right_id"])
     )
+
+
+def bbox_join_area(left_ds, right_ds, cell_size: int, id_col: str = "id"):
+    """Per-left-rect TOTAL intersection area with the right set — the
+    spatial-aggregate composition of :func:`bbox_join`.
+
+    Instead of canonical-cell pair dedup, each cell contributes the area
+    of (intersection CLIPPED to the cell): clipped areas are DISJOINT
+    across cells and sum to the full intersection area, so the aggregate
+    is distributive and needs no duplicate elimination at all — per-cell
+    integer partials -> one groupby(left_id) sum. Left rects with no
+    overlap are absent from the result (join semantics; left-outer by
+    unioning zero rows is a caller concern).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    def fan(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = _bbox_to_cells(batch, cell_size, id_col)
+            return t.append_column(
+                "side", pa.array(np.full(len(t), side, np.int64), pa.int64())
+            )
+
+        return fn
+
+    lt = left_ds.map_batches(fan(0), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right_ds.map_batches(fan(1), batch_format="pyarrow", zero_copy_batch=True)
+    tagged = lt.union(rt)
+
+    def cell_partials(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"left_id": pa.array([], pa.int64()), "area": pa.array([], pa.int64())}
+        )
+        side = group["side"].to_numpy(zero_copy_only=False)
+        li = np.flatnonzero(side == 0)
+        ri = np.flatnonzero(side == 1)
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        cell = int(group["cell"][0].as_py())
+        cgx, cgy = cell >> 32, cell & 0xFFFFFFFF
+        cx0, cy0 = cgx * cell_size, cgy * cell_size
+        cx1, cy1 = cx0 + cell_size, cy0 + cell_size
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        x0 = group["xmin"].to_numpy(zero_copy_only=False)
+        y0 = group["ymin"].to_numpy(zero_copy_only=False)
+        x1 = group["xmax"].to_numpy(zero_copy_only=False)
+        y1 = group["ymax"].to_numpy(zero_copy_only=False)
+        ia, ib = np.repeat(li, len(ri)), np.tile(ri, len(li))
+        # intersection clipped to this cell (disjoint across cells)
+        ix0 = np.maximum(np.maximum(x0[ia], x0[ib]), cx0)
+        iy0 = np.maximum(np.maximum(y0[ia], y0[ib]), cy0)
+        ix1 = np.minimum(np.minimum(x1[ia], x1[ib]), cx1)
+        iy1 = np.minimum(np.minimum(y1[ia], y1[ib]), cy1)
+        w = ix1 - ix0
+        h = iy1 - iy0
+        hit = (w > 0) & (h > 0)
+        if not hit.any():
+            return empty
+        lids = ids[ia[hit]]
+        areas = (w[hit] * h[hit]).astype(np.int64)
+        ul, inv = np.unique(lids, return_inverse=True)
+        sums = np.zeros(len(ul), np.int64)
+        np.add.at(sums, inv, areas)
+        return pa.table(
+            {"left_id": pa.array(ul, pa.int64()), "area": pa.array(sums, pa.int64())}
+        )
+
+    partials = tagged.groupby("cell").map_groups(cell_partials, batch_format="pyarrow")
+    return (
+        partials.groupby("left_id")
+        .sum("area")
+        .rename_columns({"sum(area)": "area"})
+        .sort("left_id")
+    )

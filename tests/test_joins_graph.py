@@ -620,3 +620,59 @@ def test_bbox_two_table_join(ray_session):
         got = list(zip(out["left_id"].astype(int), out["right_id"].astype(int)))
         assert sorted(got) == sorted(ref)
         assert len(got) == len(set(got))
+
+
+def test_bbox_join_area_clipped_sums(ray_session):
+    """Per-cell CLIPPED intersection areas sum to the exact total overlap
+    area (disjoint across cells — no dedup pass), including intersections
+    spanning many cells."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.joins import bbox_join_area
+
+    def tbl(rows):
+        cols = list(zip(*rows))
+        return pa.table(
+            {
+                k: pa.array(np.asarray(v, np.int64), pa.int64())
+                for k, v in zip(["id", "xmin", "ymin", "xmax", "ymax"], cols)
+            }
+        )
+
+    left = tbl([
+        (0, 0, 0, 1000, 1000),    # big: intersections span many 256-cells
+        (1, 10, 10, 20, 20),      # small, inside right 100
+        (2, 5000, 5000, 5100, 5100),  # no overlap
+    ])
+    right = tbl([
+        (100, 0, 0, 600, 600),
+        (101, 500, 500, 1500, 1500),
+        (102, 15, 15, 30, 30),
+    ])
+
+    # exact reference
+    ref = {}
+    for i in range(len(left)):
+        tot = 0
+        for j in range(len(right)):
+            w = min(left["xmax"][i].as_py(), right["xmax"][j].as_py()) - max(
+                left["xmin"][i].as_py(), right["xmin"][j].as_py()
+            )
+            h = min(left["ymax"][i].as_py(), right["ymax"][j].as_py()) - max(
+                left["ymin"][i].as_py(), right["ymin"][j].as_py()
+            )
+            if w > 0 and h > 0:
+                tot += w * h
+        if tot:
+            ref[left["id"][i].as_py()] = tot
+
+    out = bbox_join_area(
+        ray.data.from_arrow(left).repartition(2),
+        ray.data.from_arrow(right),
+        cell_size=256,
+    ).to_pandas()
+    got = dict(zip(out["left_id"].astype(int), out["area"].astype(int)))
+    assert got == ref
+    assert 2 not in got  # no-overlap rect absent (join semantics)
