@@ -2106,3 +2106,39 @@ def test_heavy_hitters_exact(ray_session):
         )
         got = dict(zip(out["word"], out["n"].astype(int)))
         assert got == ref
+
+
+def test_epoch_shuffle_property_extreme_ids(ray_session):
+    """Property sweep: arbitrary unique int64 ids (negative, huge,
+    adjacent) still produce a valid, reference-matching permutation —
+    splitmix64 is bijective so no ties exist."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.ordering import epoch_shuffle, shuffle_keys
+
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        ids = np.unique(
+            np.concatenate(
+                [
+                    rng.integers(-(2**62), 2**62, 800, dtype=np.int64),
+                    np.array(
+                        [0, 1, -1, 2**63 - 1, -(2**63), 42, 43], dtype=np.int64
+                    ),
+                ]
+            )
+        )
+        rng.shuffle(ids)
+        keys = shuffle_keys(ids, seed=trial)
+        assert len(np.unique(keys)) == len(ids)  # bijective on the sample
+        order = np.argsort(keys, kind="stable")
+        ref = {int(ids[order[i]]): i for i in range(len(ids))}
+
+        tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+        out = epoch_shuffle(
+            ray.data.from_arrow(tbl).repartition(1 + trial * 3), seed=trial
+        ).to_pandas()
+        got = dict(zip(out["doc_id"].astype(int), out["epoch_pos"].astype(int)))
+        assert got == ref
