@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -314,6 +315,93 @@ def cmd_shards(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """End-to-end training-data prep: exact dedup -> epoch shuffle ->
+    fixed-size shards WRITTEN as parquet partitioned by shard
+    (``out_dir/shard_id=K/``), plus ``_manifest.json`` with per-shard
+    doc counts and xor-of-sha256 byte-identity digests computed by
+    READING BACK the written files (the manifest doubles as write
+    validation — pipelines/checkpoint.py's lineage rule)."""
+    ray, owned = _ray_up()
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from .pipelines.webpages import sha256_hex, xor_digest
+    from .stages.dedup import exact_dedup_keep_first
+    from .stages.joins import join_auto
+    from .stages.ordering import epoch_shuffle
+
+    full = ray.data.read_parquet(args.docs)
+    thin = ray.data.read_parquet(args.docs, columns=[args.id_col, args.text_col])
+    survivors = exact_dedup_keep_first(
+        thin, text_col=args.text_col, id_col=args.id_col
+    ).rename_columns({"rep_doc_id": args.id_col})
+    pos = epoch_shuffle(survivors, seed=args.seed, id_col=args.id_col)
+
+    shard_docs = args.shard_docs
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        ep = batch["epoch_pos"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                args.id_col: batch[args.id_col],
+                "shard_id": pa.array(ep // shard_docs, pa.int64()),
+            }
+        )
+
+    assign = pos.map_batches(to_shard, batch_format="pyarrow", zero_copy_batch=True)
+    joined = join_auto(full, assign, on=[args.id_col], join_type="inner")
+    joined.write_parquet(args.out_dir, partition_cols=["shard_id"])
+
+    # manifest from the WRITTEN files (read-back validation)
+    back = ray.data.read_parquet(args.out_dir, columns=["shard_id", args.text_col])
+
+    def digest_partials(batch: pa.Table) -> pa.Table:
+        sh = np.asarray(batch["shard_id"].to_pylist(), dtype=np.int64)
+        shas = sha256_hex(batch[args.text_col].to_pylist())
+        us = np.unique(sh)
+        n = np.zeros(len(us), np.int64)
+        acc = [0] * len(us)
+        idx = np.searchsorted(us, sh)
+        for i, h in zip(idx, shas):
+            n[i] += 1
+            acc[i] ^= int(h, 16)
+        return pa.table(
+            {
+                "shard_id": pa.array(us, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+                "digest": pa.array([f"{a:064x}" for a in acc], pa.string()),
+            }
+        )
+
+    import pandas as pd
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "shard_id": [int(group["shard_id"].iloc[0])],
+                "n_docs": [int(group["n"].sum())],
+                "digest": [xor_digest(group["digest"])],
+            }
+        )
+
+    manifest = (
+        back.map_batches(digest_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard_id")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values("shard_id")
+    )
+    rows = manifest.to_dict(orient="records")
+    with open(os.path.join(args.out_dir, "_manifest.json"), "w") as f:
+        json.dump(rows, f)
+    print(json.dumps({"out_dir": args.out_dir, "shards": len(rows),
+                      "n_docs": int(manifest["n_docs"].sum())}))
+    _ray_down(ray, owned)
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python_rasterstats_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -419,6 +507,15 @@ def build_parser() -> argparse.ArgumentParser:
     tsh = sub.add_parser("shards", help="training-shard manifest (dedup->shuffle->digests)")
     tsh.add_argument("sf_dir", help="directory holding documents.parquet")
     tsh.set_defaults(fn=cmd_shards)
+
+    pp = sub.add_parser("prep", help="dedup->shuffle->write shard parquet + digest manifest")
+    pp.add_argument("docs")
+    pp.add_argument("out_dir")
+    pp.add_argument("--seed", type=int, default=7)
+    pp.add_argument("--shard-docs", type=int, default=64)
+    pp.add_argument("--id-col", default="doc_id")
+    pp.add_argument("--text-col", default="text")
+    pp.set_defaults(fn=cmd_prep)
 
     pr = sub.add_parser("dedup-probe", help="dedup a new shard against a persisted store")
     pr.add_argument("docs")

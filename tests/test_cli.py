@@ -202,3 +202,36 @@ def test_cli_ordering_ops(ray_session, capsys, tmp_path):
     rows = json.loads(out.strip().splitlines()[-1])
     assert sum(r["n_docs"] for r in rows) <= n_docs  # dedup may drop rows
     assert all(len(r["digest"]) == 64 for r in rows)
+
+
+def test_cli_prep_writes_shards(ray_session, capsys, tmp_path):
+    """prep writes shard-partitioned parquet; the read-back manifest
+    matches the SQL-oracled docs_training_shards query exactly (same
+    dedup+shuffle+digest semantics) and the manifest digests come from
+    the WRITTEN files."""
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards_out")
+    rc, outtxt = run_cli(capsys, ["prep", f"{sf}/documents.parquet", out])
+    assert rc == 0
+    info = json.loads(outtxt.strip().splitlines()[-1])
+    assert info["shards"] >= 2
+
+    import os
+
+    dirs = [d for d in os.listdir(out) if d.startswith("shard_id=")]
+    assert len(dirs) == info["shards"]
+    manifest = json.load(open(f"{out}/_manifest.json"))
+
+    # cross-check against the oracle-gated composite query
+    from python_rasterstats_ray.pipelines.queries import q_docs_training_shards
+
+    ref = q_docs_training_shards(sf).to_pandas().sort_values("shard_id")
+    got = {m["shard_id"]: (m["n_docs"], m["digest"]) for m in manifest}
+    for r in ref.itertuples():
+        assert got[int(r.shard_id)] == (int(r.n_docs), r.digest)
+    assert len(got) == len(ref)
+    # written rows = survivors
+    total = sum(pq.read_table(f"{out}/{d}").num_rows for d in dirs)
+    assert total == int(ref["n_docs"].sum())
