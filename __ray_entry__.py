@@ -145,6 +145,7 @@ EXTRA_QUERY_ORDER = [
     "docs_bbox_overlap_area",
     "embeddings_semdedup",
     "media_phash_dups",
+    "knn_ivfpq",
 ]
 
 
@@ -287,6 +288,34 @@ def _q_embeddings_kmeans(sf_dir: str):
     return kmeans_clusters(ds, k=8, n_iter=6)
 
 
+def _q_knn_ivfpq(sf_dir: str):
+    import tempfile
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import (
+        ivfpq_write_partitioned,
+        knn_ivfpq_from_store,
+        pq_train_int,
+        train_centroids,
+    )
+
+    # FAISS-IVFADC shape: fused assign+encode store, probe-pruned integer
+    # ADC scan — bit-identical to the sequential reference (pytest)
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qt = qt.slice(0, 3)
+    qids = np.asarray(qt["vec_id"].to_pylist(), dtype=np.int64)
+    qmat = np.stack(qt["embedding"].to_pylist()).astype(np.float64)
+    cents = train_centroids(ds, n_centroids=8)
+    books = pq_train_int(ds, n_subspaces=4, n_codes=16, n_iter=4)
+    store = tempfile.mkdtemp(prefix="prsr_ivfpq_", dir="/tmp")
+    ivfpq_write_partitioned(ds, cents, books, store)
+    return knn_ivfpq_from_store(store, (qids, qmat), cents, books, k=10, nprobe=3)
+
+
 def _q_embeddings_semdedup(sf_dir: str):
     import ray.data
 
@@ -386,6 +415,7 @@ def _all_queries() -> dict[str, Callable[[str], Any]]:
             "embeddings_kmeans": _q_embeddings_kmeans,
             "embeddings_semdedup": _q_embeddings_semdedup,
             "media_phash_dups": _q_media_phash_dups,
+            "knn_ivfpq": _q_knn_ivfpq,
             "docs_kll_quantiles": _q_docs_kll_quantiles,
             "flagship_checkpointed": _q_flagship_checkpointed,
             "pages_pipeline": _q_pages_pipeline,

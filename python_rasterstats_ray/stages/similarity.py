@@ -672,3 +672,194 @@ def knn_pq(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- IVF-PQ (IVFADC)
+#
+# The combined at-scale ANN shape (FAISS IVFADC; Jegou et al. 2011):
+# IVF prunes WHICH partitions are read at all (storage-level, like
+# knn_ivf_from_store), PQ compresses WHAT is stored and scanned (uint8
+# codes, like knn_pq). Ingest = ONE pass (fused coarse-assign + encode)
+# written partitioned by list; a query reads only its nprobe partitions'
+# code files and runs the integer ADC scan restricted per query to its
+# own probe set. All arithmetic is the same int64 fixed-point as the
+# component operators, so the composition is bit-identical to the
+# sequential reference in tests.
+
+
+def ivfpq_write_partitioned(
+    emb_ds,
+    centroids: np.ndarray,
+    books: np.ndarray,
+    out_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Fused ingest: per batch, cosine coarse-assign (broadcast
+    centroids) AND PQ-encode (broadcast codebooks), then write
+    (id, pq_code) rows partitioned ``out_dir/ivf_list=<k>/``. Raw
+    vectors never hit the store — a 64-dim float corpus persists as
+    n_sub bytes/vector plus the directory key."""
+    import ray
+
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class FusedKernel:
+        def __init__(self):
+            self.cents = ray.get(cref).T
+            self.books = ray.get(bref)
+            self.b_sq = np.sum(self.books * self.books, axis=2)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ns, nc, dsub = self.books.shape
+            embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+            part = np.argmax(_unit_rows(embs) @ self.cents, axis=1)
+            x = _micro_block(batch, emb_col)
+            codes = np.zeros((len(batch), ns), np.uint8)
+            for s in range(ns):
+                xs = x[:, s * dsub : (s + 1) * dsub]
+                scores = self.b_sq[s][None, :] - 2 * (xs @ self.books[s].T)
+                codes[:, s] = np.argmin(scores, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "pq_code": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+                    "ivf_list": pa.array(part.astype(np.int64), pa.int64()),
+                }
+            )
+
+    from ._cluster import pool
+
+    encoded = emb_ds.map_batches(
+        FusedKernel, batch_format="pyarrow", concurrency=pool(), zero_copy_batch=True
+    )
+    encoded.write_parquet(out_dir, partition_cols=["ivf_list"])
+
+
+class IVFPQScanKernel(PQScanKernel):
+    """ADC scan restricted PER QUERY to its probed IVF lists: rows carry
+    ``ivf_list``; query j only scores rows whose list is in probes[j]."""
+
+    def __init__(self, books_ref, queries_ref, probes_ref, k: int, id_col: str):
+        import ray
+
+        super().__init__(books_ref, queries_ref, k, id_col)
+        self.probes = [set(map(int, row)) for row in ray.get(probes_ref)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
+        ns = self.books.shape[0]
+        n = len(batch)
+        col = batch["pq_code"].combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], col.type)
+        if hasattr(col, "flatten"):
+            codes = np.asarray(col.flatten()).astype(np.int64).reshape(n, ns)
+        else:
+            codes = np.stack(col.to_numpy(zero_copy_only=False)).astype(
+                np.int64
+            ).reshape(n, ns)
+        sub = np.arange(ns)[None, :]
+        out_q, out_id, out_d = [], [], []
+        for j, qid in enumerate(self.qids):
+            probe_lists = np.fromiter(self.probes[j], dtype=np.int64)
+            mask = np.isin(lists, probe_lists)
+            if not mask.any():
+                continue
+            mids, mcodes = ids[mask], codes[mask]
+            dist = self.lut[j][sub, mcodes].sum(axis=1)
+            top = np.lexsort((mids, dist))[: min(self.k, len(mids))]
+            out_q.extend([int(qid)] * len(top))
+            out_id.extend(mids[top].tolist())
+            out_d.extend(dist[top].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "adc_dist": pa.array(out_d, pa.int64()),
+            }
+        )
+
+
+def knn_ivfpq_from_store(
+    store_dir: str,
+    queries: tuple[np.ndarray, np.ndarray],
+    centroids: np.ndarray,
+    books: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    concurrency=None,
+):
+    """Approximate top-k over an ``ivfpq_write_partitioned`` store: read
+    ONLY the union of the queries' probed partitions (code files — a few
+    bytes per vector), integer ADC scan restricted per query, per-block
+    partial top-k, one tiny merge groupby."""
+    import glob
+
+    import ray
+    import ray.data
+
+    qids, qmat = queries
+    qunit = _unit_rows(np.asarray(qmat, np.float64))
+    probes = np.argsort(-(qunit @ centroids.T), axis=1)[:, :nprobe]
+    needed = sorted({int(p) for row in probes for p in row})
+    parts = []
+    for p in needed:
+        files = sorted(glob.glob(f"{store_dir}/ivf_list={p}/*.parquet"))
+        if not files:
+            continue
+        d = ray.data.read_parquet(files, columns=[id_col, "pq_code"])
+
+        def tag(batch: pa.Table, _p: int = p) -> pa.Table:
+            return batch.append_column(
+                "ivf_list", pa.array(np.full(len(batch), _p, dtype=np.int64))
+            )
+
+        parts.append(d.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True))
+    if not parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "adc_dist": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    ds = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    partials = ds.map_batches(
+        IVFPQScanKernel,
+        fn_constructor_kwargs=dict(
+            books_ref=ray.put(books),
+            queries_ref=ray.put((qids, qmat)),
+            probes_ref=ray.put(probes),
+            k=k,
+            id_col=id_col,
+        ),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = group["query_id"][0].as_py()
+        dist = group["adc_dist"].to_numpy(zero_copy_only=False)
+        nids = group["neighbor_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nids, dist))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(order), pa.int64()),
+                "neighbor_id": pa.array(nids[order], pa.int64()),
+                "adc_dist": pa.array(dist[order], pa.int64()),
+                "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

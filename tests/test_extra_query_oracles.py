@@ -116,6 +116,7 @@ ROWS_ONLY = {
     "docs_kll_quantiles": 6,
     "embeddings_semdedup": 100,
     "media_phash_dups": 20,
+    "knn_ivfpq": 30,
 }
 
 # derive the oracled list from the registry so a new extra query is

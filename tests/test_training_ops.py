@@ -2142,3 +2142,74 @@ def test_epoch_shuffle_property_extreme_ids(ray_session):
         ).to_pandas()
         got = dict(zip(out["doc_id"].astype(int), out["epoch_pos"].astype(int)))
         assert got == ref
+
+
+def test_ivfpq_store_matches_sequential(ray_session, tmp_path):
+    """IVF-PQ store (fused assign+encode, partitioned write, probe-pruned
+    integer ADC scan) == a sequential IVFADC reference: same coarse
+    routing, same codes, same per-query restricted top-k; only probed
+    partitions' files exist/are read."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from python_rasterstats_ray.stages.similarity import (
+        KMEANS_SCALE,
+        ivfpq_write_partitioned,
+        knn_ivfpq_from_store,
+        pq_train_int,
+        train_centroids,
+        _unit_rows,
+    )
+
+    rng = np.random.default_rng(23)
+    n, d = 400, 16
+    x = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in x], pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    cents = train_centroids(ds, n_centroids=6)
+    books = pq_train_int(ds, n_subspaces=4, n_codes=8, n_iter=4)
+
+    store = str(tmp_path / "ivfpq")
+    ivfpq_write_partitioned(ds, cents, books, store)
+    assert any(p.startswith("ivf_list=") for p in os.listdir(store))
+
+    qids = np.array([3, 77, 201], np.int64)
+    qmat = x[qids]
+    nprobe, k = 3, 5
+    out = (
+        knn_ivfpq_from_store(store, (qids, qmat), cents, books, k=k, nprobe=nprobe)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+    )
+
+    # sequential IVFADC reference
+    assign = np.argmax(_unit_rows(x) @ cents.T, axis=1)
+    xm = np.round(x * KMEANS_SCALE).astype(np.int64)
+    ns, nc, dsub = books.shape
+    codes = np.zeros((n, ns), np.int64)
+    for s in range(ns):
+        xs = xm[:, s * dsub : (s + 1) * dsub]
+        scores = np.sum(books[s] * books[s], axis=1)[None, :] - 2 * (xs @ books[s].T)
+        codes[:, s] = np.argmin(scores, axis=1)
+    qm = np.round(qmat * KMEANS_SCALE).astype(np.int64)
+    probes = np.argsort(-(_unit_rows(qmat) @ cents.T), axis=1)[:, :nprobe]
+    for j, qid in enumerate(qids):
+        mask = np.isin(assign, probes[j])
+        mids = np.arange(n)[mask]
+        lut = np.empty((ns, nc), np.int64)
+        for s in range(ns):
+            diff = qm[j, s * dsub : (s + 1) * dsub][None, :] - books[s]
+            lut[s] = np.sum(diff * diff, axis=1)
+        dist = lut[np.arange(ns)[None, :], codes[mask]].sum(axis=1)
+        top = np.lexsort((mids, dist))[:k]
+        sub = out[out["query_id"] == qid]
+        assert sub["neighbor_id"].tolist() == mids[top].tolist()
+        assert sub["adc_dist"].tolist() == dist[top].tolist()
