@@ -146,6 +146,9 @@ EXTRA_QUERY_ORDER = [
     "embeddings_semdedup",
     "media_phash_dups",
     "knn_ivfpq",
+    "raster_focal_mean",
+    "raster_downsample",
+    "raster_calc_ndvi",
 ]
 
 

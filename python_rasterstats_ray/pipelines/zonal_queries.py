@@ -29,6 +29,7 @@ from ..sources.oracle_fixtures import (
 )
 
 HOLES_H = 512
+HOLES_SHAPE_W = 512
 CLASSES_H = 384
 
 
@@ -307,6 +308,57 @@ def q_point_query_features(sf_dir: str):
     return out.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# ------------------------------------------- focal / resample / algebra
+
+
+def _tiles_ds(raster_name: str, tile_size: int = 128):
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster(raster_name)
+    return ray.data.from_arrow(raster_to_tiles_table(arr, affine, nodata, tile_size=tile_size)), arr, nodata
+
+
+def q_raster_focal_mean(sf_dir: str):
+    """3x3 nodata-aware focal mean over 'holes' via distributed halo
+    exchange (stages/focal.py): tile cores + radius-1 strips shuffle once
+    on cell, integral-image box sums per assembled window. Output is a
+    deterministic pixel sample (row*W + col) % 97 == 0 incl. raster
+    borders and all-nodata neighborhoods (fcnt 0 -> null mean)."""
+    from ..stages.focal import focal_mean_tiled, sample_focal_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    focal = focal_mean_tiled(tiles, arr.shape, nodata, radius=1, tile_size=128)
+    return sample_focal_pixels(focal, arr.shape[1], 97)
+
+
+def q_raster_downsample(sf_dir: str):
+    """Factor-8 mean pooling of 'holes' to a 64x64 grid: per-tile bincount
+    partials then a thin per-coarse-pixel merge; all-nodata coarse blocks
+    keep cnt 0 with null sum/mean."""
+    from ..stages.focal import downsample_mean
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    return downsample_mean(tiles, 8, nodata)
+
+
+def q_raster_calc_ndvi(sf_dir: str):
+    """Normalized-difference map algebra (a - b) / (a + b) over the
+    grid-aligned 'holes' and 'terrain' rasters: operand tiles co-located
+    by one union + groupby(cell); either-nodata pixels are null. Output
+    is the (row*W + col) % 89 == 0 pixel sample."""
+    from ..stages.focal import raster_calc_tiled, sample_calc_pixels
+
+    tiles_a, arr, nodata_a = _tiles_ds("holes")
+    tiles_b, _arr_b, nodata_b = _tiles_ds("terrain")
+    calc = raster_calc_tiled(
+        tiles_a, tiles_b, lambda a, b: (a - b) / (a + b), nodata_a, nodata_b
+    )
+    return sample_calc_pixels(calc, arr.shape[1], 89)
+
+
 # ------------------------------------------------------------- SQL side
 
 
@@ -534,6 +586,54 @@ SQL_ZONAL_IRREGULAR_TILED = _irregular_sql("tiled")
 SQL_ZONAL_IRREGULAR_BROADCAST = _irregular_sql("broadcast")
 
 
+# 3x3 focal mean: 9-offset hash join (not a range join) over the exploded
+# pixels; LEFT JOIN keeps all-nodata neighborhoods as (NULL sum, 0 cnt).
+# p is pre-filtered to the sampled pixels (incl. nodata centers: the
+# engine emits every in-raster pixel).
+SQL_RASTER_FOCAL_MEAN = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 97 = 0
+),
+n AS (
+  SELECT p.row, p.col, sum(q.val) AS fsum, count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col, fsum, CAST(fcnt AS BIGINT) AS fcnt,
+       CASE WHEN fcnt = 0 THEN NULL ELSE fsum / fcnt END AS fmean
+FROM n
+"""
+
+
+SQL_RASTER_DOWNSAMPLE = f"""
+SELECT CAST(floor(row / 8) AS BIGINT) AS crow,
+       CAST(floor(col / 8) AS BIGINT) AS ccol,
+       count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+       sum(CASE WHEN NOT is_nodata THEN val END) AS "sum",
+       sum(CASE WHEN NOT is_nodata THEN val END)
+         / count(CASE WHEN NOT is_nodata THEN 1 END) AS mean
+FROM {_px("holes")}
+GROUP BY crow, ccol
+"""
+
+
+SQL_RASTER_CALC_NDVI = f"""
+SELECT a.row, a.col,
+       CASE WHEN a.is_nodata OR b.is_nodata THEN NULL
+            ELSE (a.val - b.val) / (a.val + b.val) END AS value
+FROM {_px("holes")} a
+JOIN {_px("terrain")} b ON b.row = a.row AND b.col = a.col
+WHERE (a.row * {HOLES_SHAPE_W} + a.col) % 89 = 0
+"""
+
+
 def _bilinear_sql(pts_cte: str, id_cols: str, h: int, raster: str) -> str:
     """SQL mirror of stages/point_dist.PointQueryKernel bilinear semantics:
     banker's-round window centering (fractional parts never .0/.5 by fixture
@@ -623,6 +723,9 @@ ZONAL_QUERIES = {
     "point_query_synthetic": q_point_query_bilinear,
     "point_query_nearest": q_point_query_nearest,
     "point_query_features": q_point_query_features,
+    "raster_focal_mean": q_raster_focal_mean,
+    "raster_downsample": q_raster_downsample,
+    "raster_calc_ndvi": q_raster_calc_ndvi,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -640,4 +743,7 @@ ZONAL_ORACLE_SQL = {
     "point_query_synthetic": SQL_POINT_BILINEAR,
     "point_query_nearest": SQL_POINT_NEAREST,
     "point_query_features": SQL_POINT_FEATURES,
+    "raster_focal_mean": SQL_RASTER_FOCAL_MEAN,
+    "raster_downsample": SQL_RASTER_DOWNSAMPLE,
+    "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,
 }

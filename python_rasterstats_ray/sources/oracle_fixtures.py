@@ -42,7 +42,7 @@ import pyarrow.parquet as pq
 from ..functions.affine import Affine
 from ..functions.geometry import make_box, to_wkb
 
-ORACLE_DIR = "/tmp/prsr_oracle_v5"
+ORACLE_DIR = "/tmp/prsr_oracle_v6"
 
 HOLES_SHAPE = (512, 512)
 CLASSES_SHAPE = (384, 384)
@@ -54,7 +54,18 @@ def oracle_raster(name: str):
 
     'holes': 512x512 integer surface (~0..100) with two rectangular nodata
     patches. 'classes': 384x384 small-int codes 1..5 with one nodata patch.
+    'terrain': 512x512 strictly-positive integer surface (10..110) with its
+    own nodata patch, grid-aligned with 'holes' for map-algebra oracles.
     """
+    if name == "terrain":
+        h, w = HOLES_SHAPE
+        rows = np.arange(h, dtype=np.float64).reshape(h, 1)
+        cols = np.arange(w, dtype=np.float64).reshape(1, w)
+        base = 60.0 + 45.0 * np.sin(rows / 29.0 + 1.0) * np.cos(cols / 31.0 + 2.0)
+        arr = np.floor(base).clip(10.0, None).astype(np.float32)
+        arr[220:260, 100:150] = NODATA
+        affine = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+        return arr, affine, NODATA
     if name == "holes":
         h, w = HOLES_SHAPE
         rows = np.arange(h, dtype=np.float64).reshape(h, 1)
@@ -324,7 +335,7 @@ def ensure_fixtures() -> str:
     tmp = ORACLE_DIR + ".tmp"
     os.makedirs(tmp, exist_ok=True)
 
-    for name in ("holes", "classes"):
+    for name in ("holes", "classes", "terrain"):
         arr, _aff, nodata = oracle_raster(name)
         _write_pixels(os.path.join(tmp, f"pixels_{name}.parquet"), arr, nodata)
 

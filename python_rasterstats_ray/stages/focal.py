@@ -1,0 +1,366 @@
+"""Focal (stencil), resample and map-algebra raster operators.
+
+The reference has no focal ops (rasterstats is zonal/point only), but a
+raster engine needs the stencil operator class: every output pixel
+depends on a (2r+1)^2 neighborhood, so tiles need a radius-r HALO from
+their 8 neighbors. The distributed plan here:
+
+1. ``tile_fragments``: flat-map each tile into fragment rows keyed by
+   the TARGET cell — the whole tile to itself plus thin radius-r edge
+   strips to each existing neighbor (the classic ghost-cell exchange).
+2. ``groupby(cell).map_groups``: assemble the padded (h+2r, w+2r)
+   window (missing fragments = beyond-extent = invalid) and compute the
+   focal kernel over the core via integral-image box sums — one
+   vectorized pass, no per-pixel Python.
+
+Pixels cross the exchange exactly once (core + strips ~= (1 + 4r/T) of
+the raster for tile size T) — the textbook stencil all-to-all. At 100 TB
+the core move disappears entirely by keeping tiles CELL-PARTITIONED on
+shared storage (``stages/bucketed.py`` shape): then only the strip table
+(4r/T of the data) shuffles and each kernel reads its own tile straight
+from its partition, mirroring ``zonal_stats_tiled_from_store``.
+
+``downsample_mean`` (factor-f mean pooling) needs no halo: per-tile
+partials + a thin (coarse_key, cnt, sum) merge handles tiles that
+straddle coarse blocks. ``raster_calc_tiled`` (map algebra over two
+grid-aligned rasters) co-locates operand tiles with one union +
+groupby(cell) — at scale both operands would be cell-partitioned at
+write time and the exchange vanishes the same way.
+
+Sums/cumsums run in float64 over integer-valued pixels, so every partial
+is exactly representable (< 2^53) and results are bit-identical to the
+SQL oracles' sum/count/divide regardless of accumulation order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.tiles import cell_decode, cell_id
+
+__all__ = [
+    "focal_mean_tiled",
+    "downsample_mean",
+    "raster_calc_tiled",
+    "sample_focal_pixels",
+    "sample_calc_pixels",
+]
+
+
+def _tile_arrays(batch: pa.Table):
+    """Zero-copy-ish decode of tile rows -> list of (cell, r0, c0, ndarray)."""
+    cells = batch["cell"].to_numpy()
+    r0s = batch["row_off"].to_numpy()
+    c0s = batch["col_off"].to_numpy()
+    hs = batch["height"].to_numpy()
+    ws = batch["width"].to_numpy()
+    dts = batch["dtype"].to_pylist()
+    pix = batch["pixels"]
+    out = []
+    for i in range(len(batch)):
+        buf = pix[i].as_buffer()
+        arr = np.frombuffer(buf, dtype=np.dtype(dts[i])).reshape(int(hs[i]), int(ws[i]))
+        out.append((int(cells[i]), int(r0s[i]), int(c0s[i]), arr))
+    return out
+
+
+def _n_tiles(shape: tuple[int, int], tile_size: int) -> tuple[int, int]:
+    h, w = shape
+    return (h + tile_size - 1) // tile_size, (w + tile_size - 1) // tile_size
+
+
+def tile_fragments(
+    batch: pa.Table, shape: tuple[int, int], tile_size: int, radius: int
+) -> pa.Table:
+    """One tile -> <= 9 fragment rows keyed by TARGET cell: itself whole,
+    plus radius-wide strips to every in-raster neighbor. Fragment geometry
+    is absolute pixel offsets, so assembly is a pure index placement."""
+    ntr, ntc = _n_tiles(shape, tile_size)
+    cells, fro, fco, fh, fw, dts, payload = [], [], [], [], [], [], []
+    for cell, r0, c0, arr in _tile_arrays(batch):
+        tr, tc = cell_decode(cell)
+        th, tw = arr.shape
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                qr, qc = tr + dr, tc + dc
+                if not (0 <= qr < ntr and 0 <= qc < ntc):
+                    continue
+                # slice of THIS tile the target (qr, qc) needs in its halo:
+                # a target BELOW (dr=1) needs this tile's BOTTOM rows, etc.
+                rs = slice(0, th) if dr == 0 else (
+                    slice(max(0, th - radius), th) if dr == 1 else slice(0, min(radius, th))
+                )
+                cs = slice(0, tw) if dc == 0 else (
+                    slice(max(0, tw - radius), tw) if dc == 1 else slice(0, min(radius, tw))
+                )
+                frag = arr[rs, cs]
+                if frag.size == 0:
+                    continue
+                cells.append(int(cell_id(qr, qc)))
+                fro.append(r0 + rs.start)
+                fco.append(c0 + cs.start)
+                fh.append(frag.shape[0])
+                fw.append(frag.shape[1])
+                dts.append(str(arr.dtype))
+                payload.append(np.ascontiguousarray(frag).tobytes())
+    return pa.table(
+        {
+            "cell": pa.array(cells, pa.int64()),
+            "row_off": pa.array(fro, pa.int32()),
+            "col_off": pa.array(fco, pa.int32()),
+            "height": pa.array(fh, pa.int32()),
+            "width": pa.array(fw, pa.int32()),
+            "dtype": pa.array(dts, pa.string()),
+            "pixels": pa.array(payload, pa.binary()),
+        }
+    )
+
+
+def _box_sum(arr: np.ndarray, k: int) -> np.ndarray:
+    """(h, w) -> (h-k+1, w-k+1) sliding k x k window sums via integral
+    image; float64/int64 inputs with integer values stay exact."""
+    cs = np.zeros((arr.shape[0] + 1, arr.shape[1] + 1), dtype=arr.dtype)
+    np.cumsum(arr, axis=0, out=cs[1:, 1:])
+    np.cumsum(cs[1:, 1:], axis=1, out=cs[1:, 1:])
+    return cs[k:, k:] - cs[:-k, k:] - cs[k:, :-k] + cs[:-k, :-k]
+
+
+def focal_mean_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Nodata-aware focal mean: per in-raster pixel, mean over the valid
+    (in-extent, non-nodata) pixels of its (2r+1)^2 neighborhood. Returns a
+    derived tile Dataset with per-pixel neighbor sums and counts:
+    (cell, row_off, col_off, height, width, fsum:binary f64, fcnt:binary i64).
+    Pixels whose whole neighborhood is nodata get fcnt 0 (mean -> null)."""
+
+    if radius > tile_size:
+        # halo fragments only reach the 8 adjacent tiles
+        raise ValueError(f"radius {radius} exceeds tile_size {tile_size}")
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, radius)
+
+    k = 2 * radius + 1
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        tr, tc = cell_decode(cell)
+        r0, c0 = tr * tile_size, tc * tile_size
+        th = min(tile_size, shape[0] - r0)
+        tw = min(tile_size, shape[1] - c0)
+        vals = np.zeros((th + 2 * radius, tw + 2 * radius), dtype=np.float64)
+        ok = np.zeros_like(vals, dtype=np.int64)
+        for _cell, fr0, fc0, arr in _tile_arrays(group):
+            rr = fr0 - (r0 - radius)
+            cc = fc0 - (c0 - radius)
+            a = arr.astype(np.float64)
+            valid = a != float(nodata)
+            vals[rr : rr + a.shape[0], cc : cc + a.shape[1]] = np.where(valid, a, 0.0)
+            ok[rr : rr + a.shape[0], cc : cc + a.shape[1]] = valid
+        fsum = _box_sum(vals * ok, k)
+        fcnt = _box_sum(ok, k)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "fsum": pa.array([fsum.tobytes()], pa.binary()),
+                "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_focal_pixels(focal_ds, raster_width: int, mod: int):
+    """Deterministic pixel sample of a focal_mean_tiled result:
+    (row, col, fsum, fcnt, fmean) for pixels with (row*W + col) % mod == 0.
+    fsum/fmean are null where the neighborhood had no valid pixel."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, s_o, c_o = [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            fsum = np.frombuffer(batch["fsum"][i].as_buffer(), dtype=np.float64).reshape(th, tw)
+            fcnt = np.frombuffer(batch["fcnt"][i].as_buffer(), dtype=np.int64).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            s_o.append(fsum[pick])
+            c_o.append(fcnt[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        s = np.concatenate(s_o) if s_o else np.empty(0, np.float64)
+        c = np.concatenate(c_o) if c_o else np.empty(0, np.int64)
+        empty = c == 0
+        mean = np.divide(s, c, out=np.full_like(s, np.nan), where=~empty)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "fsum": pa.array(np.where(empty, np.nan, s), pa.float64(), mask=empty),
+                "fcnt": pa.array(c, pa.int64()),
+                "fmean": pa.array(mean, pa.float64(), mask=empty),
+            }
+        )
+
+    return focal_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def downsample_mean(tiles_ds, factor: int, nodata: float):
+    """Factor-f mean pooling to a coarser grid: coarse pixel (R, C) =
+    mean over non-nodata fine pixels with row//f == R, col//f == C.
+    Per-tile bincount partials (handles tiles straddling coarse blocks),
+    then a thin (ckey, cnt, sum) merge — only one row per coarse pixel
+    per touching tile crosses the exchange. Returns
+    (crow:int64, ccol:int64, cnt:int64, sum:f64 null, mean:f64 null)."""
+    f = int(factor)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys_o, cnt_o, sum_o = [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            a = arr.astype(np.float64)
+            gr = (r0 + np.arange(th, dtype=np.int64)) // f
+            gc = (c0 + np.arange(tw, dtype=np.int64)) // f
+            ur, inv_r = np.unique(gr, return_inverse=True)
+            uc, inv_c = np.unique(gc, return_inverse=True)
+            nr, nc = len(ur), len(uc)
+            lk = (inv_r.reshape(th, 1) * nc + inv_c.reshape(1, tw)).ravel()
+            valid = (a != float(nodata)).ravel()
+            cnt = np.bincount(lk[valid], minlength=nr * nc).astype(np.int64)
+            s = np.bincount(lk[valid], weights=a.ravel()[valid], minlength=nr * nc)
+            # every coarse block the tile touches is emitted, even all-nodata
+            keys = (
+                (ur.reshape(nr, 1) << np.int64(32)) | uc.reshape(1, nc)
+            ).ravel()
+            keys_o.append(keys)
+            cnt_o.append(cnt)
+            sum_o.append(s)
+        keys = np.concatenate(keys_o) if keys_o else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "ckey": pa.array(keys, pa.int64()),
+                "cnt": pa.array(
+                    np.concatenate(cnt_o) if cnt_o else np.empty(0, np.int64), pa.int64()
+                ),
+                "s": pa.array(
+                    np.concatenate(sum_o) if sum_o else np.empty(0, np.float64), pa.float64()
+                ),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = int(group["ckey"][0].as_py())
+        cnt = int(np.sum(group["cnt"].to_numpy()))
+        s = float(np.sum(group["s"].to_numpy()))
+        crow, ccol = key >> 32, key & 0xFFFFFFFF
+        null = cnt == 0
+        return pa.table(
+            {
+                "crow": pa.array([crow], pa.int64()),
+                "ccol": pa.array([ccol], pa.int64()),
+                "cnt": pa.array([cnt], pa.int64()),
+                "sum": pa.array([None if null else s], pa.float64()),
+                "mean": pa.array([None if null else s / cnt], pa.float64()),
+            }
+        )
+
+    part = tiles_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("ckey").map_groups(merge, batch_format="pyarrow")
+
+
+def raster_calc_tiled(tiles_a, tiles_b, fn, nodata_a: float, nodata_b: float):
+    """Map algebra over two grid-aligned tiled rasters: out = fn(a, b)
+    per pixel where BOTH operands are valid, null elsewhere. One union +
+    groupby(cell) co-locates operand tiles (at scale: write both
+    cell-partitioned and the exchange vanishes). Returns derived tiles
+    (cell, row_off, col_off, height, width, vals:binary f64,
+    ok:binary u8)."""
+
+    def tag(src: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column("src", pa.array([src] * len(batch), pa.int8()))
+
+        return _t
+
+    def combine(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        srcs = group["src"].to_numpy()
+        parts: dict[int, tuple] = {}
+        for i, (_cell, r0, c0, arr) in enumerate(_tile_arrays(group)):
+            parts[int(srcs[i])] = (r0, c0, arr)
+        if len(parts) != 2:
+            raise ValueError(f"cell {cell}: expected both operands, got {sorted(parts)}")
+        (r0, c0, a), (_r1, _c1, b) = parts[0], parts[1]
+        if a.shape != b.shape:
+            raise ValueError(f"cell {cell}: operand shape mismatch {a.shape} vs {b.shape}")
+        af = a.astype(np.float64)
+        bf = b.astype(np.float64)
+        ok = (af != float(nodata_a)) & (bf != float(nodata_b))
+        out = np.where(ok, fn(af, bf), np.nan)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([a.shape[0]], pa.int32()),
+                "width": pa.array([a.shape[1]], pa.int32()),
+                "vals": pa.array([out.tobytes()], pa.binary()),
+                "ok": pa.array([ok.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    both = tiles_a.map_batches(tag(0), batch_format="pyarrow").union(
+        tiles_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    return both.groupby("cell").map_groups(combine, batch_format="pyarrow")
+
+
+def sample_calc_pixels(calc_ds, raster_width: int, mod: int):
+    """(row, col, value) sample of a raster_calc_tiled result; value is
+    null where either operand was nodata."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, v_o, ok_o = [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            vals = np.frombuffer(batch["vals"][i].as_buffer(), dtype=np.float64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), dtype=np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            v_o.append(vals[pick])
+            ok_o.append(ok[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        v = np.concatenate(v_o) if v_o else np.empty(0, np.float64)
+        ok = (np.concatenate(ok_o) if ok_o else np.empty(0, np.uint8)).astype(bool)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "value": pa.array(v, pa.float64(), mask=~ok),
+            }
+        )
+
+    return calc_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

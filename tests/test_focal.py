@@ -1,0 +1,182 @@
+"""Differential tests for stages/focal.py: the distributed halo-exchange
+focal mean, factor-f downsample and two-raster map algebra must be
+bit-identical to independent sequential numpy references (plain
+nested-loop / reshape implementations that share no code with the
+engine's fragments/integral-image path), across tile layouts and radii.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+from python_rasterstats_ray.stages.focal import (
+    downsample_mean,
+    focal_mean_tiled,
+    raster_calc_tiled,
+    sample_calc_pixels,
+    sample_focal_pixels,
+)
+
+NODATA = -9999.0
+
+
+def _rand_raster(h, w, seed, holes=True):
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 100, size=(h, w)).astype(np.float32)
+    if holes:
+        arr[5:20, 10:30] = NODATA
+        arr[h - 7 : h - 1, 2:9] = NODATA
+    return arr
+
+
+def _focal_reference(arr, radius):
+    """Independent nested-loop reference: per pixel, sum/count of valid
+    in-bounds neighbors in the (2r+1)^2 window."""
+    h, w = arr.shape
+    fsum = np.zeros((h, w), dtype=np.float64)
+    fcnt = np.zeros((h, w), dtype=np.int64)
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    for r in range(h):
+        for c in range(w):
+            r0, r1 = max(0, r - radius), min(h, r + radius + 1)
+            c0, c1 = max(0, c - radius), min(w, c + radius + 1)
+            win = a[r0:r1, c0:c1]
+            ok = valid[r0:r1, c0:c1]
+            fcnt[r, c] = int(ok.sum())
+            fsum[r, c] = float(win[ok].sum())
+    return fsum, fcnt
+
+
+def _collect_focal(arr, radius, tile_size):
+    aff = None  # raster_to_tiles_table ignores affine content for this test
+    from python_rasterstats_ray.functions.affine import Affine
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(
+        raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size)
+    )
+    out = focal_mean_tiled(tiles, arr.shape, NODATA, radius=radius, tile_size=tile_size)
+    got_s = np.full(arr.shape, np.nan)
+    got_c = np.zeros(arr.shape, dtype=np.int64)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0 = batch["row_off"][i].as_py()
+            c0 = batch["col_off"][i].as_py()
+            th = batch["height"][i].as_py()
+            tw = batch["width"][i].as_py()
+            s = np.frombuffer(batch["fsum"][i].as_buffer(), np.float64).reshape(th, tw)
+            c = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            got_s[r0 : r0 + th, c0 : c0 + tw] = s
+            got_c[r0 : r0 + th, c0 : c0 + tw] = c
+    return got_s, got_c
+
+
+@pytest.mark.parametrize("radius,tile_size", [(1, 32), (2, 32), (1, 48), (3, 16)])
+def test_focal_matches_reference(ray_session, radius, tile_size):
+    arr = _rand_raster(96, 80, seed=7)
+    ref_s, ref_c = _focal_reference(arr, radius)
+    got_s, got_c = _collect_focal(arr, radius, tile_size)
+    assert np.array_equal(got_c, ref_c)
+    assert np.array_equal(got_s, ref_s)  # integer-valued: bit-exact
+
+
+def test_focal_layout_invariant(ray_session):
+    """Same raster, different tile sizes -> identical result (non-divisible
+    edge tiles included)."""
+    arr = _rand_raster(70, 53, seed=11)
+    a = _collect_focal(arr, 1, 16)
+    b = _collect_focal(arr, 1, 70)
+    assert np.array_equal(a[1], b[1])
+    assert np.array_equal(a[0], b[0])
+
+
+def test_focal_sample_null_on_empty_neighborhood(ray_session):
+    """A pixel deep inside a nodata patch has fcnt 0 and null fsum/fmean."""
+    arr = np.full((12, 12), 5.0, dtype=np.float32)
+    arr[2:9, 2:9] = NODATA  # interior of the patch has all-nodata 3x3
+    from python_rasterstats_ray.functions.affine import Affine
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 12.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=8))
+    out = focal_mean_tiled(tiles, arr.shape, NODATA, radius=1, tile_size=8)
+    tbl = pa.concat_tables(
+        sample_focal_pixels(out, 12, 1).iter_batches(batch_format="pyarrow")  # every pixel
+    )
+    df = tbl.to_pandas().set_index(["row", "col"])
+    center = df.loc[(5, 5)]
+    assert center["fcnt"] == 0
+    assert np.isnan(center["fsum"]) and np.isnan(center["fmean"])
+    corner = df.loc[(0, 0)]  # 2x2 in-bounds window, all valid
+    assert corner["fcnt"] == 4 and corner["fmean"] == 5.0
+
+
+def test_focal_radius_exceeds_tile_raises(ray_session):
+    arr = _rand_raster(8, 8, seed=1, holes=False)
+    from python_rasterstats_ray.functions.affine import Affine
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 8.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=4))
+    with pytest.raises(ValueError):
+        focal_mean_tiled(tiles, arr.shape, NODATA, radius=5, tile_size=4)
+
+
+@pytest.mark.parametrize("factor,tile_size", [(8, 32), (5, 16), (7, 32)])
+def test_downsample_matches_reference(ray_session, factor, tile_size):
+    """Non-divisible factors make coarse blocks straddle tiles AND the
+    raster edge; partial blocks average over available pixels only."""
+    arr = _rand_raster(67, 45, seed=23)
+    from python_rasterstats_ray.functions.affine import Affine
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    got = (
+        pa.concat_tables(
+            downsample_mean(tiles, factor, NODATA).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["crow", "ccol"])
+        .sort_index()
+    )
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    for cr in range(-(-h // factor)):
+        for cc in range(-(-w // factor)):
+            blk = a[cr * factor : (cr + 1) * factor, cc * factor : (cc + 1) * factor]
+            ok = blk != NODATA
+            row = got.loc[(cr, cc)]
+            assert row["cnt"] == int(ok.sum())
+            if ok.sum() == 0:
+                assert np.isnan(row["sum"]) and np.isnan(row["mean"])
+            else:
+                assert row["sum"] == float(blk[ok].sum())
+                assert row["mean"] == float(blk[ok].sum()) / int(ok.sum())
+
+
+def test_raster_calc_matches_reference(ray_session):
+    arr_a = _rand_raster(50, 41, seed=3)
+    arr_b = _rand_raster(50, 41, seed=4, holes=False).astype(np.float32) + 10.0
+    arr_b[30:35, 5:12] = NODATA  # b's own nodata patch
+    from python_rasterstats_ray.functions.affine import Affine
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 50.0)
+    ta = ray.data.from_arrow(raster_to_tiles_table(arr_a, aff, NODATA, tile_size=16))
+    tb = ray.data.from_arrow(raster_to_tiles_table(arr_b, aff, NODATA, tile_size=16))
+    calc = raster_calc_tiled(ta, tb, lambda a, b: (a - b) / (a + b), NODATA, NODATA)
+    got = (
+        pa.concat_tables(
+            sample_calc_pixels(calc, 41, 1).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    a = arr_a.astype(np.float64)
+    b = arr_b.astype(np.float64)
+    ok = (a != NODATA) & (b != NODATA)
+    ref = np.where(ok, (a - b) / np.where(ok, a + b, 1.0), np.nan)
+    got_mat = got["value"].to_numpy().reshape(50, 41)
+    assert np.array_equal(np.isnan(got_mat), ~ok)
+    assert np.array_equal(got_mat[ok], ref[ok])
