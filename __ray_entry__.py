@@ -149,6 +149,7 @@ EXTRA_QUERY_ORDER = [
     "raster_focal_mean",
     "raster_downsample",
     "raster_calc_ndvi",
+    "docs_select_top",
 ]
 
 

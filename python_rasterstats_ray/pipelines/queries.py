@@ -3108,6 +3108,30 @@ def q_docs_epoch_shuffle(sf_dir: str):
     return epoch_shuffle(_read(sf_dir, "documents", columns=["doc_id"]), seed=EPOCH_SEED)
 
 
+def q_docs_select_top(sf_dir: str):
+    """Exact top-25% corpus selection by (n_chars DESC, doc_id ASC) —
+    the quality-threshold filter of a curation pipeline, computed WITHOUT
+    a global sort: a distinct-score histogram pass finds the boundary
+    score, a tie pass picks the boundary ids, and a broadcast (t, id_cut)
+    filter keeps exactly k = floor(n/4) rows (stages/ordering.py)."""
+    from python_rasterstats_ray.stages.ordering import select_top_exact
+
+    return select_top_exact(
+        _read(sf_dir, "documents", columns=["doc_id", "n_chars"]), frac=0.25
+    )
+
+
+SQL_DOCS_SELECT_TOP = """
+WITH kk AS (SELECT count(*) // 4 AS k FROM documents),
+r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.n_chars FROM r, kk WHERE r.rn <= kk.k
+"""
+
+
 def _splitmix_key_cte(seed: int, src: str = "documents", id_col: str = "doc_id") -> str:
     """CTE chain computing ``skey = splitmix64(id + seed)`` per row of
     ``src`` — bit-parity with ``stages.ordering.shuffle_keys``. HUGEINT
@@ -3528,6 +3552,7 @@ ORDER BY shard_id
 
 ORACLE_SQL = {
     "docs_epoch_shuffle": SQL_DOCS_EPOCH_SHUFFLE,
+    "docs_select_top": SQL_DOCS_SELECT_TOP,
     "docs_corpus_mix": SQL_DOCS_CORPUS_MIX,
     "docs_token_budget": SQL_DOCS_TOKEN_BUDGET,
     "docs_training_shards": SQL_DOCS_TRAINING_SHARDS,
@@ -3641,6 +3666,7 @@ QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
+    "docs_select_top": q_docs_select_top,
     "docs_corpus_mix": q_docs_corpus_mix,
     "docs_token_budget": q_docs_token_budget,
     "docs_training_shards": q_docs_training_shards,

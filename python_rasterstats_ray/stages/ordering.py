@@ -284,3 +284,88 @@ def token_budget_fill(
         )
 
     return base.groupby("gb").map_groups(fill, batch_format="pandas").sort(id_col)
+
+
+def select_top_exact(
+    ds,
+    frac: float,
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Exact corpus-level top-``frac`` selection: keep the first
+    ``k = floor(n * frac)`` rows in (score DESC, id ASC) order — the
+    quality-threshold filter of a curation pipeline, made EXACT and
+    order-independent without a global sort.
+
+    Physical plan (two pruned passes, no corpus-sized exchange):
+
+    1. per-batch (score -> count) partials over the integer score column
+       -> ``groupby(score)`` of |distinct scores| thin rows -> driver
+       cumsum in descending score order finds the boundary score ``t``:
+       everything ABOVE ``t`` is kept outright, and ``m`` of the ties AT
+       ``t`` still fit;
+    2. the tie rows (score == t) alone are pulled to pick the ``m``
+       smallest ids -> the (t, id_cut) pair broadcasts into a stateless
+       filter: keep iff score > t OR (score == t AND id <= id_cut).
+
+    Bounds (SURVEY custom-op rule): the distinct-score table and the
+    boundary-tie id set must fit the driver — O(|distinct scores|) and
+    O(ties at one score); a degenerate all-one-score corpus degrades to
+    pulling k ids. Output: the kept (id, score) rows, id-sorted.
+    """
+    if not (0.0 < frac <= 1.0):
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+
+    def score_counts(batch: pa.Table) -> pa.Table:
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(s, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()), "c": pa.array(c, pa.int64())})
+
+    counts = (
+        ds.map_batches(score_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .sum("c")
+        .to_pandas()
+        .sort_values("v", ascending=False)
+    )
+    import ray.data
+
+    n = int(counts["sum(c)"].sum()) if len(counts) else 0
+    k = int(np.floor(n * frac))
+    if k == 0:
+        return ray.data.from_arrow(
+            pa.table({id_col: pa.array([], pa.int64()), score_col: pa.array([], pa.int64())})
+        )
+    cum = counts["sum(c)"].cumsum().to_numpy()
+    i_star = int(np.searchsorted(cum, k, side="left"))
+    t = int(counts["v"].iloc[i_star])
+    kept_above = int(cum[i_star - 1]) if i_star > 0 else 0
+    m = k - kept_above
+
+    def tie_ids(batch: pa.Table) -> pa.Table:
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.sort(ids[s == t])[:m]  # per-block partial top-m
+        return pa.table({id_col: pa.array(sel, pa.int64())})
+
+    ties = (
+        ds.map_batches(tie_ids, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()[id_col]
+        .to_numpy()
+    )
+    id_cut = int(np.sort(ties)[m - 1]) if m > 0 else None
+
+    def keep(batch: pa.Table) -> pa.Table:
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = s > t
+        if id_cut is not None:
+            sel |= (s == t) & (ids <= id_cut)
+        return pa.table(
+            {
+                id_col: pa.array(ids[sel], pa.int64()),
+                score_col: pa.array(s[sel], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(id_col)

@@ -180,3 +180,47 @@ def test_raster_calc_matches_reference(ray_session):
     got_mat = got["value"].to_numpy().reshape(50, 41)
     assert np.array_equal(np.isnan(got_mat), ~ok)
     assert np.array_equal(got_mat[ok], ref[ok])
+
+
+def test_select_top_exact_matches_reference(ray_session):
+    """Exact top-frac selection vs a plain pandas sort reference,
+    including heavy ties at the boundary score and tiny corpora."""
+    import pandas as pd
+
+    from python_rasterstats_ray.stages.ordering import select_top_exact
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    # scores drawn from a SMALL set so the boundary score has many ties
+    scores = rng.integers(0, 12, size=n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    tbl = pa.table({"doc_id": ids, "n_chars": scores})
+    for frac in (0.25, 0.5, 0.001, 1.0):
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        got = select_top_exact(ds, frac).to_pandas()
+        k = int(np.floor(n * frac))
+        ref = (
+            pd.DataFrame({"doc_id": ids, "n_chars": scores})
+            .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+            .head(k)
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == k
+        assert got["doc_id"].tolist() == ref["doc_id"].tolist()
+        assert got["n_chars"].tolist() == ref["n_chars"].tolist()
+
+
+def test_select_top_layout_invariant(ray_session):
+    from python_rasterstats_ray.stages.ordering import select_top_exact
+
+    rng = np.random.default_rng(9)
+    tbl = pa.table(
+        {
+            "doc_id": np.arange(500, dtype=np.int64),
+            "n_chars": rng.integers(50, 400, size=500).astype(np.int64),
+        }
+    )
+    a = select_top_exact(ray.data.from_arrow(tbl).repartition(3), 0.25).to_pandas()
+    b = select_top_exact(ray.data.from_arrow(tbl).repartition(17), 0.25).to_pandas()
+    assert a.equals(b)
