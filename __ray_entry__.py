@@ -150,6 +150,7 @@ EXTRA_QUERY_ORDER = [
     "raster_downsample",
     "raster_calc_ndvi",
     "docs_select_top",
+    "zonal_over_focal",
 ]
 
 

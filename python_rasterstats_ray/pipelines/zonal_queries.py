@@ -359,6 +359,34 @@ def q_raster_calc_ndvi(sf_dir: str):
     return sample_calc_pixels(calc, arr.shape[1], 89)
 
 
+def q_zonal_over_focal(sf_dir: str):
+    """Operator CHAIN: 3x3 focal sum (halo-exchange stencil) -> standard
+    tile table (focal_to_tiles, all-nodata neighborhoods burned as
+    nodata) -> distributed tiled zonal aggregate over the 'main' rect
+    zones. Focal sums of integer pixels are integers, so the whole chain
+    stays bit-exact vs the SQL that recomputes both steps from exploded
+    pixels."""
+    import ray.data
+
+    from ..stages.focal import focal_mean_tiled, focal_to_tiles
+    from ..stages.zonal_dist import zonal_stats_tiled
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    _a, affine, _n = oracle_raster("holes")
+    derived = focal_to_tiles(
+        focal_mean_tiled(tiles, arr.shape, nodata, radius=1, tile_size=128), nodata
+    )
+    return zonal_stats_tiled(
+        _zones_ds("main"),
+        derived,
+        affine,
+        nodata,
+        raster_dtype="float64",
+        stats="count mean sum nodata",
+        tile_size=128,
+    )
+
+
 # ------------------------------------------------------------- SQL side
 
 
@@ -624,6 +652,42 @@ GROUP BY crow, ccol
 """
 
 
+# zonal aggregate over the DERIVED focal-sum raster: the SQL recomputes
+# the stencil itself (9-offset join over every pixel) and then applies
+# the center rule — both chained operators re-derived with no engine
+# code in the loop.
+SQL_ZONAL_OVER_FOCAL = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+f AS (
+  SELECT p.row, p.col, sum(q.val) AS fsum, count(q.val) AS fcnt
+  FROM {_px("holes")} p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+),
+j AS (
+  SELECT z.zone_id, f.fsum AS val, (f.fcnt = 0) AS is_nodata
+  FROM {_zsql("main")} z
+  LEFT JOIN f
+    ON (f.col + 0.5) > z.xmin AND (f.col + 0.5) < z.xmax
+   AND ({HOLES_H} - f.row - 0.5) > z.ymin AND ({HOLES_H} - f.row - 0.5) < z.ymax
+),
+agg AS (
+  SELECT zone_id,
+         count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+         sum(CASE WHEN NOT is_nodata THEN val END) AS s,
+         coalesce(sum(CASE WHEN is_nodata THEN 1 END), 0) AS nod
+  FROM j GROUP BY zone_id
+)
+SELECT zone_id, cnt AS "count", s / cnt AS mean, s AS "sum",
+       CAST(nod AS DOUBLE) AS nodata
+FROM agg
+"""
+
+
 SQL_RASTER_CALC_NDVI = f"""
 SELECT a.row, a.col,
        CASE WHEN a.is_nodata OR b.is_nodata THEN NULL
@@ -726,6 +790,7 @@ ZONAL_QUERIES = {
     "raster_focal_mean": q_raster_focal_mean,
     "raster_downsample": q_raster_downsample,
     "raster_calc_ndvi": q_raster_calc_ndvi,
+    "zonal_over_focal": q_zonal_over_focal,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -746,4 +811,5 @@ ZONAL_ORACLE_SQL = {
     "raster_focal_mean": SQL_RASTER_FOCAL_MEAN,
     "raster_downsample": SQL_RASTER_DOWNSAMPLE,
     "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,
+    "zonal_over_focal": SQL_ZONAL_OVER_FOCAL,
 }

@@ -181,6 +181,38 @@ def focal_mean_tiled(
     return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
 
 
+def focal_to_tiles(focal_ds, nodata: float):
+    """Re-express a focal_mean_tiled result as a standard tile table
+    (cell, row_off, col_off, height, width, dtype, pixels) holding the
+    per-pixel neighbor SUM (float64; integer-valued for integer rasters,
+    so downstream zonal aggregates stay bit-exact), with ``nodata`` burned
+    where the neighborhood had no valid pixel — the derived raster can
+    feed any tile consumer (zonal_stats_tiled, downsample, another focal
+    pass) without materializing a full-raster array anywhere."""
+
+    def conv(batch: pa.Table) -> pa.Table:
+        payload = []
+        for i in range(len(batch)):
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            s = np.frombuffer(batch["fsum"][i].as_buffer(), np.float64).reshape(th, tw)
+            c = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            payload.append(np.where(c > 0, s, float(nodata)).tobytes())
+        return pa.table(
+            {
+                "cell": batch["cell"],
+                "row_off": batch["row_off"],
+                "col_off": batch["col_off"],
+                "height": batch["height"],
+                "width": batch["width"],
+                "dtype": pa.array(["float64"] * len(batch), pa.string()),
+                "pixels": pa.array(payload, pa.binary()),
+            }
+        )
+
+    return focal_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_focal_pixels(focal_ds, raster_width: int, mod: int):
     """Deterministic pixel sample of a focal_mean_tiled result:
     (row, col, fsum, fcnt, fmean) for pixels with (row*W + col) % mod == 0.
