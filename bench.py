@@ -345,6 +345,24 @@ def bench_zonal_broadcast():
     return n
 
 
+def bench_focal():
+    """New-this-round stencil operator: 3x3 nodata-aware focal mean over
+    the staged 8192^2 raster (256 tiles, halo-exchange shuffle +
+    integral-image box sums). Returns megapixels processed."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.focal import focal_mean_tiled
+
+    _affine, nodata = zonal_affine_nodata()
+    tiles = ray.data.read_parquet(f"{BENCH_DIR}/tiles")
+    out = focal_mean_tiled(
+        tiles, ZONAL_SHAPE, nodata, radius=1, tile_size=ZONAL_TILE
+    )
+    n_tiles = out.count()
+    assert n_tiles == (ZONAL_SHAPE[0] // ZONAL_TILE) * (ZONAL_SHAPE[1] // ZONAL_TILE), n_tiles
+    return ZONAL_SHAPE[0] * ZONAL_SHAPE[1] / 1e6
+
+
 def bench_flagship(sf_dir: str):
     from python_rasterstats_ray.pipelines.webpages import flagship_pipeline
 
@@ -476,6 +494,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t_pr = time.time()
     bench_pagerank_shuffle(sf_dir)
     extras["pagerank_shuffle_sec"] = round(time.time() - t_pr, 3)
+    t_fc = time.time()
+    mpx = bench_focal()
+    extras["focal_sec"] = round(time.time() - t_fc, 3)
+    extras["focal_mpx_per_sec"] = round(mpx / extras["focal_sec"], 2)
     timed("dedup_minhash", bench_minhash, sf_dir)
     timed("knn", bench_knn, sf_dir)
     n_pts = timed("point_query", bench_point_query)
