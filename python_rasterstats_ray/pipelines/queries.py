@@ -1643,9 +1643,22 @@ def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200)
             )
             return out.filter(pa.array(keep))
 
-    return cands.map_batches(
+    verified = cands.map_batches(
         Verify, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
+    # schema stability: with zero candidate pairs (e.g. a corpus slice
+    # with no near-dups) the empty result would lose its columns; a
+    # 0-row typed seed keeps the output schema fixed
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+    return seed.union(verified)
 
 
 SQL_DOCS_JACCARD_PAIRS = """

@@ -146,39 +146,166 @@ def focal_mean_tiled(
     def fan(batch: pa.Table) -> pa.Table:
         return tile_fragments(batch, shape, tile_size, radius)
 
-    k = 2 * radius + 1
-
     def assemble(group: pa.Table) -> pa.Table:
         cell = int(group["cell"][0].as_py())
-        tr, tc = cell_decode(cell)
-        r0, c0 = tr * tile_size, tc * tile_size
-        th = min(tile_size, shape[0] - r0)
-        tw = min(tile_size, shape[1] - c0)
-        vals = np.zeros((th + 2 * radius, tw + 2 * radius), dtype=np.float64)
-        ok = np.zeros_like(vals, dtype=np.int64)
-        for _cell, fr0, fc0, arr in _tile_arrays(group):
-            rr = fr0 - (r0 - radius)
-            cc = fc0 - (c0 - radius)
-            a = arr.astype(np.float64)
-            valid = a != float(nodata)
-            vals[rr : rr + a.shape[0], cc : cc + a.shape[1]] = np.where(valid, a, 0.0)
-            ok[rr : rr + a.shape[0], cc : cc + a.shape[1]] = valid
-        fsum = _box_sum(vals * ok, k)
-        fcnt = _box_sum(ok, k)
-        return pa.table(
-            {
-                "cell": pa.array([cell], pa.int64()),
-                "row_off": pa.array([r0], pa.int32()),
-                "col_off": pa.array([c0], pa.int32()),
-                "height": pa.array([th], pa.int32()),
-                "width": pa.array([tw], pa.int32()),
-                "fsum": pa.array([fsum.tobytes()], pa.binary()),
-                "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
-            }
+        return _compute_focal_tile(
+            cell, _tile_arrays(group), shape, tile_size, radius, nodata
         )
 
     frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
     return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def _compute_focal_tile(
+    cell: int,
+    frag_arrays,
+    shape: tuple[int, int],
+    tile_size: int,
+    radius: int,
+    nodata: float,
+) -> pa.Table:
+    """Assemble one target tile's padded window from its fragments
+    (core + halo strips at absolute offsets) and box-sum the core."""
+    k = 2 * radius + 1
+    tr, tc = cell_decode(cell)
+    r0, c0 = tr * tile_size, tc * tile_size
+    th = min(tile_size, shape[0] - r0)
+    tw = min(tile_size, shape[1] - c0)
+    vals = np.zeros((th + 2 * radius, tw + 2 * radius), dtype=np.float64)
+    ok = np.zeros_like(vals, dtype=np.int64)
+    for _cell, fr0, fc0, arr in frag_arrays:
+        # clip the fragment to the padded window: halo strips staged at a
+        # LARGER radius (write_tiles_bucketed) overhang and must be cut
+        cr0 = max(fr0, r0 - radius)
+        cc0 = max(fc0, c0 - radius)
+        cr1 = min(fr0 + arr.shape[0], r0 + th + radius)
+        cc1 = min(fc0 + arr.shape[1], c0 + tw + radius)
+        if cr1 <= cr0 or cc1 <= cc0:
+            continue
+        a = arr[cr0 - fr0 : cr1 - fr0, cc0 - fc0 : cc1 - fc0].astype(np.float64)
+        valid = a != float(nodata)
+        rr = cr0 - (r0 - radius)
+        cc = cc0 - (c0 - radius)
+        vals[rr : rr + a.shape[0], cc : cc + a.shape[1]] = np.where(valid, a, 0.0)
+        ok[rr : rr + a.shape[0], cc : cc + a.shape[1]] = valid
+    fsum = _box_sum(vals * ok, k)
+    fcnt = _box_sum(ok, k)
+    return pa.table(
+        {
+            "cell": pa.array([cell], pa.int64()),
+            "row_off": pa.array([r0], pa.int32()),
+            "col_off": pa.array([c0], pa.int32()),
+            "height": pa.array([th], pa.int32()),
+            "width": pa.array([tw], pa.int32()),
+            "fsum": pa.array([fsum.tobytes()], pa.binary()),
+            "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
+        }
+    )
+
+
+def write_tiles_bucketed(
+    tiles_ds,
+    path: str,
+    shape: tuple[int, int],
+    tile_size: int,
+    radius: int = 1,
+) -> str:
+    """Stage a tile table for SHUFFLE-FREE stencil ops: tile cores are
+    written ``path/core/cell=<k>/`` and each tile's radius-``radius``
+    border strips are written a second time under the NEIGHBOR cells
+    that need them (``path/halo/cell=<k>/``). Write-time cost is one
+    partitioned write of the raster + ~4r/T of it again as strips; every
+    subsequent focal run (of radius <= the staged one) is a targeted
+    two-partition read per tile with NO exchange at all — the same
+    pay-once trade as ``write_zones_bucketed``.
+    """
+
+    def core_tag(batch: pa.Table) -> pa.Table:
+        return batch  # already keyed by cell
+
+    def halo_only(batch: pa.Table) -> pa.Table:
+        # keep only strips destined for OTHER cells: the self fragment is
+        # the only one whose offsets equal its target tile's own origin
+        frags = tile_fragments(batch, shape, tile_size, radius)
+        tr, tc = cell_decode(frags["cell"].to_numpy())
+        is_core = (frags["row_off"].to_numpy() == tr * tile_size) & (
+            frags["col_off"].to_numpy() == tc * tile_size
+        )
+        return frags.filter(pa.array(~is_core))
+
+    tiles_ds.map_batches(core_tag, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        f"{path}/core", partition_cols=["cell"]
+    )
+    tiles_ds.map_batches(halo_only, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        f"{path}/halo", partition_cols=["cell"]
+    )
+    return path
+
+
+class _FocalStoreKernel:
+    """Task-pool kernel: per target cell, a pruned read of its
+    ``core/cell=<k>`` + ``halo/cell=<k>`` partitions, then the same
+    assemble + box-sum as the shuffle plan — zero exchanges."""
+
+    def __init__(self, path, shape, tile_size, radius, nodata):
+        self.path = path
+        self.shape = shape
+        self.tile_size = tile_size
+        self.radius = radius
+        self.nodata = nodata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        cols = ["row_off", "col_off", "height", "width", "dtype", "pixels"]
+        out = []
+        for cell in batch["cell"].to_pylist():
+            cell = int(cell)
+            parts = [pq.read_table(os.path.join(self.path, f"core/cell={cell}"), columns=cols)]
+            halo_dir = os.path.join(self.path, f"halo/cell={cell}")
+            if os.path.isdir(halo_dir):
+                parts.append(pq.read_table(halo_dir, columns=cols))
+            frags = pa.concat_tables(parts).append_column(
+                "cell", pa.array([cell] * sum(len(p) for p in parts), pa.int64())
+            )
+            out.append(
+                _compute_focal_tile(
+                    cell, _tile_arrays(frags), self.shape, self.tile_size,
+                    self.radius, self.nodata,
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def focal_mean_from_store(
+    path: str,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Shuffle-free focal mean over a ``write_tiles_bucketed`` store:
+    the driver enumerates target cells arithmetically (O(#tiles) ids, no
+    index) and a task pool does targeted core+halo partition reads.
+    Bit-identical to ``focal_mean_tiled`` (pytest differential)."""
+    import ray.data
+
+    from ._cluster import pool
+
+    ntr, ntc = _n_tiles(shape, tile_size)
+    grid_r, grid_c = np.meshgrid(
+        np.arange(ntr, dtype=np.int64), np.arange(ntc, dtype=np.int64), indexing="ij"
+    )
+    cells = cell_id(grid_r.ravel(), grid_c.ravel())
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells, pa.int64())}))
+    n_blocks = max(1, min(len(cells), pool()[1] * 2))
+    return ds.repartition(n_blocks).map_batches(
+        _FocalStoreKernel(path, shape, tile_size, radius, nodata),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def focal_to_tiles(focal_ds, nodata: float):

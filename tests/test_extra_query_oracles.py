@@ -59,7 +59,19 @@ def _to_df(result) -> pd.DataFrame:
     import ray.data
 
     if isinstance(result, ray.data.Dataset):
-        return result.to_pandas()
+        df = result.to_pandas()
+        if df.shape[1] == 0:
+            # Ray's to_pandas drops columns on an EMPTY dataset even when
+            # schema() is intact; rebuild the typed empty frame from it
+            schema = result.schema()
+            if schema is not None:
+                df = pd.DataFrame(
+                    {
+                        n: pd.Series(dtype=t.to_pandas_dtype())
+                        for n, t in zip(schema.names, schema.types)
+                    }
+                )
+        return df
     if isinstance(result, pd.DataFrame):
         return result
     return result.to_pandas()

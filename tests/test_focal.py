@@ -224,3 +224,39 @@ def test_select_top_layout_invariant(ray_session):
     a = select_top_exact(ray.data.from_arrow(tbl).repartition(3), 0.25).to_pandas()
     b = select_top_exact(ray.data.from_arrow(tbl).repartition(17), 0.25).to_pandas()
     assert a.equals(b)
+
+
+def test_focal_store_matches_shuffle_plan(ray_session, tmp_path):
+    """write_tiles_bucketed + focal_mean_from_store (zero-shuffle targeted
+    partition reads) is bit-identical to the halo-exchange shuffle plan."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        focal_mean_from_store,
+        write_tiles_bucketed,
+    )
+
+    arr = _rand_raster(96, 70, seed=31)  # non-divisible width -> edge tiles
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 96.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=32))
+    store = str(tmp_path / "tile_store")
+    write_tiles_bucketed(tiles, store, arr.shape, tile_size=32, radius=2)
+
+    for radius in (1, 2):
+        got = focal_mean_from_store(store, arr.shape, NODATA, radius=radius, tile_size=32)
+        ref_s, ref_c = _focal_reference(arr, radius)
+        out_s = np.full(arr.shape, np.nan)
+        out_c = np.zeros(arr.shape, dtype=np.int64)
+        for batch in got.iter_batches(batch_format="pyarrow"):
+            for i in range(len(batch)):
+                r0 = batch["row_off"][i].as_py()
+                c0 = batch["col_off"][i].as_py()
+                th = batch["height"][i].as_py()
+                tw = batch["width"][i].as_py()
+                out_s[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                    batch["fsum"][i].as_buffer(), np.float64
+                ).reshape(th, tw)
+                out_c[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                    batch["fcnt"][i].as_buffer(), np.int64
+                ).reshape(th, tw)
+        assert np.array_equal(out_c, ref_c), f"radius {radius}"
+        assert np.array_equal(out_s, ref_s), f"radius {radius}"
