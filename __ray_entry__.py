@@ -151,6 +151,7 @@ EXTRA_QUERY_ORDER = [
     "raster_calc_ndvi",
     "docs_select_top",
     "zonal_over_focal",
+    "zonal_weighted",
 ]
 
 

@@ -387,6 +387,18 @@ def q_zonal_over_focal(sf_dir: str):
     )
 
 
+def q_zonal_weighted(sf_dir: str):
+    """Coverage-weighted zonal stats (exactextract semantics) over the
+    'main' rect zones: boundary pixels count by the FRACTION of the cell
+    the rectangle covers. Bounds scale-rounded to int64 once; all
+    weights/sums are integer arithmetic (order-independent), so the
+    distributed result is bit-identical to the SQL mirror."""
+    from ..stages.weighted import zonal_weighted_broadcast
+
+    arr, affine, nodata = oracle_raster("holes")
+    return zonal_weighted_broadcast(_zones_ds("main"), (arr, affine, nodata))
+
+
 # ------------------------------------------------------------- SQL side
 
 
@@ -688,6 +700,43 @@ FROM agg
 """
 
 
+# coverage-weighted zonal: bounds scale-rounded to int64 in ROW space,
+# per-pixel weight = x-overlap * y-overlap (pure integer), same final
+# divides as the engine. Inner join suffices: every 'main' zone covers
+# pixels (zone 39 covers only nodata ones -> null wmean/wsum).
+SQL_ZONAL_WEIGHTED = f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(round(xmin * 10000) AS BIGINT) AS xi,
+         CAST(round(xmax * 10000) AS BIGINT) AS xa,
+         CAST(round(({HOLES_H} - ymax) * 10000) AS BIGINT) AS yi,
+         CAST(round(({HOLES_H} - ymin) * 10000) AS BIGINT) AS ya
+  FROM read_parquet('{ORACLE_DIR}/rect_zones.parquet') WHERE zset = 'main'
+),
+j AS (
+  SELECT z.zone_id,
+         (least(z.xa, (p.col + 1) * 10000) - greatest(z.xi, p.col * 10000))
+       * (least(z.ya, (p.row + 1) * 10000) - greatest(z.yi, p.row * 10000)) AS w,
+         CAST(p.val AS BIGINT) AS v, p.is_nodata
+  FROM z JOIN {_px("holes")} p
+    ON (p.col + 1) * 10000 > z.xi AND p.col * 10000 < z.xa
+   AND (p.row + 1) * 10000 > z.yi AND p.row * 10000 < z.ya
+),
+agg AS (
+  SELECT zone_id,
+         sum(w) AS wall,
+         sum(CASE WHEN NOT is_nodata THEN w END) AS wtot,
+         sum(CASE WHEN NOT is_nodata THEN w * v END) AS wsum
+  FROM j GROUP BY zone_id
+)
+SELECT zone_id,
+       CAST(wall AS DOUBLE) / 100000000 AS coverage_px,
+       CAST(wsum AS DOUBLE) / CAST(wtot AS DOUBLE) AS wmean,
+       CAST(wsum AS DOUBLE) / 100000000 AS wsum
+FROM agg
+"""
+
+
 SQL_RASTER_CALC_NDVI = f"""
 SELECT a.row, a.col,
        CASE WHEN a.is_nodata OR b.is_nodata THEN NULL
@@ -791,6 +840,7 @@ ZONAL_QUERIES = {
     "raster_downsample": q_raster_downsample,
     "raster_calc_ndvi": q_raster_calc_ndvi,
     "zonal_over_focal": q_zonal_over_focal,
+    "zonal_weighted": q_zonal_weighted,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -812,4 +862,5 @@ ZONAL_ORACLE_SQL = {
     "raster_downsample": SQL_RASTER_DOWNSAMPLE,
     "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,
     "zonal_over_focal": SQL_ZONAL_OVER_FOCAL,
+    "zonal_weighted": SQL_ZONAL_WEIGHTED,
 }

@@ -260,3 +260,73 @@ def test_focal_store_matches_shuffle_plan(ray_session, tmp_path):
                 ).reshape(th, tw)
         assert np.array_equal(out_c, ref_c), f"radius {radius}"
         assert np.array_equal(out_s, ref_s), f"radius {radius}"
+
+
+def test_zonal_weighted_hand_cases(ray_session):
+    """Coverage-weighted zonal against hand-computable rectangles."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.functions.geometry import make_box, to_wkb
+    from python_rasterstats_ray.stages.weighted import zonal_weighted_broadcast
+
+    arr = np.arange(100, dtype=np.float32).reshape(10, 10)  # val = row*10+col
+    arr[0, 3] = NODATA
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 10.0)
+    rects = {
+        # zone 0: exactly pixels rows 8..9 (y 0..2), cols 2..5 -> 6 cells
+        0: (2.0, 0.0, 5.0, 2.0),
+        # zone 1: half of one pixel: x 0..0.5, y 9..10 -> pixel (0,0), cov 0.5
+        1: (0.0, 9.0, 0.5, 10.0),
+        # zone 2: fully outside
+        2: (20.0, 20.0, 25.0, 25.0),
+        # zone 3: quarter of the NODATA pixel (0,3) only -> cov .25, null stats
+        3: (3.0, 9.5, 3.5, 10.0),
+    }
+    tbl = pa.table(
+        {
+            "zone_id": pa.array(sorted(rects), pa.int64()),
+            "geom_wkb": pa.array(
+                [to_wkb(make_box(*rects[z])) for z in sorted(rects)], pa.binary()
+            ),
+        }
+    )
+    got = (
+        zonal_weighted_broadcast(ray.data.from_arrow(tbl), (arr, aff, NODATA))
+        .to_pandas()
+        .set_index("zone_id")
+    )
+    z0 = got.loc[0]
+    vals0 = arr[8:10, 2:5].astype(np.float64)
+    assert z0["coverage_px"] == 6.0
+    assert z0["wmean"] == vals0.mean() and z0["wsum"] == vals0.sum()
+    z1 = got.loc[1]
+    assert z1["coverage_px"] == 0.5
+    assert z1["wmean"] == 0.0 and z1["wsum"] == 0.0  # pixel (0,0) value 0
+    z2 = got.loc[2]
+    assert z2["coverage_px"] == 0.0 and np.isnan(z2["wmean"]) and np.isnan(z2["wsum"])
+    z3 = got.loc[3]
+    assert z3["coverage_px"] == 0.25
+    assert np.isnan(z3["wmean"]) and np.isnan(z3["wsum"])
+
+
+def test_zonal_weighted_boundary_fraction(ray_session):
+    """A rect overlapping pixel columns fractionally: weights match the
+    closed-form fractions."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.functions.geometry import make_box, to_wkb
+    from python_rasterstats_ray.stages.weighted import zonal_weighted_broadcast
+
+    arr = np.array([[2.0, 4.0, 8.0]], dtype=np.float32)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 1.0)
+    # x from 0.25 to 2.75, full y: weights 0.75, 1.0, 0.75
+    tbl = pa.table(
+        {
+            "zone_id": pa.array([0], pa.int64()),
+            "geom_wkb": pa.array([to_wkb(make_box(0.25, 0.0, 2.75, 1.0))], pa.binary()),
+        }
+    )
+    got = zonal_weighted_broadcast(ray.data.from_arrow(tbl), (arr, aff, NODATA)).to_pandas()
+    w = np.array([0.75, 1.0, 0.75])
+    v = np.array([2.0, 4.0, 8.0])
+    assert got["coverage_px"][0] == w.sum()
+    assert got["wsum"][0] == (w * v).sum()
+    assert got["wmean"][0] == (w * v).sum() / w.sum()
