@@ -152,6 +152,7 @@ EXTRA_QUERY_ORDER = [
     "docs_select_top",
     "zonal_over_focal",
     "zonal_weighted",
+    "raster_global_stats",
 ]
 
 

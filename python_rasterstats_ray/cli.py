@@ -282,6 +282,23 @@ def cmd_shuffle(args) -> int:
     return 0
 
 
+def cmd_focal(args) -> int:
+    """Distributed focal mean: derived-tile parquet (fsum/fcnt payloads)."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.focal import focal_mean_tiled
+
+    ds = ray.data.read_parquet(args.tiles)
+    out = focal_mean_tiled(
+        ds, tuple(args.shape), args.nodata, radius=args.radius, tile_size=args.tile_size
+    )
+    out.write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "radius": args.radius}))
+    _ray_down(ray, owned)
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Domain-weighted mixture selection: kept (doc_id, domain) parquet.
 
@@ -525,6 +542,15 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--text-col", default="text")
     pr.add_argument("--id-col", default="doc_id")
     pr.set_defaults(fn=cmd_dedup_probe)
+
+    fo = sub.add_parser("focal", help="focal mean over a tile-table parquet (halo exchange)")
+    fo.add_argument("tiles", help="tile table parquet dir (cell,row_off,...,pixels)")
+    fo.add_argument("out_dir")
+    fo.add_argument("--shape", type=int, nargs=2, required=True, metavar=("H", "W"))
+    fo.add_argument("--tile-size", type=int, default=256)
+    fo.add_argument("--nodata", type=float, default=-9999.0)
+    fo.add_argument("--radius", type=int, default=1)
+    fo.set_defaults(fn=cmd_focal)
     return p
 
 

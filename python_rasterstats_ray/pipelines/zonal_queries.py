@@ -399,6 +399,16 @@ def q_zonal_weighted(sf_dir: str):
     return zonal_weighted_broadcast(_zones_ds("main"), (arr, affine, nodata))
 
 
+def q_raster_global_stats(sf_dir: str):
+    """Whole-raster reduction over 'holes' via per-tile combinable
+    partials (the raster analogue of tpch_q1's pre-aggregation): one
+    output row, bit-exact for the integer-valued fixture."""
+    from ..stages.focal import raster_global_stats
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    return raster_global_stats(tiles, nodata)
+
+
 # ------------------------------------------------------------- SQL side
 
 
@@ -737,6 +747,24 @@ FROM agg
 """
 
 
+SQL_RASTER_GLOBAL_STATS = f"""
+WITH agg AS (
+  SELECT count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+         sum(CASE WHEN NOT is_nodata THEN val END) AS s,
+         sum(CASE WHEN NOT is_nodata THEN val * val END) AS sq,
+         min(CASE WHEN NOT is_nodata THEN val END) AS mn,
+         max(CASE WHEN NOT is_nodata THEN val END) AS mx,
+         count(CASE WHEN is_nodata THEN 1 END) AS nod,
+         count(DISTINCT CASE WHEN NOT is_nodata THEN val END) AS u
+  FROM {_px("holes")}
+)
+SELECT cnt AS "count", s AS "sum", s / cnt AS mean, mn AS "min", mx AS "max",
+       sqrt(greatest(sq / cnt - (s / cnt) * (s / cnt), 0.0)) AS std,
+       nod AS nodata_px, u AS n_distinct
+FROM agg
+"""
+
+
 SQL_RASTER_CALC_NDVI = f"""
 SELECT a.row, a.col,
        CASE WHEN a.is_nodata OR b.is_nodata THEN NULL
@@ -841,6 +869,7 @@ ZONAL_QUERIES = {
     "raster_calc_ndvi": q_raster_calc_ndvi,
     "zonal_over_focal": q_zonal_over_focal,
     "zonal_weighted": q_zonal_weighted,
+    "raster_global_stats": q_raster_global_stats,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -863,4 +892,5 @@ ZONAL_ORACLE_SQL = {
     "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,
     "zonal_over_focal": SQL_ZONAL_OVER_FOCAL,
     "zonal_weighted": SQL_ZONAL_WEIGHTED,
+    "raster_global_stats": SQL_RASTER_GLOBAL_STATS,
 }

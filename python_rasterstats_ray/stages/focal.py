@@ -490,6 +490,75 @@ def raster_calc_tiled(tiles_a, tiles_b, fn, nodata_a: float, nodata_b: float):
     return both.groupby("cell").map_groups(combine, batch_format="pyarrow")
 
 
+def raster_global_stats(tiles_ds, nodata: float):
+    """Whole-raster reduction: one row of
+    (count, sum, mean, min, max, std, nodata_px, n_distinct) over all
+    valid pixels, via per-tile combinable partials (value-count maps for
+    the distinct count — bounded for integer-valued rasters) merged on
+    the driver. Sums run in float64 over integer values (exact); std is
+    the population formula mirrored by the SQL oracles."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        rows = []
+        for _cell, _r0, _c0, arr in _tile_arrays(batch):
+            a = arr.astype(np.float64)
+            valid = a != float(nodata)
+            v = a[valid]
+            u = np.unique(v)
+            rows.append(
+                {
+                    "cnt": int(valid.sum()),
+                    "s": float(v.sum()),
+                    "sq": float((v * v).sum()),
+                    "mn": float(v.min()) if len(v) else np.nan,
+                    "mx": float(v.max()) if len(v) else np.nan,
+                    "nod": int((~valid).sum()),
+                    "uniq": u.tobytes(),
+                }
+            )
+        return pa.table(
+            {
+                "cnt": pa.array([r["cnt"] for r in rows], pa.int64()),
+                "s": pa.array([r["s"] for r in rows], pa.float64()),
+                "sq": pa.array([r["sq"] for r in rows], pa.float64()),
+                "mn": pa.array([r["mn"] for r in rows], pa.float64()),
+                "mx": pa.array([r["mx"] for r in rows], pa.float64()),
+                "nod": pa.array([r["nod"] for r in rows], pa.int64()),
+                "uniq": pa.array([r["uniq"] for r in rows], pa.binary()),
+            }
+        )
+
+    part = tiles_ds.map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cnt = int(part["cnt"].sum())
+    s = float(np.sum(part["s"].to_numpy()))
+    sq = float(np.sum(part["sq"].to_numpy()))
+    mn = float(np.nanmin(part["mn"].to_numpy())) if cnt else None
+    mx = float(np.nanmax(part["mx"].to_numpy())) if cnt else None
+    nod = int(part["nod"].sum())
+    uniq = np.unique(
+        np.concatenate(
+            [np.frombuffer(b, np.float64) for b in part["uniq"]]
+            or [np.empty(0, np.float64)]
+        )
+    )
+    mean = s / cnt if cnt else None
+    std = float(np.sqrt(max(sq / cnt - mean * mean, 0.0))) if cnt else None
+    return pa.table(
+        {
+            "count": pa.array([cnt], pa.int64()),
+            "sum": pa.array([s if cnt else None], pa.float64()),
+            "mean": pa.array([mean], pa.float64()),
+            "min": pa.array([mn], pa.float64()),
+            "max": pa.array([mx], pa.float64()),
+            "std": pa.array([std], pa.float64()),
+            "nodata_px": pa.array([nod], pa.int64()),
+            "n_distinct": pa.array([len(uniq)], pa.int64()),
+        }
+    )
+
+
 def sample_calc_pixels(calc_ds, raster_width: int, mod: int):
     """(row, col, value) sample of a raster_calc_tiled result; value is
     null where either operand was nodata."""
