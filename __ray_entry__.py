@@ -153,6 +153,7 @@ EXTRA_QUERY_ORDER = [
     "zonal_over_focal",
     "zonal_weighted",
     "raster_global_stats",
+    "point_idw",
 ]
 
 

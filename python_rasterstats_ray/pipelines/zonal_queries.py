@@ -409,6 +409,32 @@ def q_raster_global_stats(sf_dir: str):
     return raster_global_stats(tiles, nodata)
 
 
+def q_point_idw(sf_dir: str):
+    """Inverse-distance-squared interpolation at 600 query points from
+    the 600 valued fixture points (values = (pt_id*13) % 97), k=4 via
+    the per-actor grid index. Queries are the reference points shifted
+    by integer (+3, -7) — the shift cancels the fixture offsets, so some
+    queries land EXACTLY on reference points and exercise the
+    zero-distance short-circuit. Rank-ordered left-associated float
+    accumulation makes the SQL pivot mirror bit-exact."""
+    import ray.data
+
+    from ..stages.knn_points import idw_points
+
+    ensure_fixtures()
+    x, y = query_points()
+    ids = np.arange(len(x), dtype=np.int64)
+    vals = ((ids * 13) % 97).astype(np.float64)
+    queries = pa.table(
+        {
+            "pt_id": pa.array(ids, pa.int64()),
+            "x": pa.array(x + 3, pa.float64()),
+            "y": pa.array(y - 7, pa.float64()),
+        }
+    )
+    return idw_points(ray.data.from_arrow(queries), x, y, ids, vals, k=4)
+
+
 # ------------------------------------------------------------- SQL side
 
 
@@ -747,6 +773,45 @@ FROM agg
 """
 
 
+# IDW: k=4 neighbors rank-pivoted to columns; the value expression uses
+# the engine's exact left-associated accumulation order. Integer-only
+# literals (the +3/-7 shift) keep every coordinate op bit-identical.
+SQL_POINT_IDW = f"""
+WITH ref AS (
+  SELECT pt_id AS rid, x AS rx, y AS ry,
+         CAST((pt_id * 13) % 97 AS DOUBLE) AS v
+  FROM read_parquet('{ORACLE_DIR}/query_points.parquet')
+),
+q AS (
+  SELECT pt_id AS qid, x + 3 AS qx, y - 7 AS qy
+  FROM read_parquet('{ORACLE_DIR}/query_points.parquet')
+),
+d AS (
+  SELECT q.qid, ref.v,
+         (q.qx - ref.rx) * (q.qx - ref.rx) + (q.qy - ref.ry) * (q.qy - ref.ry) AS d2,
+         row_number() OVER (
+           PARTITION BY q.qid
+           ORDER BY (q.qx - ref.rx) * (q.qx - ref.rx)
+                  + (q.qy - ref.ry) * (q.qy - ref.ry), ref.rid
+         ) AS rk
+  FROM q CROSS JOIN ref
+),
+p AS (
+  SELECT qid,
+         max(CASE WHEN rk = 1 THEN d2 END) AS d1, max(CASE WHEN rk = 1 THEN v END) AS v1,
+         max(CASE WHEN rk = 2 THEN d2 END) AS dd2, max(CASE WHEN rk = 2 THEN v END) AS v2,
+         max(CASE WHEN rk = 3 THEN d2 END) AS d3, max(CASE WHEN rk = 3 THEN v END) AS v3,
+         max(CASE WHEN rk = 4 THEN d2 END) AS d4, max(CASE WHEN rk = 4 THEN v END) AS v4
+  FROM d WHERE rk <= 4 GROUP BY qid
+)
+SELECT qid AS query_id,
+       CASE WHEN d1 = 0 THEN v1
+            ELSE ((1.0 / d1) * v1 + (1.0 / dd2) * v2 + (1.0 / d3) * v3 + (1.0 / d4) * v4)
+               / ((1.0 / d1) + (1.0 / dd2) + (1.0 / d3) + (1.0 / d4)) END AS value
+FROM p
+"""
+
+
 SQL_RASTER_GLOBAL_STATS = f"""
 WITH agg AS (
   SELECT count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
@@ -870,6 +935,7 @@ ZONAL_QUERIES = {
     "zonal_over_focal": q_zonal_over_focal,
     "zonal_weighted": q_zonal_weighted,
     "raster_global_stats": q_raster_global_stats,
+    "point_idw": q_point_idw,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -893,4 +959,5 @@ ZONAL_ORACLE_SQL = {
     "zonal_over_focal": SQL_ZONAL_OVER_FOCAL,
     "zonal_weighted": SQL_ZONAL_WEIGHTED,
     "raster_global_stats": SQL_RASTER_GLOBAL_STATS,
+    "point_idw": SQL_POINT_IDW,
 }

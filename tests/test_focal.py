@@ -330,3 +330,43 @@ def test_zonal_weighted_boundary_fraction(ray_session):
     assert got["coverage_px"][0] == w.sum()
     assert got["wsum"][0] == (w * v).sum()
     assert got["wmean"][0] == (w * v).sum() / w.sum()
+
+
+def test_idw_matches_bruteforce(ray_session):
+    """IDW kernel vs a brute-force numpy reference (same rank order and
+    accumulation), including exact-hit queries."""
+    from python_rasterstats_ray.stages.knn_points import idw_points
+
+    rng = np.random.default_rng(17)
+    n = 300
+    rx = rng.uniform(0, 100, n)
+    ry = rng.uniform(0, 100, n)
+    ids = np.arange(n, dtype=np.int64)
+    vals = rng.integers(0, 50, n).astype(np.float64)
+    qx = np.concatenate([rng.uniform(0, 100, 80), rx[:5]])  # 5 exact hits
+    qy = np.concatenate([rng.uniform(0, 100, 80), ry[:5]])
+    qids = np.arange(len(qx), dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "pt_id": pa.array(qids, pa.int64()),
+                "x": pa.array(qx, pa.float64()),
+                "y": pa.array(qy, pa.float64()),
+            }
+        )
+    ).repartition(4)
+    got = idw_points(ds, rx, ry, ids, vals, k=4).to_pandas().set_index("query_id")["value"]
+    for qi in qids:
+        d2 = (qx[qi] - rx) ** 2 + (qy[qi] - ry) ** 2
+        order = np.lexsort((ids, d2))[:4]
+        if d2[order[0]] == 0.0:
+            ref = vals[order[0]]
+        else:
+            num = 0.0
+            den = 0.0
+            for j in order:
+                w = 1.0 / d2[j]
+                num = num + w * vals[j]
+                den = den + w
+            ref = num / den
+        assert got.loc[qi] == ref, qi
