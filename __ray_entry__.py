@@ -154,6 +154,9 @@ EXTRA_QUERY_ORDER = [
     "zonal_weighted",
     "raster_global_stats",
     "point_idw",
+    "raster_slope",
+    "raster_focal_minmax",
+    "raster_warp",
 ]
 
 

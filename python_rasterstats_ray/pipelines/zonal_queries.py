@@ -409,6 +409,50 @@ def q_raster_global_stats(sf_dir: str):
     return raster_global_stats(tiles, nodata)
 
 
+def q_raster_slope(sf_dir: str):
+    """Horn slope over 'holes' (the GDAL ``gdaldem slope`` kernel):
+    integer gx/gy via the radius-1 halo exchange, slope_pct only where
+    the full 3x3 window is valid (borders and nodata-adjacent pixels
+    null). Deterministic (row*W + col) % 101 == 0 pixel sample."""
+    from ..stages.focal import focal_slope_tiled, sample_slope_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    slope = focal_slope_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return sample_slope_pixels(slope, arr.shape[1], 101, cellsize=1.0)
+
+
+def q_raster_focal_minmax(sf_dir: str):
+    """5x5 morphological erosion/dilation (focal min/max) over 'holes':
+    shifted-slice extrema reduction per assembled halo window; null where
+    the whole neighborhood is invalid. (row*W + col) % 103 == 0 sample."""
+    from ..stages.focal import focal_minmax_tiled, sample_minmax_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    mm = focal_minmax_tiled(tiles, arr.shape, nodata, radius=2, tile_size=128)
+    return sample_minmax_pixels(mm, arr.shape[1], 103)
+
+
+def q_raster_warp(sf_dir: str):
+    """Nearest-neighbor affine warp of 'holes' (512x512) to a 400x360
+    grid: src_row = (r*8 + 3) // 5 (rows beyond 511 -> null, exercising
+    out-of-bounds), src_col = (c*7 + 2) // 6. Source tiles ship sub-rects
+    to exactly the output tiles that sample them (interval arithmetic,
+    one exchange). (row*W_out + col) % 83 == 0 output sample."""
+    from ..stages.focal import sample_calc_pixels, warp_nearest_tiled
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    warped = warp_nearest_tiled(
+        tiles,
+        (HOLES_H, HOLES_SHAPE_W),
+        (400, 360),
+        nodata,
+        y_map=(8, 3, 5),
+        x_map=(7, 2, 6),
+        tile_size=128,
+    )
+    return sample_calc_pixels(warped, 360, 83)
+
+
 def q_point_idw(sf_dir: str):
     """Inverse-distance-squared interpolation at 600 query points from
     the 600 valued fixture points (values = (pt_id*13) % 97), k=4 via
@@ -688,6 +732,85 @@ FROM n
 """
 
 
+# Horn slope: 9-offset WEIGHTED join — wx = dc * (2 - |dr|), wy =
+# dr * (2 - |dc|) reproduce the [[ -1 0 1 ] [ -2 0 2 ] [ -1 0 1 ]]
+# kernels. fcnt = 9 requires every window cell in-raster AND valid,
+# which is exactly the engine's full-window rule (borders -> null).
+# The slope expression is the same left-associated IEEE chain as the
+# engine: sqrt(double(gx^2+gy^2)) / 8 * 100 with cellsize 1.
+SQL_RASTER_SLOPE = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc,
+         c.range * (2 - abs(r.range)) AS wx,
+         r.range * (2 - abs(c.range)) AS wy
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 101 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         sum(o.wx * q.val) AS gx, sum(o.wy * q.val) AS gy,
+         count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col,
+       CASE WHEN fcnt = 9 THEN CAST(gx AS BIGINT) END AS gx,
+       CASE WHEN fcnt = 9 THEN CAST(gy AS BIGINT) END AS gy,
+       CASE WHEN fcnt = 9
+            THEN sqrt(CAST(gx * gx + gy * gy AS DOUBLE)) / 8 * 100 END AS slope_pct
+FROM n
+"""
+
+
+# 5x5 focal min/max: the same offset-join shape with extrema aggregates;
+# all-invalid neighborhoods keep fcnt 0 -> null extrema.
+SQL_RASTER_FOCAL_MINMAX = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-2, 3) r CROSS JOIN range(-2, 3) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 103 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         min(q.val) AS fmin, max(q.val) AS fmax, count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col,
+       CAST(fmin AS DOUBLE) AS fmin,
+       CAST(fmax AS DOUBLE) AS fmax,
+       CAST(fcnt AS BIGINT) AS fcnt
+FROM n
+"""
+
+
+# NN affine warp: output grid enumerated closed-form, each output pixel
+# LEFT-joined to its single source pixel by the same integer rational
+# mapping; no-match (out-of-bounds) and nodata sources are both null.
+SQL_RASTER_WARP = f"""
+WITH og AS (
+  SELECT r.range AS row, c.range AS col
+  FROM range(0, 400) r CROSS JOIN range(0, 360) c
+  WHERE (r.range * 360 + c.range) % 83 = 0
+)
+SELECT og.row, og.col,
+       CASE WHEN NOT p.is_nodata THEN CAST(p.val AS DOUBLE) END AS value
+FROM og LEFT JOIN {_px("holes")} p
+  ON p.row = CAST(floor((og.row * 8 + 3) / 5) AS BIGINT)
+ AND p.col = CAST(floor((og.col * 7 + 2) / 6) AS BIGINT)
+"""
+
+
 SQL_RASTER_DOWNSAMPLE = f"""
 SELECT CAST(floor(row / 8) AS BIGINT) AS crow,
        CAST(floor(col / 8) AS BIGINT) AS ccol,
@@ -936,6 +1059,9 @@ ZONAL_QUERIES = {
     "zonal_weighted": q_zonal_weighted,
     "raster_global_stats": q_raster_global_stats,
     "point_idw": q_point_idw,
+    "raster_slope": q_raster_slope,
+    "raster_focal_minmax": q_raster_focal_minmax,
+    "raster_warp": q_raster_warp,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -960,4 +1086,7 @@ ZONAL_ORACLE_SQL = {
     "zonal_weighted": SQL_ZONAL_WEIGHTED,
     "raster_global_stats": SQL_RASTER_GLOBAL_STATS,
     "point_idw": SQL_POINT_IDW,
+    "raster_slope": SQL_RASTER_SLOPE,
+    "raster_focal_minmax": SQL_RASTER_FOCAL_MINMAX,
+    "raster_warp": SQL_RASTER_WARP,
 }

@@ -41,10 +41,15 @@ from ..sources.tiles import cell_decode, cell_id
 
 __all__ = [
     "focal_mean_tiled",
+    "focal_slope_tiled",
+    "focal_minmax_tiled",
+    "warp_nearest_tiled",
     "downsample_mean",
     "raster_calc_tiled",
     "sample_focal_pixels",
     "sample_calc_pixels",
+    "sample_slope_pixels",
+    "sample_minmax_pixels",
 ]
 
 
@@ -156,17 +161,18 @@ def focal_mean_tiled(
     return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
 
 
-def _compute_focal_tile(
+def _assemble_window(
     cell: int,
     frag_arrays,
     shape: tuple[int, int],
     tile_size: int,
     radius: int,
     nodata: float,
-) -> pa.Table:
-    """Assemble one target tile's padded window from its fragments
-    (core + halo strips at absolute offsets) and box-sum the core."""
-    k = 2 * radius + 1
+):
+    """Assemble one target tile's padded (th+2r, tw+2r) window from its
+    fragments (core + halo strips at absolute offsets). Returns
+    (r0, c0, th, tw, vals, ok): vals hold 0.0 where invalid, ok is the
+    validity mask (beyond-extent / never-received cells stay 0)."""
     tr, tc = cell_decode(cell)
     r0, c0 = tr * tile_size, tc * tile_size
     th = min(tile_size, shape[0] - r0)
@@ -188,6 +194,22 @@ def _compute_focal_tile(
         cc = cc0 - (c0 - radius)
         vals[rr : rr + a.shape[0], cc : cc + a.shape[1]] = np.where(valid, a, 0.0)
         ok[rr : rr + a.shape[0], cc : cc + a.shape[1]] = valid
+    return r0, c0, th, tw, vals, ok
+
+
+def _compute_focal_tile(
+    cell: int,
+    frag_arrays,
+    shape: tuple[int, int],
+    tile_size: int,
+    radius: int,
+    nodata: float,
+) -> pa.Table:
+    """Padded-window assembly + box-sum of the core."""
+    k = 2 * radius + 1
+    r0, c0, th, tw, vals, ok = _assemble_window(
+        cell, frag_arrays, shape, tile_size, radius, nodata
+    )
     fsum = _box_sum(vals * ok, k)
     fcnt = _box_sum(ok, k)
     return pa.table(
@@ -592,3 +614,355 @@ def sample_calc_pixels(calc_ds, raster_width: int, mod: int):
         )
 
     return calc_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------- terrain derivatives
+
+
+def focal_slope_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    tile_size: int = 256,
+):
+    """Horn (1981) gradient over the 3x3 neighborhood — the classic
+    slope/aspect kernel (GDAL ``gdaldem slope`` semantics for fully-valid
+    windows): gx = (c + 2f + i) - (a + 2d + g), gy = (g + 2h + i) -
+    (a + 2b + c) over the window [[a b c] [d e f] [g h i]], rows
+    increasing downward. A pixel is valid only when ALL 9 window cells
+    are in-raster and non-nodata (border pixels and any window touching
+    nodata are null) — that keeps gx/gy pure integers for integer
+    rasters, so the distributed result is bit-exact against a SQL
+    9-offset weighted join. Same radius-1 halo exchange as
+    focal_mean_tiled. Returns derived tiles
+    (cell, row_off, col_off, height, width, gx:binary i64, gy:binary i64,
+    ok:binary u8)."""
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        full = _box_sum(ok, 3) == 9
+        a, b, c = vals[:-2, :-2], vals[:-2, 1:-1], vals[:-2, 2:]
+        d, f = vals[1:-1, :-2], vals[1:-1, 2:]
+        g, h, i_ = vals[2:, :-2], vals[2:, 1:-1], vals[2:, 2:]
+        gx = (c + 2.0 * f + i_) - (a + 2.0 * d + g)
+        gy = (g + 2.0 * h + i_) - (a + 2.0 * b + c)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "gx": pa.array([gx.astype(np.int64).tobytes()], pa.binary()),
+                "gy": pa.array([gy.astype(np.int64).tobytes()], pa.binary()),
+                "ok": pa.array([full.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_slope_pixels(slope_ds, raster_width: int, mod: int, cellsize: float = 1.0):
+    """(row, col, gx, gy, slope_pct) sample of a focal_slope_tiled result.
+    slope_pct = sqrt(gx^2 + gy^2) / (8 * cellsize) * 100 — every float op
+    is a single correctly-rounded IEEE op in the same left-associated
+    order as the SQL mirror, so the float64 output is bit-exact. Null
+    where the 3x3 window is not fully valid."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, gx_o, gy_o, ok_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            gx = np.frombuffer(batch["gx"][i].as_buffer(), np.int64).reshape(th, tw)
+            gy = np.frombuffer(batch["gy"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            gx_o.append(gx[pick])
+            gy_o.append(gy[pick])
+            ok_o.append(ok[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        gx = np.concatenate(gx_o) if gx_o else np.empty(0, np.int64)
+        gy = np.concatenate(gy_o) if gy_o else np.empty(0, np.int64)
+        bad = ~(np.concatenate(ok_o) if ok_o else np.empty(0, np.uint8)).astype(bool)
+        g2 = (gx * gx + gy * gy).astype(np.float64)
+        slope = np.sqrt(g2) / (8.0 * cellsize) * 100.0
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "gx": pa.array(gx, pa.int64(), mask=bad),
+                "gy": pa.array(gy, pa.int64(), mask=bad),
+                "slope_pct": pa.array(slope, pa.float64(), mask=bad),
+            }
+        )
+
+    return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_minmax_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Morphological erosion/dilation: per pixel the min and max over the
+    VALID (in-raster, non-nodata) cells of its (2r+1)^2 neighborhood —
+    null when the whole neighborhood is invalid. Windowed extrema are not
+    integral-image-able, so the kernel reduces (2r+1)^2 shifted slices
+    with np.minimum/maximum (vectorized; O(k^2) slices, no per-pixel
+    Python). Same halo exchange. Returns derived tiles
+    (cell, row_off, col_off, height, width, fmin/fmax:binary f64,
+    fcnt:binary i64)."""
+
+    if radius > tile_size:
+        raise ValueError(f"radius {radius} exceeds tile_size {tile_size}")
+    k = 2 * radius + 1
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, radius)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, radius, nodata
+        )
+        lo = np.where(ok.astype(bool), vals, np.inf)
+        hi = np.where(ok.astype(bool), vals, -np.inf)
+        fmin = np.full((th, tw), np.inf)
+        fmax = np.full((th, tw), -np.inf)
+        for dr in range(k):
+            for dc in range(k):
+                np.minimum(fmin, lo[dr : dr + th, dc : dc + tw], out=fmin)
+                np.maximum(fmax, hi[dr : dr + th, dc : dc + tw], out=fmax)
+        fcnt = _box_sum(ok, k)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "fmin": pa.array([fmin.tobytes()], pa.binary()),
+                "fmax": pa.array([fmax.tobytes()], pa.binary()),
+                "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_minmax_pixels(minmax_ds, raster_width: int, mod: int):
+    """(row, col, fmin, fmax, fcnt) sample of a focal_minmax_tiled result;
+    fmin/fmax null where the neighborhood had no valid pixel."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, mn_o, mx_o, c_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            fmin = np.frombuffer(batch["fmin"][i].as_buffer(), np.float64).reshape(th, tw)
+            fmax = np.frombuffer(batch["fmax"][i].as_buffer(), np.float64).reshape(th, tw)
+            fcnt = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            mn_o.append(fmin[pick])
+            mx_o.append(fmax[pick])
+            c_o.append(fcnt[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        mn = np.concatenate(mn_o) if mn_o else np.empty(0, np.float64)
+        mx = np.concatenate(mx_o) if mx_o else np.empty(0, np.float64)
+        c = np.concatenate(c_o) if c_o else np.empty(0, np.int64)
+        empty = c == 0
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "fmin": pa.array(np.where(empty, np.nan, mn), pa.float64(), mask=empty),
+                "fmax": pa.array(np.where(empty, np.nan, mx), pa.float64(), mask=empty),
+                "fcnt": pa.array(c, pa.int64()),
+            }
+        )
+
+    return minmax_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------ affine NN warp
+
+
+def _warp_out_range(k0: int, k1: int, num: int, off: int, den: int, n_out: int):
+    """Output indices r whose source floor((r*num + off) / den) lands in
+    [k0, k1): the mapping is monotone non-decreasing (num > 0), so the
+    range is contiguous — [ceil((k0*den - off) / num),
+    ceil((k1*den - off) / num)) clamped to [0, n_out)."""
+    lo = -((-(k0 * den - off)) // num)  # ceil division for any sign
+    hi = -((-(k1 * den - off)) // num)
+    return max(0, lo), min(n_out, hi)
+
+
+def warp_nearest_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    nodata: float,
+    y_map: tuple[int, int, int],
+    x_map: tuple[int, int, int],
+    tile_size: int = 256,
+):
+    """Nearest-neighbor affine warp/resample to a new grid: output pixel
+    (r, c) reads source pixel (floor((r*ny + oy) / dy),
+    floor((c*nx + ox) / dx)) with y_map = (ny, oy, dy), x_map =
+    (nx, ox, dx) — integer rational mapping, so routing and the result
+    are exact. Out-of-bounds or nodata sources are null.
+
+    Distributed plan: each SOURCE tile computes (closed-form interval
+    arithmetic, no index) which OUTPUT tiles sample from it and ships the
+    needed sub-rect to each — pixels cross the exchange once, like the
+    stencil halo. groupby(out_cell) gathers. Output schema matches
+    raster_calc_tiled (vals:f64 + ok:u8), so sample_calc_pixels and any
+    derived-tile consumer apply unchanged."""
+    oh, ow = out_shape
+    ny, oy, dy = y_map
+    nx, ox, dx = x_map
+    if ny <= 0 or nx <= 0 or dy <= 0 or dx <= 0:
+        raise ValueError("warp mapping requires positive numerators/denominators")
+    ntr_o = (oh + tile_size - 1) // tile_size
+    ntc_o = (ow + tile_size - 1) // tile_size
+
+    def fan(batch: pa.Table) -> pa.Table:
+        cells, fro, fco, fh, fw, dts, payload = [], [], [], [], [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            olo_r, ohi_r = _warp_out_range(r0, r0 + th, ny, oy, dy, oh)
+            olo_c, ohi_c = _warp_out_range(c0, c0 + tw, nx, ox, dx, ow)
+            if olo_r >= ohi_r or olo_c >= ohi_c:
+                continue  # no output pixel samples this tile
+            for otr in range(olo_r // tile_size, (ohi_r - 1) // tile_size + 1):
+                # output rows of THIS output tile that read from this tile
+                a_r = max(olo_r, otr * tile_size)
+                b_r = min(ohi_r, (otr + 1) * tile_size)
+                # source rows they touch (inclusive bounds, clipped to tile)
+                sr_a = max(r0, (a_r * ny + oy) // dy)
+                sr_b = min(r0 + th - 1, ((b_r - 1) * ny + oy) // dy)
+                for otc in range(olo_c // tile_size, (ohi_c - 1) // tile_size + 1):
+                    a_c = max(olo_c, otc * tile_size)
+                    b_c = min(ohi_c, (otc + 1) * tile_size)
+                    sc_a = max(c0, (a_c * nx + ox) // dx)
+                    sc_b = min(c0 + tw - 1, ((b_c - 1) * nx + ox) // dx)
+                    frag = arr[sr_a - r0 : sr_b + 1 - r0, sc_a - c0 : sc_b + 1 - c0]
+                    if frag.size == 0:
+                        continue
+                    cells.append(int(cell_id(otr, otc)))
+                    fro.append(sr_a)
+                    fco.append(sc_a)
+                    fh.append(frag.shape[0])
+                    fw.append(frag.shape[1])
+                    dts.append(str(arr.dtype))
+                    payload.append(np.ascontiguousarray(frag).tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "row_off": pa.array(fro, pa.int32()),
+                "col_off": pa.array(fco, pa.int32()),
+                "height": pa.array(fh, pa.int32()),
+                "width": pa.array(fw, pa.int32()),
+                "dtype": pa.array(dts, pa.string()),
+                "pixels": pa.array(payload, pa.binary()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        otr, otc = cell_decode(cell)
+        or0, oc0 = otr * tile_size, otc * tile_size
+        th = min(tile_size, oh - or0)
+        tw = min(tile_size, ow - oc0)
+        # source rect this output tile reads (for in-bounds outputs)
+        sr = ((or0 + np.arange(th, dtype=np.int64)) * ny + oy) // dy
+        sc = ((oc0 + np.arange(tw, dtype=np.int64)) * nx + ox) // dx
+        in_r = (sr >= 0) & (sr < shape[0])
+        in_c = (sc >= 0) & (sc < shape[1])
+        # local gather buffer covering the touched source rows/cols
+        r_lo = int(sr[in_r].min()) if in_r.any() else 0
+        r_hi = int(sr[in_r].max()) + 1 if in_r.any() else 0
+        c_lo = int(sc[in_c].min()) if in_c.any() else 0
+        c_hi = int(sc[in_c].max()) + 1 if in_c.any() else 0
+        buf = np.zeros((max(r_hi - r_lo, 1), max(c_hi - c_lo, 1)), np.float64)
+        got = np.zeros_like(buf, dtype=bool)
+        for _cell, fr0, fc0, arr in _tile_arrays(group):
+            a0 = max(fr0, r_lo)
+            b0 = max(fc0, c_lo)
+            a1 = min(fr0 + arr.shape[0], r_hi)
+            b1 = min(fc0 + arr.shape[1], c_hi)
+            if a1 <= a0 or b1 <= b0:
+                continue
+            sub = arr[a0 - fr0 : a1 - fr0, b0 - fc0 : b1 - fc0].astype(np.float64)
+            buf[a0 - r_lo : a1 - r_lo, b0 - c_lo : b1 - c_lo] = sub
+            got[a0 - r_lo : a1 - r_lo, b0 - c_lo : b1 - c_lo] = True
+        rr = np.clip(sr - r_lo, 0, buf.shape[0] - 1)
+        cc = np.clip(sc - c_lo, 0, buf.shape[1] - 1)
+        vals = buf[rr.reshape(th, 1), cc.reshape(1, tw)]
+        received = got[rr.reshape(th, 1), cc.reshape(1, tw)]
+        ok = (
+            in_r.reshape(th, 1)
+            & in_c.reshape(1, tw)
+            & received
+            & (vals != float(nodata))
+        )
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([or0], pa.int32()),
+                "col_off": pa.array([oc0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "vals": pa.array([np.where(ok, vals, np.nan).tobytes()], pa.binary()),
+                "ok": pa.array([ok.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    import ray.data
+
+    # output tiles no source pixel feeds (fully out-of-bounds) still need
+    # rows: seed every output cell with an empty marker fragment
+    seeds = []
+    for otr in range(ntr_o):
+        for otc in range(ntc_o):
+            seeds.append(int(cell_id(otr, otc)))
+    seed_tbl = pa.table(
+        {
+            "cell": pa.array(seeds, pa.int64()),
+            "row_off": pa.array([0] * len(seeds), pa.int32()),
+            "col_off": pa.array([0] * len(seeds), pa.int32()),
+            "height": pa.array([0] * len(seeds), pa.int32()),
+            "width": pa.array([0] * len(seeds), pa.int32()),
+            "dtype": pa.array(["float64"] * len(seeds), pa.string()),
+            "pixels": pa.array([b""] * len(seeds), pa.binary()),
+        }
+    )
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True).union(
+        ray.data.from_arrow(seed_tbl)
+    )
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")

@@ -370,3 +370,163 @@ def test_idw_matches_bruteforce(ray_session):
                 den = den + w
             ref = num / den
         assert got.loc[qi] == ref, qi
+
+
+# ------------------------------------------------- slope / minmax / warp
+
+
+def _slope_reference(arr):
+    """Nested-loop Horn gradient; valid only for fully-valid 3x3 windows."""
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    gx = np.zeros((h, w), np.int64)
+    gy = np.zeros((h, w), np.int64)
+    ok = np.zeros((h, w), bool)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = a[r - 1 : r + 2, c - 1 : c + 2]
+            if not valid[r - 1 : r + 2, c - 1 : c + 2].all():
+                continue
+            ok[r, c] = True
+            gx[r, c] = int(
+                (win[0, 2] + 2 * win[1, 2] + win[2, 2])
+                - (win[0, 0] + 2 * win[1, 0] + win[2, 0])
+            )
+            gy[r, c] = int(
+                (win[2, 0] + 2 * win[2, 1] + win[2, 2])
+                - (win[0, 0] + 2 * win[0, 1] + win[0, 2])
+            )
+    return gx, gy, ok
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_slope_matches_reference(ray_session, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import focal_slope_tiled
+
+    arr = _rand_raster(96, 80, seed=23)
+    ref_gx, ref_gy, ref_ok = _slope_reference(arr)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = focal_slope_tiled(tiles, arr.shape, NODATA, tile_size=tile_size)
+    got_gx = np.zeros(arr.shape, np.int64)
+    got_gy = np.zeros(arr.shape, np.int64)
+    got_ok = np.zeros(arr.shape, bool)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            gx = np.frombuffer(batch["gx"][i].as_buffer(), np.int64).reshape(th, tw)
+            gy = np.frombuffer(batch["gy"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            got_gx[r0 : r0 + th, c0 : c0 + tw] = gx
+            got_gy[r0 : r0 + th, c0 : c0 + tw] = gy
+            got_ok[r0 : r0 + th, c0 : c0 + tw] = ok.astype(bool)
+    assert np.array_equal(got_ok, ref_ok)
+    assert np.array_equal(got_gx[got_ok], ref_gx[ref_ok])
+    assert np.array_equal(got_gy[got_ok], ref_gy[ref_ok])
+
+
+def _minmax_reference(arr, radius):
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    fmin = np.full((h, w), np.nan)
+    fmax = np.full((h, w), np.nan)
+    fcnt = np.zeros((h, w), np.int64)
+    for r in range(h):
+        for c in range(w):
+            r0, r1 = max(0, r - radius), min(h, r + radius + 1)
+            c0, c1 = max(0, c - radius), min(w, c + radius + 1)
+            win = a[r0:r1, c0:c1]
+            ok = valid[r0:r1, c0:c1]
+            fcnt[r, c] = int(ok.sum())
+            if fcnt[r, c]:
+                fmin[r, c] = win[ok].min()
+                fmax[r, c] = win[ok].max()
+    return fmin, fmax, fcnt
+
+
+@pytest.mark.parametrize("radius,tile_size", [(1, 32), (2, 16), (2, 96)])
+def test_minmax_matches_reference(ray_session, radius, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import focal_minmax_tiled
+
+    arr = _rand_raster(96, 80, seed=29)
+    ref_mn, ref_mx, ref_c = _minmax_reference(arr, radius)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = focal_minmax_tiled(tiles, arr.shape, NODATA, radius=radius, tile_size=tile_size)
+    got_mn = np.full(arr.shape, np.nan)
+    got_mx = np.full(arr.shape, np.nan)
+    got_c = np.zeros(arr.shape, np.int64)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            mn = np.frombuffer(batch["fmin"][i].as_buffer(), np.float64).reshape(th, tw)
+            mx = np.frombuffer(batch["fmax"][i].as_buffer(), np.float64).reshape(th, tw)
+            c = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            got_mn[r0 : r0 + th, c0 : c0 + tw] = mn
+            got_mx[r0 : r0 + th, c0 : c0 + tw] = mx
+            got_c[r0 : r0 + th, c0 : c0 + tw] = c
+    assert np.array_equal(got_c, ref_c)
+    has = ref_c > 0
+    assert np.array_equal(got_mn[has], ref_mn[has])
+    assert np.array_equal(got_mx[has], ref_mx[has])
+    assert np.all(np.isinf(got_mn[~has]) | np.isnan(got_mn[~has]))
+
+
+def _warp_reference(arr, out_shape, y_map, x_map):
+    oh, ow = out_shape
+    ny, oy, dy = y_map
+    nx, ox, dx = x_map
+    vals = np.full((oh, ow), np.nan)
+    ok = np.zeros((oh, ow), bool)
+    for r in range(oh):
+        for c in range(ow):
+            sr = (r * ny + oy) // dy
+            sc = (c * nx + ox) // dx
+            if 0 <= sr < arr.shape[0] and 0 <= sc < arr.shape[1]:
+                v = float(arr[sr, sc])
+                if v != NODATA:
+                    vals[r, c] = v
+                    ok[r, c] = True
+    return vals, ok
+
+
+@pytest.mark.parametrize(
+    "out_shape,y_map,x_map,tile_size",
+    [
+        ((50, 40), (8, 3, 5), (7, 2, 6), 16),   # down+up mix, oob rows
+        ((120, 100), (2, 0, 3), (1, 5, 2), 32),  # upsample y, downsample x
+        ((30, 30), (4, 1, 1), (4, 0, 1), 16),    # strong downsample
+    ],
+)
+def test_warp_matches_reference(ray_session, out_shape, y_map, x_map, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import warp_nearest_tiled
+
+    arr = _rand_raster(64, 56, seed=31)
+    ref_v, ref_ok = _warp_reference(arr, out_shape, y_map, x_map)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = warp_nearest_tiled(
+        tiles, arr.shape, out_shape, NODATA, y_map, x_map, tile_size=tile_size
+    )
+    got_v = np.full(out_shape, np.nan)
+    got_ok = np.zeros(out_shape, bool)
+    seen = np.zeros(out_shape, bool)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            v = np.frombuffer(batch["vals"][i].as_buffer(), np.float64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            got_v[r0 : r0 + th, c0 : c0 + tw] = v
+            got_ok[r0 : r0 + th, c0 : c0 + tw] = ok.astype(bool)
+            seen[r0 : r0 + th, c0 : c0 + tw] = True
+    assert seen.all()  # every output pixel emitted exactly once
+    assert np.array_equal(got_ok, ref_ok)
+    assert np.array_equal(got_v[got_ok], ref_v[ref_ok])
