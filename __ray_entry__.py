@@ -157,6 +157,7 @@ EXTRA_QUERY_ORDER = [
     "raster_slope",
     "raster_focal_minmax",
     "raster_warp",
+    "raster_d8_flow",
 ]
 
 

@@ -453,6 +453,19 @@ def q_raster_warp(sf_dir: str):
     return sample_calc_pixels(warped, 360, 83)
 
 
+def q_raster_d8_flow(sf_dir: str):
+    """D8 flow direction over 'holes' (O'Callaghan & Mark, ESRI codes):
+    steepest-descent neighbor with exact integer distance weighting
+    (2*drop^2 cardinal vs drop^2 diagonal), fixed priority tie-break,
+    0 for pits; nodata centers dropped, nodata neighbors skipped.
+    (row*W + col) % 107 == 0 valid-pixel sample."""
+    from ..stages.focal import flow_direction_tiled, sample_d8_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    d8 = flow_direction_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return sample_d8_pixels(d8, arr.shape[1], 107)
+
+
 def q_point_idw(sf_dir: str):
     """Inverse-distance-squared interpolation at 600 query points from
     the 600 valued fixture points (values = (pt_id*13) % 97), k=4 via
@@ -794,6 +807,39 @@ FROM n
 """
 
 
+# D8 flow direction: candidate strictly-lower valid neighbors ranked by
+# the integer descent metric (mult * drop^2 encodes drop/dist exactly
+# for dist 1 vs sqrt(2)), tie-broken by fixed priority; pixels with no
+# candidate (pits, all-nodata rings) coalesce to 0.
+SQL_RASTER_D8_FLOW = f"""
+WITH offs AS (
+  SELECT * FROM (VALUES
+    (0, 1, 1, 2, 1), (1, 1, 2, 1, 2), (1, 0, 4, 2, 3), (1, -1, 8, 1, 4),
+    (0, -1, 16, 2, 5), (-1, -1, 32, 1, 6), (-1, 0, 64, 2, 7), (-1, 1, 128, 1, 8)
+  ) AS t(dr, dc, code, mult, prio)
+),
+p AS (
+  SELECT row, col, val FROM {_px("holes")}
+  WHERE NOT is_nodata AND (row * {HOLES_SHAPE_W} + col) % 107 = 0
+),
+cand AS (
+  SELECT p.row, p.col, o.code, o.prio,
+         o.mult * CAST(p.val - q.val AS BIGINT) * CAST(p.val - q.val AS BIGINT) AS m
+  FROM p CROSS JOIN offs o
+  JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  WHERE q.val < p.val
+),
+best AS (
+  SELECT row, col, code,
+         row_number() OVER (PARTITION BY row, col ORDER BY m DESC, prio) AS rk
+  FROM cand
+)
+SELECT p.row, p.col, CAST(coalesce(b.code, 0) AS BIGINT) AS d8
+FROM p LEFT JOIN best b ON b.row = p.row AND b.col = p.col AND b.rk = 1
+"""
+
+
 # NN affine warp: output grid enumerated closed-form, each output pixel
 # LEFT-joined to its single source pixel by the same integer rational
 # mapping; no-match (out-of-bounds) and nodata sources are both null.
@@ -1062,6 +1108,7 @@ ZONAL_QUERIES = {
     "raster_slope": q_raster_slope,
     "raster_focal_minmax": q_raster_focal_minmax,
     "raster_warp": q_raster_warp,
+    "raster_d8_flow": q_raster_d8_flow,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -1089,4 +1136,5 @@ ZONAL_ORACLE_SQL = {
     "raster_slope": SQL_RASTER_SLOPE,
     "raster_focal_minmax": SQL_RASTER_FOCAL_MINMAX,
     "raster_warp": SQL_RASTER_WARP,
+    "raster_d8_flow": SQL_RASTER_D8_FLOW,
 }

@@ -43,6 +43,7 @@ __all__ = [
     "focal_mean_tiled",
     "focal_slope_tiled",
     "focal_minmax_tiled",
+    "flow_direction_tiled",
     "warp_nearest_tiled",
     "downsample_mean",
     "raster_calc_tiled",
@@ -712,6 +713,111 @@ def sample_slope_pixels(slope_ds, raster_width: int, mod: int, cellsize: float =
         )
 
     return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_D8_NEIGHBORS = [
+    # (dr, dc, ESRI code, metric multiplier) in PRIORITY order: ties go
+    # to the earliest entry. Cardinal drops compare against diagonal
+    # drops by drop/dist with dist 1 vs sqrt(2); for positive integer
+    # drops that order is exactly 2*drop^2 (cardinal) vs drop^2
+    # (diagonal) — pure int64, no float comparison anywhere.
+    (0, 1, 1, 2),      # E
+    (1, 1, 2, 1),      # SE
+    (1, 0, 4, 2),      # S
+    (1, -1, 8, 1),     # SW
+    (0, -1, 16, 2),    # W
+    (-1, -1, 32, 1),   # NW
+    (-1, 0, 64, 2),    # N
+    (-1, 1, 128, 1),   # NE
+]
+
+
+def flow_direction_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    tile_size: int = 256,
+):
+    """D8 flow direction (O'Callaghan & Mark 1984, ESRI encoding): per
+    valid pixel, the power-of-2 code of the steepest-DESCENT neighbor
+    (drop/distance maximized over valid in-raster neighbors with a
+    strictly lower value), 0 for pits/flats; nodata centers invalid.
+    Distance weighting is exact integer arithmetic (see _D8_NEIGHBORS);
+    ties break by fixed E,SE,S,SW,W,NW,N,NE priority. Same radius-1 halo
+    exchange. Returns derived tiles (cell, row_off, col_off, height,
+    width, d8:binary i64, ok:binary u8)."""
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        center = np.rint(vals[1:-1, 1:-1]).astype(np.int64)
+        c_ok = ok[1:-1, 1:-1].astype(bool)
+        best_m = np.zeros((th, tw), np.int64)
+        best_d = np.zeros((th, tw), np.int64)
+        for dr, dc, code, mult in _D8_NEIGHBORS:
+            nb = np.rint(vals[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw]).astype(np.int64)
+            n_ok = ok[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw].astype(bool)
+            drop = center - nb
+            m = mult * drop * drop
+            take = n_ok & (drop > 0) & (m > best_m)
+            best_m[take] = m[take]
+            best_d[take] = code
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "d8": pa.array([best_d.tobytes()], pa.binary()),
+                "ok": pa.array([c_ok.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_d8_pixels(d8_ds, raster_width: int, mod: int):
+    """(row, col, d8) sample of a flow_direction_tiled result over VALID
+    centers only (nodata centers are dropped, matching the SQL mirror's
+    valid-pixel base table)."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, d_o = [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            d8 = np.frombuffer(batch["d8"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = ((rr * raster_width + cc) % mod == 0) & ok.astype(bool)
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            d_o.append(d8[pick])
+        return pa.table(
+            {
+                "row": pa.array(
+                    np.concatenate(rows_o) if rows_o else np.empty(0, np.int64), pa.int64()
+                ),
+                "col": pa.array(
+                    np.concatenate(cols_o) if cols_o else np.empty(0, np.int64), pa.int64()
+                ),
+                "d8": pa.array(
+                    np.concatenate(d_o) if d_o else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return d8_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def focal_minmax_tiled(

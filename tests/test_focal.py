@@ -530,3 +530,58 @@ def test_warp_matches_reference(ray_session, out_shape, y_map, x_map, tile_size)
     assert seen.all()  # every output pixel emitted exactly once
     assert np.array_equal(got_ok, ref_ok)
     assert np.array_equal(got_v[got_ok], ref_v[ref_ok])
+
+
+def _d8_reference(arr):
+    """Nested-loop D8 reference with the same integer metric and
+    E,SE,S,SW,W,NW,N,NE priority."""
+    neigh = [
+        (0, 1, 1, 2), (1, 1, 2, 1), (1, 0, 4, 2), (1, -1, 8, 1),
+        (0, -1, 16, 2), (-1, -1, 32, 1), (-1, 0, 64, 2), (-1, 1, 128, 1),
+    ]
+    h, w = arr.shape
+    a = np.rint(arr.astype(np.float64)).astype(np.int64)
+    valid = arr != NODATA
+    d8 = np.zeros((h, w), np.int64)
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            best_m, best_d = 0, 0
+            for dr, dc, code, mult in neigh:
+                rr, cc = r + dr, c + dc
+                if not (0 <= rr < h and 0 <= cc < w and valid[rr, cc]):
+                    continue
+                drop = int(a[r, c]) - int(a[rr, cc])
+                if drop <= 0:
+                    continue
+                m = mult * drop * drop
+                if m > best_m:
+                    best_m, best_d = m, code
+            d8[r, c] = best_d
+    return d8, valid
+
+
+@pytest.mark.parametrize("tile_size", [16, 48, 96])
+def test_d8_matches_reference(ray_session, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import flow_direction_tiled
+
+    arr = _rand_raster(96, 80, seed=37)
+    arr[40:45, 40:45] = 7.0  # flat plateau -> pits (d8 = 0) inside
+    ref_d8, ref_ok = _d8_reference(arr)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = flow_direction_tiled(tiles, arr.shape, NODATA, tile_size=tile_size)
+    got_d8 = np.full(arr.shape, -1, np.int64)
+    got_ok = np.zeros(arr.shape, bool)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            d8 = np.frombuffer(batch["d8"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            got_d8[r0 : r0 + th, c0 : c0 + tw] = d8
+            got_ok[r0 : r0 + th, c0 : c0 + tw] = ok.astype(bool)
+    assert np.array_equal(got_ok, ref_ok)
+    assert np.array_equal(got_d8[got_ok], ref_d8[ref_ok])
