@@ -158,6 +158,10 @@ EXTRA_QUERY_ORDER = [
     "raster_focal_minmax",
     "raster_warp",
     "raster_d8_flow",
+    "raster_hillshade",
+    "raster_pyramid",
+    "raster_proximity",
+    "points_density",
 ]
 
 

@@ -466,6 +466,115 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_hillshade(sf_dir: str):
+    """Lambertian hillshade over 'holes' from the Horn gradient tiles
+    (gdaldem-hillshade direction: light (-1,-1,1) = azimuth 315, altitude
+    45): shade = max(0, (-gx*lx - gy*ly + 8*lz) / sqrt(gx^2+gy^2+64)
+    / sqrt(3)) — integer numerator, two correctly-rounded sqrt/divides in
+    a fixed order, so the float64 output is bit-exact vs SQL. Null where
+    the 3x3 window is not fully valid. (row*W + col) % 109 == 0 sample."""
+    from ..stages.focal import focal_slope_tiled, sample_hillshade_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    slope = focal_slope_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return sample_hillshade_pixels(slope, arr.shape[1], 109, light=(-1, -1, 1))
+
+
+def q_raster_pyramid(sf_dir: str):
+    """3-level overview pyramid of 'holes' (gdaladdo 'average'): level 1
+    is factor-2 pooling of the base tiles, levels 2/3 pool the PREVIOUS
+    level's (cnt, sum) rows — one base scan total. Associative integer
+    sums make level-from-level bit-identical to the SQL's
+    level-from-base group-bys."""
+    from ..stages.focal import pyramid_levels
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    return pyramid_levels(tiles, nodata, n_levels=3)
+
+
+def q_raster_proximity(sf_dir: str):
+    """Proximity raster (gdal_proximity shape): for each sampled pixel
+    CENTER of 'holes', the nearest of the 600 fixture points and its
+    squared euclidean distance — broadcast point set + per-actor grid
+    index (the kNN ST3 shape), (d^2, id) tie-break. Pixel centers are
+    dyadic floats and d^2 = dx*dx + dy*dy is the same IEEE chain as the
+    SQL mirror, so the float64 output is bit-exact.
+    (row*W + col) % 131 == 0 sample."""
+    import ray.data  # noqa: F401  (tiles dataset already built by _tiles_ds)
+
+    from ..stages.focal import sample_pixel_centers
+    from ..stages.knn_points import knn_points
+
+    tiles, arr, _nodata = _tiles_ds("holes")
+    h, w = arr.shape
+    x, y = query_points()
+    ids = np.arange(len(x), dtype=np.int64)
+    pix = sample_pixel_centers(tiles, h, w, 131)
+    res = knn_points(pix, x, y, ids, k=1)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch["query_id"].to_numpy()
+        return pa.table(
+            {
+                "row": pa.array(q // w, pa.int64()),
+                "col": pa.array(q % w, pa.int64()),
+                "near_id": batch["neighbor_id"],
+                "d2": batch["distance_sq"],
+            }
+        )
+
+    return res.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_points_density(sf_dir: str):
+    """Point-density raster (rasterize-points): count of fixture points
+    per 'holes' pixel cell — per-batch bincount partials over flat cell
+    keys, one thin groupby merge, only non-empty cells emitted (sparse
+    raster). Out-of-extent points are dropped."""
+    import ray.data
+
+    ensure_fixtures()
+    x, y = query_points()
+    pts = ray.data.from_arrow(
+        pa.table(
+            {
+                "pt_id": pa.array(np.arange(len(x), dtype=np.int64), pa.int64()),
+                "x": pa.array(x, pa.float64()),
+                "y": pa.array(y, pa.float64()),
+            }
+        )
+    )
+    h, w = HOLES_H, HOLES_SHAPE_W
+
+    def partials(batch: pa.Table) -> pa.Table:
+        xs = batch["x"].to_numpy()
+        ys = batch["y"].to_numpy()
+        row = np.floor(float(h) - ys).astype(np.int64)
+        col = np.floor(xs).astype(np.int64)
+        keep = (row >= 0) & (row < h) & (col >= 0) & (col < w)
+        keys = row[keep] * w + col[keep]
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table(
+            {
+                "k": pa.array(uk, pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = int(group["k"][0].as_py())
+        return pa.table(
+            {
+                "row": pa.array([k // w], pa.int64()),
+                "col": pa.array([k % w], pa.int64()),
+                "n_points": pa.array([int(np.sum(group["n"].to_numpy()))], pa.int64()),
+            }
+        )
+
+    part = pts.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("k").map_groups(merge, batch_format="pyarrow")
+
+
 def q_point_idw(sf_dir: str):
     """Inverse-distance-squared interpolation at 600 query points from
     the 600 valued fixture points (values = (pt_id*13) % 97), k=4 via
@@ -840,6 +949,101 @@ FROM p LEFT JOIN best b ON b.row = p.row AND b.col = p.col AND b.rk = 1
 """
 
 
+# Hillshade: the slope 9-offset weighted join derives the same integer
+# gx/gy, then the identical left-associated IEEE chain — integer
+# numerator gx + gy + 8 (light (-1,-1,1)), two correctly-rounded
+# sqrt/divides, greatest(..., 0) clamp.
+SQL_RASTER_HILLSHADE = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc,
+         c.range * (2 - abs(r.range)) AS wx,
+         r.range * (2 - abs(c.range)) AS wy
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 109 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         sum(o.wx * q.val) AS gx, sum(o.wy * q.val) AS gy,
+         count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col,
+       CASE WHEN fcnt = 9 THEN CAST(gx + gy + 8 AS BIGINT) END AS hs_num,
+       CASE WHEN fcnt = 9
+            THEN greatest(CAST(gx + gy + 8 AS DOUBLE)
+                          / sqrt(CAST(gx * gx + gy * gy + 64 AS DOUBLE))
+                          / sqrt(3.0), 0.0) END AS shade
+FROM n
+"""
+
+
+def _pyramid_level_sql(level: int) -> str:
+    f = 2 ** level
+    return f"""
+SELECT CAST({level} AS BIGINT) AS level,
+       CAST(floor(row / {f}) AS BIGINT) AS crow,
+       CAST(floor(col / {f}) AS BIGINT) AS ccol,
+       count(CASE WHEN NOT is_nodata THEN 1 END) AS cnt,
+       sum(CASE WHEN NOT is_nodata THEN val END) AS "sum",
+       sum(CASE WHEN NOT is_nodata THEN val END)
+         / count(CASE WHEN NOT is_nodata THEN 1 END) AS mean
+FROM {_px("holes")}
+GROUP BY crow, ccol"""
+
+
+# every level recomputed straight from the base pixels — the engine's
+# level-from-level pooling must agree because integer sums associate.
+SQL_RASTER_PYRAMID = "\nUNION ALL\n".join(
+    _pyramid_level_sql(lv) for lv in (1, 2, 3)
+)
+
+
+# proximity: every sampled in-raster pixel center (nodata centers too —
+# proximity is geometric) against all fixture points; (d2, pt_id) rank.
+SQL_RASTER_PROXIMITY = f"""
+WITH pts AS (
+  SELECT pt_id, x, y FROM read_parquet('{ORACLE_DIR}/query_points.parquet')
+),
+p AS (
+  SELECT row, col,
+         CAST(col AS DOUBLE) + 0.5 AS px,
+         (CAST({HOLES_H} AS DOUBLE) - CAST(row AS DOUBLE)) - 0.5 AS py
+  FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 131 = 0
+),
+cand AS (
+  SELECT p.row, p.col, pts.pt_id,
+         (pts.x - p.px) * (pts.x - p.px) + (pts.y - p.py) * (pts.y - p.py) AS d2
+  FROM p CROSS JOIN pts
+),
+best AS (
+  SELECT row, col, pt_id, d2,
+         row_number() OVER (PARTITION BY row, col ORDER BY d2, pt_id) AS rk
+  FROM cand
+)
+SELECT row, col, pt_id AS near_id, d2 FROM best WHERE rk = 1
+"""
+
+
+SQL_POINTS_DENSITY = f"""
+WITH pts AS (
+  SELECT CAST(floor({HOLES_H} - y) AS BIGINT) AS row,
+         CAST(floor(x) AS BIGINT) AS col
+  FROM read_parquet('{ORACLE_DIR}/query_points.parquet')
+)
+SELECT row, col, count(*) AS n_points
+FROM pts
+WHERE row >= 0 AND row < {HOLES_H} AND col >= 0 AND col < {HOLES_SHAPE_W}
+GROUP BY row, col
+"""
+
+
 # NN affine warp: output grid enumerated closed-form, each output pixel
 # LEFT-joined to its single source pixel by the same integer rational
 # mapping; no-match (out-of-bounds) and nodata sources are both null.
@@ -1109,6 +1313,10 @@ ZONAL_QUERIES = {
     "raster_focal_minmax": q_raster_focal_minmax,
     "raster_warp": q_raster_warp,
     "raster_d8_flow": q_raster_d8_flow,
+    "raster_hillshade": q_raster_hillshade,
+    "raster_pyramid": q_raster_pyramid,
+    "raster_proximity": q_raster_proximity,
+    "points_density": q_points_density,
 }
 
 ZONAL_ORACLE_SQL = {
@@ -1137,4 +1345,8 @@ ZONAL_ORACLE_SQL = {
     "raster_focal_minmax": SQL_RASTER_FOCAL_MINMAX,
     "raster_warp": SQL_RASTER_WARP,
     "raster_d8_flow": SQL_RASTER_D8_FLOW,
+    "raster_hillshade": SQL_RASTER_HILLSHADE,
+    "raster_pyramid": SQL_RASTER_PYRAMID,
+    "raster_proximity": SQL_RASTER_PROXIMITY,
+    "points_density": SQL_POINTS_DENSITY,
 }

