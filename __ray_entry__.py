@@ -159,6 +159,7 @@ EXTRA_QUERY_ORDER = [
     "raster_warp",
     "raster_d8_flow",
     "raster_hillshade",
+    "raster_warp_bilinear",
     "raster_pyramid",
     "raster_proximity",
     "points_density",

@@ -466,6 +466,28 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_warp_bilinear(sf_dir: str):
+    """Bilinear affine warp of 'holes' (512x512) to a 600x500 grid:
+    source coords sy = (r*8 + 1)/7, sx = (c*9 + 2)/8 (both up- and
+    down-sampling stretches, with out-of-bounds tails past row 447 /
+    col 455). Exact integer fixed-point 4-neighbor blend finished by one
+    float64 divide by 56; needed-neighbor nodata/out-of-bounds -> null.
+    (row*W_out + col) % 127 == 0 output sample."""
+    from ..stages.focal import sample_calc_pixels, warp_bilinear_tiled
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    warped = warp_bilinear_tiled(
+        tiles,
+        (HOLES_H, HOLES_SHAPE_W),
+        (600, 500),
+        nodata,
+        y_map=(8, 1, 7),
+        x_map=(9, 2, 8),
+        tile_size=128,
+    )
+    return sample_calc_pixels(warped, 500, 127)
+
+
 def q_raster_hillshade(sf_dir: str):
     """Lambertian hillshade over 'holes' from the Horn gradient tiles
     (gdaldem-hillshade direction: light (-1,-1,1) = azimuth 315, altitude
@@ -949,6 +971,50 @@ FROM p LEFT JOIN best b ON b.row = p.row AND b.col = p.col AND b.rk = 1
 """
 
 
+# Bilinear warp: integer fixed-point corner weights (my = (row*8+1) % 7,
+# mx = (col*9+2) % 8), four coordinate LEFT JOINs, zero-weight neighbors
+# exempt from the validity rule, one divide by 56 — the same int64
+# expression tree as the engine kernel.
+SQL_RASTER_WARP_BILINEAR = f"""
+WITH og AS (
+  SELECT r.range AS row, c.range AS col
+  FROM range(0, 600) r CROSS JOIN range(0, 500) c
+  WHERE (r.range * 500 + c.range) % 127 = 0
+),
+m AS (
+  SELECT row, col,
+         CAST(floor((row * 8 + 1) / 7) AS BIGINT) AS i0,
+         (row * 8 + 1) % 7 AS my,
+         CAST(floor((col * 9 + 2) / 8) AS BIGINT) AS j0,
+         (col * 9 + 2) % 8 AS mx
+  FROM og
+),
+v AS (
+  SELECT m.*,
+         q00.val AS v00, q00.is_nodata AS n00,
+         q01.val AS v01, q01.is_nodata AS n01,
+         q10.val AS v10, q10.is_nodata AS n10,
+         q11.val AS v11, q11.is_nodata AS n11
+  FROM m
+  LEFT JOIN {_px("holes")} q00 ON q00.row = m.i0 AND q00.col = m.j0
+  LEFT JOIN {_px("holes")} q01 ON q01.row = m.i0 AND q01.col = m.j0 + 1
+  LEFT JOIN {_px("holes")} q10 ON q10.row = m.i0 + 1 AND q10.col = m.j0
+  LEFT JOIN {_px("holes")} q11 ON q11.row = m.i0 + 1 AND q11.col = m.j0 + 1
+)
+SELECT row, col,
+  CASE WHEN (v00 IS NOT NULL AND NOT n00)
+        AND (mx = 0 OR (v01 IS NOT NULL AND NOT n01))
+        AND (my = 0 OR (v10 IS NOT NULL AND NOT n10))
+        AND (my = 0 OR mx = 0 OR (v11 IS NOT NULL AND NOT n11))
+  THEN CAST((7 - my) * ((8 - mx) * CAST(v00 AS BIGINT)
+                        + mx * CAST(coalesce(v01, 0) AS BIGINT))
+            + my * ((8 - mx) * CAST(coalesce(v10, 0) AS BIGINT)
+                    + mx * CAST(coalesce(v11, 0) AS BIGINT)) AS DOUBLE) / 56
+  END AS value
+FROM v
+"""
+
+
 # Hillshade: the slope 9-offset weighted join derives the same integer
 # gx/gy, then the identical left-associated IEEE chain — integer
 # numerator gx + gy + 8 (light (-1,-1,1)), two correctly-rounded
@@ -1314,6 +1380,7 @@ ZONAL_QUERIES = {
     "raster_warp": q_raster_warp,
     "raster_d8_flow": q_raster_d8_flow,
     "raster_hillshade": q_raster_hillshade,
+    "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
     "points_density": q_points_density,
@@ -1346,6 +1413,7 @@ ZONAL_ORACLE_SQL = {
     "raster_warp": SQL_RASTER_WARP,
     "raster_d8_flow": SQL_RASTER_D8_FLOW,
     "raster_hillshade": SQL_RASTER_HILLSHADE,
+    "raster_warp_bilinear": SQL_RASTER_WARP_BILINEAR,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

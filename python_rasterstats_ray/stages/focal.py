@@ -45,6 +45,7 @@ __all__ = [
     "focal_minmax_tiled",
     "flow_direction_tiled",
     "warp_nearest_tiled",
+    "warp_bilinear_tiled",
     "downsample_mean",
     "pyramid_levels",
     "raster_calc_tiled",
@@ -1227,6 +1228,183 @@ def warp_nearest_tiled(
     for otr in range(ntr_o):
         for otc in range(ntc_o):
             seeds.append(int(cell_id(otr, otc)))
+    seed_tbl = pa.table(
+        {
+            "cell": pa.array(seeds, pa.int64()),
+            "row_off": pa.array([0] * len(seeds), pa.int32()),
+            "col_off": pa.array([0] * len(seeds), pa.int32()),
+            "height": pa.array([0] * len(seeds), pa.int32()),
+            "width": pa.array([0] * len(seeds), pa.int32()),
+            "dtype": pa.array(["float64"] * len(seeds), pa.string()),
+            "pixels": pa.array([b""] * len(seeds), pa.binary()),
+        }
+    )
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True).union(
+        ray.data.from_arrow(seed_tbl)
+    )
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def warp_bilinear_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    out_shape: tuple[int, int],
+    nodata: float,
+    y_map: tuple[int, int, int],
+    x_map: tuple[int, int, int],
+    tile_size: int = 256,
+):
+    """Bilinear affine warp/resample: output (r, c) samples the source at
+    the CONTINUOUS rational coordinate ((r*ny + oy) / dy,
+    (c*nx + ox) / dx) and blends the (up to) 4 surrounding pixels with
+    exact integer fixed-point weights — V = (dy-my)*((dx-mx)*v00 +
+    mx*v01) + my*((dx-mx)*v10 + mx*v11) is pure int64 (my/mx are the
+    integer remainders), finished by ONE float64 divide by dx*dy, so the
+    result is bit-exact against a SQL mirror. Zero-weight neighbors are
+    ignored (my == 0 needs no i0+1 row); any NEEDED neighbor that is
+    out-of-bounds or nodata nulls the output pixel (strict rule — unlike
+    point_query's masked->nearest fallback, which stays a per-point
+    semantic; documented divergence).
+
+    Same one-exchange routing as warp_nearest_tiled, with the shipped
+    sub-rects padded one source row/col down-right for the +1 neighbors.
+    Output schema matches raster_calc_tiled (vals:f64 + ok:u8)."""
+    oh, ow = out_shape
+    ny, oy, dy = y_map
+    nx, ox, dx = x_map
+    if ny <= 0 or nx <= 0 or dy <= 0 or dx <= 0 or oy < 0 or ox < 0:
+        raise ValueError("bilinear warp requires non-negative offsets and positive terms")
+    ntr_o = (oh + tile_size - 1) // tile_size
+    ntc_o = (ow + tile_size - 1) // tile_size
+
+    def fan(batch: pa.Table) -> pa.Table:
+        cells, fro, fco, fh, fw, dts, payload = [], [], [], [], [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            # outputs whose floor lands in [r0-1, r0+th) touch this tile
+            # (the -1 covers outputs whose +1 neighbor row is here)
+            olo_r, ohi_r = _warp_out_range(r0 - 1, r0 + th, ny, oy, dy, oh)
+            olo_c, ohi_c = _warp_out_range(c0 - 1, c0 + tw, nx, ox, dx, ow)
+            if olo_r >= ohi_r or olo_c >= ohi_c:
+                continue
+            for otr in range(olo_r // tile_size, (ohi_r - 1) // tile_size + 1):
+                a_r = max(olo_r, otr * tile_size)
+                b_r = min(ohi_r, (otr + 1) * tile_size)
+                sr_a = max(r0, (a_r * ny + oy) // dy)
+                sr_b = min(r0 + th - 1, ((b_r - 1) * ny + oy) // dy + 1)
+                for otc in range(olo_c // tile_size, (ohi_c - 1) // tile_size + 1):
+                    a_c = max(olo_c, otc * tile_size)
+                    b_c = min(ohi_c, (otc + 1) * tile_size)
+                    sc_a = max(c0, (a_c * nx + ox) // dx)
+                    sc_b = min(c0 + tw - 1, ((b_c - 1) * nx + ox) // dx + 1)
+                    if sr_b < sr_a or sc_b < sc_a:
+                        continue
+                    frag = arr[sr_a - r0 : sr_b + 1 - r0, sc_a - c0 : sc_b + 1 - c0]
+                    if frag.size == 0:
+                        continue
+                    cells.append(int(cell_id(otr, otc)))
+                    fro.append(sr_a)
+                    fco.append(sc_a)
+                    fh.append(frag.shape[0])
+                    fw.append(frag.shape[1])
+                    dts.append(str(arr.dtype))
+                    payload.append(np.ascontiguousarray(frag).tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "row_off": pa.array(fro, pa.int32()),
+                "col_off": pa.array(fco, pa.int32()),
+                "height": pa.array(fh, pa.int32()),
+                "width": pa.array(fw, pa.int32()),
+                "dtype": pa.array(dts, pa.string()),
+                "pixels": pa.array(payload, pa.binary()),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        otr, otc = cell_decode(cell)
+        or0, oc0 = otr * tile_size, otc * tile_size
+        th = min(tile_size, oh - or0)
+        tw = min(tile_size, ow - oc0)
+        sy_num = (or0 + np.arange(th, dtype=np.int64)) * ny + oy
+        sx_num = (oc0 + np.arange(tw, dtype=np.int64)) * nx + ox
+        i0 = sy_num // dy
+        j0 = sx_num // dx
+        my = sy_num % dy
+        mx = sx_num % dx
+        # source rows/cols this tile reads: i0 plus i0+1 where my > 0
+        need_r = np.concatenate([i0, i0[my > 0] + 1])
+        need_c = np.concatenate([j0, j0[mx > 0] + 1])
+        in_need_r = (need_r >= 0) & (need_r < shape[0])
+        in_need_c = (need_c >= 0) & (need_c < shape[1])
+        r_lo = int(need_r[in_need_r].min()) if in_need_r.any() else 0
+        r_hi = int(need_r[in_need_r].max()) + 1 if in_need_r.any() else 0
+        c_lo = int(need_c[in_need_c].min()) if in_need_c.any() else 0
+        c_hi = int(need_c[in_need_c].max()) + 1 if in_need_c.any() else 0
+        buf = np.zeros((max(r_hi - r_lo, 1), max(c_hi - c_lo, 1)), np.int64)
+        got = np.zeros_like(buf, dtype=bool)
+        for _cell, fr0, fc0, arr in _tile_arrays(group):
+            a0 = max(fr0, r_lo)
+            b0 = max(fc0, c_lo)
+            a1 = min(fr0 + arr.shape[0], r_hi)
+            b1 = min(fc0 + arr.shape[1], c_hi)
+            if a1 <= a0 or b1 <= b0:
+                continue
+            sub = arr[a0 - fr0 : a1 - fr0, b0 - fc0 : b1 - fc0]
+            buf[a0 - r_lo : a1 - r_lo, b0 - c_lo : b1 - c_lo] = np.rint(
+                sub.astype(np.float64)
+            ).astype(np.int64)
+            got[a0 - r_lo : a1 - r_lo, b0 - c_lo : b1 - c_lo] = True
+        ndv = np.int64(np.rint(float(nodata)))
+
+        def corner(ri, ci):
+            """(value, valid) grids for neighbor offset (ri, ci)."""
+            rr = i0 + ri
+            cc = j0 + ci
+            inb = ((rr >= 0) & (rr < shape[0])).reshape(th, 1) & (
+                (cc >= 0) & (cc < shape[1])
+            ).reshape(1, tw)
+            rcl = np.clip(rr - r_lo, 0, buf.shape[0] - 1)
+            ccl = np.clip(cc - c_lo, 0, buf.shape[1] - 1)
+            v = buf[rcl.reshape(th, 1), ccl.reshape(1, tw)]
+            g = got[rcl.reshape(th, 1), ccl.reshape(1, tw)]
+            okc = inb & g & (v != ndv)
+            return np.where(okc, v, 0), okc
+
+        v00, k00 = corner(0, 0)
+        v01, k01 = corner(0, 1)
+        v10, k10 = corner(1, 0)
+        v11, k11 = corner(1, 1)
+        need_y = (my > 0).reshape(th, 1)
+        need_x = (mx > 0).reshape(1, tw)
+        ok = (
+            k00
+            & (k01 | ~need_x)
+            & (k10 | ~need_y)
+            & (k11 | ~(need_y & need_x))
+        )
+        myc = my.reshape(th, 1)
+        mxc = mx.reshape(1, tw)
+        V = (dy - myc) * ((dx - mxc) * v00 + mxc * v01) + myc * (
+            (dx - mxc) * v10 + mxc * v11
+        )
+        vals = V.astype(np.float64) / float(dx * dy)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([or0], pa.int32()),
+                "col_off": pa.array([oc0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "vals": pa.array([np.where(ok, vals, np.nan).tobytes()], pa.binary()),
+                "ok": pa.array([ok.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    import ray.data
+
+    seeds = [int(cell_id(otr, otc)) for otr in range(ntr_o) for otc in range(ntc_o)]
     seed_tbl = pa.table(
         {
             "cell": pa.array(seeds, pa.int64()),

@@ -707,3 +707,65 @@ def test_proximity_and_density_match_bruteforce(ray_session):
         best = int(np.lexsort((ids, d2))[0])
         assert res.loc[flat]["neighbor_id"] == best
         assert res.loc[flat]["distance_sq"] == d2[best]
+
+
+@pytest.mark.parametrize(
+    "out_shape,y_map,x_map,tile_size",
+    [((80, 70), (8, 1, 7), (9, 2, 8), 32), ((30, 90), (5, 0, 3), (2, 1, 5), 16)],
+)
+def test_warp_bilinear_matches_reference(ray_session, out_shape, y_map, x_map, tile_size):
+    """Bilinear warp vs a per-pixel nested-loop reference with the same
+    integer fixed-point semantics: zero-weight neighbors ignored, any
+    needed out-of-bounds/nodata neighbor nulls the pixel."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import warp_bilinear_tiled
+
+    arr = _rand_raster(64, 56, seed=59)
+    h, w = arr.shape
+    oh, ow = out_shape
+    ny, oy, dy = y_map
+    nx, ox, dx = x_map
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = warp_bilinear_tiled(
+        tiles, arr.shape, out_shape, NODATA, y_map=y_map, x_map=x_map, tile_size=tile_size
+    )
+    got = np.full(out_shape, np.nan)
+    got_ok = np.zeros(out_shape, bool)
+    seen = np.zeros(out_shape, bool)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            vals = np.frombuffer(batch["vals"][i].as_buffer(), np.float64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            got[r0 : r0 + th, c0 : c0 + tw] = vals
+            got_ok[r0 : r0 + th, c0 : c0 + tw] = ok.astype(bool)
+            seen[r0 : r0 + th, c0 : c0 + tw] = True
+    assert seen.all()
+    a = np.rint(arr.astype(np.float64)).astype(np.int64)
+    valid = arr != NODATA
+    for r in range(oh):
+        for c in range(ow):
+            i0, my = divmod(r * ny + oy, dy)
+            j0, mx = divmod(c * nx + ox, dx)
+            # explicit 4-corner loop (weights (dy-my|my) x (dx-mx|mx))
+            ok = True
+            V = 0
+            for ri, wy in ((0, dy - my), (1, my)):
+                for ci, wx in ((0, dx - mx), (1, mx)):
+                    wgt = wy * wx
+                    if wgt == 0:
+                        continue
+                    rr, cc = i0 + ri, j0 + ci
+                    if not (0 <= rr < h and 0 <= cc < w) or not valid[rr, cc]:
+                        ok = False
+                        break
+                    V += wgt * int(a[rr, cc])
+                if not ok:
+                    break
+            if not ok:
+                assert not got_ok[r, c]
+            else:
+                assert got_ok[r, c]
+                assert got[r, c] == V / float(dx * dy)
