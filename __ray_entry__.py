@@ -160,6 +160,7 @@ EXTRA_QUERY_ORDER = [
     "raster_d8_flow",
     "raster_hillshade",
     "raster_warp_bilinear",
+    "raster_flow_trace",
     "raster_pyramid",
     "raster_proximity",
     "points_density",

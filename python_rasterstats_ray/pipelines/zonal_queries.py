@@ -466,6 +466,21 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_flow_trace(sf_dir: str):
+    """Flow-path tracing over the 'holes' D8 graph: for every valid
+    pixel with (row*W + col) % 211 == 0, the hop count and terminal pit
+    of its steepest-descent path. Engine: per-tile vectorized pointer
+    doubling + an O(perimeter) contracted ring graph (stages/focal.py
+    flow_trace). The SQL mirror re-derives D8 for every pixel and walks
+    the seeds with a recursive CTE — descent strictly decreases integer
+    values, so recursion depth is bounded by the value range."""
+    from ..stages.focal import flow_direction_tiled, flow_trace
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    d8 = flow_direction_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return flow_trace(d8, arr.shape, 211)
+
+
 def q_raster_warp_bilinear(sf_dir: str):
     """Bilinear affine warp of 'holes' (512x512) to a 600x500 grid:
     source coords sy = (r*8 + 1)/7, sx = (c*9 + 2)/8 (both up- and
@@ -971,6 +986,50 @@ FROM p LEFT JOIN best b ON b.row = p.row AND b.col = p.col AND b.rk = 1
 """
 
 
+# Flow-path trace: the D8 derivation of SQL_RASTER_D8_FLOW over EVERY
+# valid pixel, then a recursive CTE walks each seed one hop at a time
+# (pits produce no step row, terminating the branch); the terminal is
+# the max-steps row per seed. Acyclic by strict integer descent.
+SQL_RASTER_FLOW_TRACE = f"""
+WITH RECURSIVE offs AS (
+  SELECT * FROM (VALUES
+    (0, 1, 1, 2, 1), (1, 1, 2, 1, 2), (1, 0, 4, 2, 3), (1, -1, 8, 1, 4),
+    (0, -1, 16, 2, 5), (-1, -1, 32, 1, 6), (-1, 0, 64, 2, 7), (-1, 1, 128, 1, 8)
+  ) AS t(dr, dc, code, mult, prio)
+),
+valid AS (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata),
+cand AS (
+  SELECT p.row, p.col, o.dr, o.dc,
+         o.mult * CAST(p.val - q.val AS BIGINT) * CAST(p.val - q.val AS BIGINT) AS m,
+         o.prio
+  FROM valid p CROSS JOIN offs o
+  JOIN valid q ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  WHERE q.val < p.val
+),
+step AS (
+  SELECT row, col, dr, dc FROM (
+    SELECT row, col, dr, dc,
+           row_number() OVER (PARTITION BY row, col ORDER BY m DESC, prio) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+walk(srow, scol, crow, ccol, steps) AS (
+  SELECT row, col, row, col, CAST(0 AS BIGINT)
+  FROM valid WHERE (row * {HOLES_SHAPE_W} + col) % 211 = 0
+  UNION ALL
+  SELECT w.srow, w.scol, w.crow + s.dr, w.ccol + s.dc, w.steps + 1
+  FROM walk w JOIN step s ON s.row = w.crow AND s.col = w.ccol
+),
+final AS (
+  SELECT srow, scol, crow, ccol, steps,
+         row_number() OVER (PARTITION BY srow, scol ORDER BY steps DESC) AS rk
+  FROM walk
+)
+SELECT srow AS row, scol AS col, steps, crow AS term_row, ccol AS term_col
+FROM final WHERE rk = 1
+"""
+
+
 # Bilinear warp: integer fixed-point corner weights (my = (row*8+1) % 7,
 # mx = (col*9+2) % 8), four coordinate LEFT JOINs, zero-weight neighbors
 # exempt from the validity rule, one divide by 56 — the same int64
@@ -1381,6 +1440,7 @@ ZONAL_QUERIES = {
     "raster_d8_flow": q_raster_d8_flow,
     "raster_hillshade": q_raster_hillshade,
     "raster_warp_bilinear": q_raster_warp_bilinear,
+    "raster_flow_trace": q_raster_flow_trace,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
     "points_density": q_points_density,
@@ -1414,6 +1474,7 @@ ZONAL_ORACLE_SQL = {
     "raster_d8_flow": SQL_RASTER_D8_FLOW,
     "raster_hillshade": SQL_RASTER_HILLSHADE,
     "raster_warp_bilinear": SQL_RASTER_WARP_BILINEAR,
+    "raster_flow_trace": SQL_RASTER_FLOW_TRACE,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

@@ -44,6 +44,7 @@ __all__ = [
     "focal_slope_tiled",
     "focal_minmax_tiled",
     "flow_direction_tiled",
+    "flow_trace",
     "warp_nearest_tiled",
     "warp_bilinear_tiled",
     "downsample_mean",
@@ -1420,3 +1421,147 @@ def warp_bilinear_tiled(
         ray.data.from_arrow(seed_tbl)
     )
     return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def flow_trace(d8_ds, shape: tuple[int, int], seed_mod: int):
+    """Trace each seed pixel's D8 flow path to its terminal pit: returns
+    (row, col, steps, term_row, term_col) for every valid pixel with
+    (row*W + col) % seed_mod == 0.
+
+    Two-level contraction (the hierarchical-delta-stepping shape):
+
+    1. Per D8 tile, VECTORIZED pointer doubling resolves every pixel's
+       path WITHIN the tile to either an in-tile pit (done) or its first
+       out-of-tile hop target — O(log tile-diameter) numpy passes, no
+       per-pixel Python. Only the tile's outer RING pixels (every
+       cross-tile hop lands in the target tile's 1-ring) plus its seed
+       pixels emit contraction rows: O(4*T + seeds) per tile, never the
+       tile area.
+    2. The contracted graph (ring pixels -> next ring pixel or pit) is
+       pointer-doubled once more. Its size is O(perimeter) = 4/T of the
+       raster — the documented small side, same bound class as
+       select_top_exact's boundary table; past that bound the same
+       doubling runs as K = log2(max hops) groupby supersteps.
+
+    D8 descent strictly decreases the (integer) pixel value, so paths are
+    acyclic and hop counts are bounded by the value range."""
+    h, w = shape
+    DR = np.array([0, 1, 1, 1, 0, -1, -1, -1], np.int64)  # code 2^k order E..NE
+    DC = np.array([1, 1, 0, -1, -1, -1, 0, 1], np.int64)
+
+    def contract(batch: pa.Table) -> pa.Table:
+        pix_o, cur_o, steps_o, done_o, kind_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            d8 = np.frombuffer(batch["d8"][i].as_buffer(), np.int64).reshape(th, tw).ravel()
+            ok = (
+                np.frombuffer(batch["ok"][i].as_buffer(), np.uint8)
+                .reshape(th, tw)
+                .ravel()
+                .astype(bool)
+            )
+            rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
+            cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
+            self_abs = rr * w + cc
+            code_idx = np.zeros(th * tw, np.int64)
+            nz = d8 > 0
+            code_idx[nz] = np.round(np.log2(d8[nz])).astype(np.int64)
+            tr = rr + np.where(nz, DR[code_idx], 0)
+            tc = cc + np.where(nz, DC[code_idx], 0)
+            terminal = ok & ~nz
+            cur = np.where(terminal, self_abs, tr * w + tc)
+            in_tile = (tr >= r0) & (tr < r0 + th) & (tc >= c0) & (tc < c0 + tw)
+            # done = LOCAL resolution finished (pit reached OR exited the
+            # tile); term = actually at a pit. Exited rows continue
+            # through the contracted ring graph at the driver.
+            done = terminal | ~in_tile
+            term = terminal.copy()
+            steps = np.where(terminal, 0, 1).astype(np.int64)
+            # pointer-double within the tile
+            for _ in range(64):
+                active = ok & ~done
+                if not active.any():
+                    break
+                q = cur[active]
+                ql = (q // w - r0) * tw + (q % w - c0)
+                steps[active] += steps[ql]
+                done[active] = done[ql]
+                term[active] = term[ql]
+                cur[active] = cur[ql]
+            else:  # pragma: no cover - 2^64 hops is impossible
+                raise RuntimeError("flow_trace: local doubling did not converge")
+            lr = np.arange(th * tw, dtype=np.int64) // tw
+            lc = np.arange(th * tw, dtype=np.int64) % tw
+            ring = (lr == 0) | (lr == th - 1) | (lc == 0) | (lc == tw - 1)
+            is_node = ok & ring
+            is_seed = ok & (self_abs % seed_mod == 0)
+            for mask, kind in ((is_node, 0), (is_seed, 1)):
+                pix_o.append(self_abs[mask])
+                cur_o.append(cur[mask])
+                steps_o.append(steps[mask])
+                done_o.append(term[mask])
+                kind_o.append(np.full(int(mask.sum()), kind, np.int8))
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)  # noqa: E731
+        return pa.table(
+            {
+                "pix": pa.array(cat(pix_o, np.int64), pa.int64()),
+                "cur": pa.array(cat(cur_o, np.int64), pa.int64()),
+                "steps": pa.array(cat(steps_o, np.int64), pa.int64()),
+                "done": pa.array(cat(done_o, bool), pa.bool_()),
+                "kind": pa.array(cat(kind_o, np.int8), pa.int8()),
+            }
+        )
+
+    import ray.data
+
+    rows = pa.concat_tables(
+        d8_ds.map_batches(contract, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    )
+    kind = rows["kind"].to_numpy()
+    n_pix = rows["pix"].to_numpy()
+    n_cur = rows["cur"].to_numpy().copy()
+    n_steps = rows["steps"].to_numpy().copy()
+    n_done = rows["done"].to_numpy(zero_copy_only=False).copy()
+    node = kind == 0
+    order = np.argsort(n_pix[node], kind="stable")
+    np_pix = n_pix[node][order]
+    np_cur = n_cur[node][order]
+    np_steps = n_steps[node][order]
+    np_done = n_done[node][order]
+    for _ in range(64):
+        active = ~np_done
+        if not active.any():
+            break
+        pos = np.searchsorted(np_pix, np_cur[active])
+        if not np.array_equal(np_pix[pos], np_cur[active]):
+            raise RuntimeError("flow_trace: cross-tile hop target missing from ring set")
+        np_steps[active] += np_steps[pos]
+        np_done[active] = np_done[pos]
+        np_cur[active] = np_cur[pos]
+    else:  # pragma: no cover
+        raise RuntimeError("flow_trace: contracted doubling did not converge")
+    s_pix = n_pix[~node]
+    s_cur = n_cur[~node]
+    s_steps = n_steps[~node]
+    s_done = n_done[~node]
+    open_ = ~s_done
+    if open_.any():
+        pos = np.searchsorted(np_pix, s_cur[open_])
+        s_steps[open_] = s_steps[open_] + np_steps[pos]
+        s_cur[open_] = np_cur[pos]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "row": pa.array(s_pix // w, pa.int64()),
+                "col": pa.array(s_pix % w, pa.int64()),
+                "steps": pa.array(s_steps, pa.int64()),
+                "term_row": pa.array(s_cur // w, pa.int64()),
+                "term_col": pa.array(s_cur % w, pa.int64()),
+            }
+        )
+    )

@@ -769,3 +769,42 @@ def test_warp_bilinear_matches_reference(ray_session, out_shape, y_map, x_map, t
             else:
                 assert got_ok[r, c]
                 assert got[r, c] == V / float(dx * dy)
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_flow_trace_matches_walk(ray_session, tile_size):
+    """flow_trace (per-tile pointer doubling + contracted ring graph) vs
+    a naive per-seed Python walk over the reference D8 grid; small tiles
+    force many cross-tile hops through the contraction."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import flow_direction_tiled, flow_trace
+
+    arr = _rand_raster(96, 80, seed=61)
+    h, w = arr.shape
+    ref_d8, ref_ok = _d8_reference(arr)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    d8 = flow_direction_tiled(tiles, arr.shape, NODATA, tile_size=tile_size)
+    got = (
+        pa.concat_tables(flow_trace(d8, arr.shape, 13).iter_batches(batch_format="pyarrow"))
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    code_step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+                 16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    n_seeds = 0
+    for flat in range(0, h * w, 13):
+        r, c = divmod(flat, w)
+        if not ref_ok[r, c]:
+            continue
+        n_seeds += 1
+        cr, cc, steps = r, c, 0
+        while ref_d8[cr, cc] != 0:
+            dr, dc = code_step[int(ref_d8[cr, cc])]
+            cr, cc = cr + dr, cc + dc
+            steps += 1
+        rec = got.loc[(r, c)]
+        assert rec["steps"] == steps
+        assert rec["term_row"] == cr and rec["term_col"] == cc
+    assert len(got) == n_seeds
