@@ -466,6 +466,20 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_polygonize(sf_dir: str):
+    """Raster -> vector region extraction over 'classes' (gdal_polygonize
+    shape): 4-connected equal-value regions via per-tile vectorized CC +
+    cross-tile edge stitching + contracted-graph components
+    (stages/polygonize.py). Rows-only driver check (region labeling is
+    not SQL-expressible without transitive closure); exactness is pinned
+    by tests/test_focal.py::test_polygonize_matches_flood_fill against an
+    independent sequential flood fill, layout-invariant."""
+    from ..stages.polygonize import polygonize_tiled
+
+    tiles, arr, nodata = _tiles_ds("classes")
+    return polygonize_tiled(tiles, arr.shape, nodata, tile_size=128)
+
+
 def q_raster_flow_trace(sf_dir: str):
     """Flow-path tracing over the 'holes' D8 graph: for every valid
     pixel with (row*W + col) % 211 == 0, the hop count and terminal pit
@@ -1441,6 +1455,7 @@ ZONAL_QUERIES = {
     "raster_hillshade": q_raster_hillshade,
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_flow_trace": q_raster_flow_trace,
+    "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
     "points_density": q_points_density,

@@ -808,3 +808,98 @@ def test_flow_trace_matches_walk(ray_session, tile_size):
         assert rec["steps"] == steps
         assert rec["term_row"] == cr and rec["term_col"] == cc
     assert len(got) == n_seeds
+
+
+def _flood_fill_regions(arr):
+    """Independent sequential BFS flood fill: region_id = min flat index."""
+    from collections import deque
+
+    h, w = arr.shape
+    valid = arr != NODATA
+    seen = np.zeros_like(valid)
+    regions = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c] or seen[r, c]:
+                continue
+            v = arr[r, c]
+            q = deque([(r, c)])
+            seen[r, c] = True
+            members = []
+            while q:
+                rr, cc = q.popleft()
+                members.append((rr, cc))
+                for dr, dc in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+                    nr, nc = rr + dr, cc + dc
+                    if (
+                        0 <= nr < h and 0 <= nc < w
+                        and valid[nr, nc] and not seen[nr, nc]
+                        and arr[nr, nc] == v
+                    ):
+                        seen[nr, nc] = True
+                        q.append((nr, nc))
+            rid = min(m[0] * w + m[1] for m in members)
+            rs = [m[0] for m in members]
+            cs = [m[1] for m in members]
+            regions[rid] = (int(v), len(members), min(rs), min(cs), max(rs), max(cs))
+    return regions
+
+
+@pytest.mark.parametrize("tile_size", [16, 25, 64])
+def test_polygonize_matches_flood_fill(ray_session, tile_size):
+    """Distributed two-level CC polygonize vs a sequential flood fill:
+    region ids, values, counts and bboxes all bit-equal; small and
+    non-divisible tiles force regions to span many tiles."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.polygonize import polygonize_tiled
+
+    rng = np.random.default_rng(67)
+    arr = rng.integers(1, 4, size=(60, 50)).astype(np.float32)
+    arr[10:20, 5:15] = NODATA
+    h, w = arr.shape
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    got = (
+        pa.concat_tables(
+            polygonize_tiled(tiles, arr.shape, NODATA, tile_size=tile_size).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .set_index("region_id")
+        .sort_index()
+    )
+    ref = _flood_fill_regions(arr)
+    assert len(got) == len(ref)
+    for rid, (v, n, r0, c0, r1, c1) in ref.items():
+        g = got.loc[rid]
+        assert g["value"] == v and g["px_count"] == n
+        assert (g["min_row"], g["min_col"], g["max_row"], g["max_col"]) == (r0, c0, r1, c1)
+
+
+def test_polygonize_single_region_spanning_all_tiles(ray_session):
+    """One giant constant region across every tile (the worst stitch
+    case) plus isolated single pixels."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.polygonize import polygonize_tiled
+
+    arr = np.full((40, 40), 7.0, dtype=np.float32)
+    arr[5, 5] = 9.0
+    arr[30, 33] = 9.0
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 40.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=8))
+    got = (
+        pa.concat_tables(
+            polygonize_tiled(tiles, arr.shape, NODATA, tile_size=8).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .set_index("region_id")
+        .sort_index()
+    )
+    assert len(got) == 3
+    big = got.loc[0]
+    assert big["value"] == 7 and big["px_count"] == 40 * 40 - 2
+    assert got.loc[5 * 40 + 5]["px_count"] == 1
+    assert got.loc[30 * 40 + 33]["px_count"] == 1
