@@ -129,6 +129,8 @@ ROWS_ONLY = {
     "embeddings_semdedup": 100,
     "media_phash_dups": 20,
     "knn_ivfpq": 30,
+    # exact differential: tests/test_focal.py::test_polygonize_matches_flood_fill
+    "raster_polygonize": 100,
 }
 
 # derive the oracled list from the registry so a new extra query is
