@@ -161,6 +161,7 @@ EXTRA_QUERY_ORDER = [
     "raster_hillshade",
     "raster_warp_bilinear",
     "raster_flow_trace",
+    "raster_flow_acc",
     "raster_polygonize",
     "raster_pyramid",
     "raster_proximity",

@@ -466,6 +466,20 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_flow_acc(sf_dir: str):
+    """D8 flow accumulation over 'holes' (number of pixels draining
+    through each pixel, itself included) — Barnes-style two-pass tile
+    scheme: level-ordered in-tile routing, an O(perimeter) contracted
+    boundary-inflow solve, one re-routing pass (stages/focal.py
+    flow_accumulation). The SQL mirror walks EVERY valid pixel's path
+    with a recursive CTE and counts visits per position — exact int64
+    both sides. (row*W + col) % 173 == 0 valid-pixel sample."""
+    from ..stages.focal import flow_accumulation
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    return flow_accumulation(tiles, arr.shape, nodata, 173, tile_size=128)
+
+
 def q_raster_polygonize(sf_dir: str):
     """Raster -> vector region extraction over 'classes' (gdal_polygonize
     shape): 4-connected equal-value regions via per-tile vectorized CC +
@@ -1044,6 +1058,45 @@ FROM final WHERE rk = 1
 """
 
 
+# Flow accumulation: the walk CTE from EVERY valid pixel (not just
+# seeds); each path visits a pixel at most once (acyclic), so the visit
+# count per position IS the accumulation. ~6M walk rows at 512^2.
+SQL_RASTER_FLOW_ACC = f"""
+WITH RECURSIVE offs AS (
+  SELECT * FROM (VALUES
+    (0, 1, 1, 2, 1), (1, 1, 2, 1, 2), (1, 0, 4, 2, 3), (1, -1, 8, 1, 4),
+    (0, -1, 16, 2, 5), (-1, -1, 32, 1, 6), (-1, 0, 64, 2, 7), (-1, 1, 128, 1, 8)
+  ) AS t(dr, dc, code, mult, prio)
+),
+valid AS (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata),
+cand AS (
+  SELECT p.row, p.col, o.dr, o.dc,
+         o.mult * CAST(p.val - q.val AS BIGINT) * CAST(p.val - q.val AS BIGINT) AS m,
+         o.prio
+  FROM valid p CROSS JOIN offs o
+  JOIN valid q ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  WHERE q.val < p.val
+),
+step AS (
+  SELECT row, col, dr, dc FROM (
+    SELECT row, col, dr, dc,
+           row_number() OVER (PARTITION BY row, col ORDER BY m DESC, prio) AS rk
+    FROM cand
+  ) WHERE rk = 1
+),
+walk(crow, ccol) AS (
+  SELECT row, col FROM valid
+  UNION ALL
+  SELECT w.crow + s.dr, w.ccol + s.dc
+  FROM walk w JOIN step s ON s.row = w.crow AND s.col = w.ccol
+)
+SELECT crow AS row, ccol AS col, count(*) AS acc
+FROM walk
+WHERE (crow * {HOLES_SHAPE_W} + ccol) % 173 = 0
+GROUP BY crow, ccol
+"""
+
+
 # Bilinear warp: integer fixed-point corner weights (my = (row*8+1) % 7,
 # mx = (col*9+2) % 8), four coordinate LEFT JOINs, zero-weight neighbors
 # exempt from the validity rule, one divide by 56 — the same int64
@@ -1455,6 +1508,7 @@ ZONAL_QUERIES = {
     "raster_hillshade": q_raster_hillshade,
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_flow_trace": q_raster_flow_trace,
+    "raster_flow_acc": q_raster_flow_acc,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
@@ -1490,6 +1544,7 @@ ZONAL_ORACLE_SQL = {
     "raster_hillshade": SQL_RASTER_HILLSHADE,
     "raster_warp_bilinear": SQL_RASTER_WARP_BILINEAR,
     "raster_flow_trace": SQL_RASTER_FLOW_TRACE,
+    "raster_flow_acc": SQL_RASTER_FLOW_ACC,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

@@ -904,6 +904,25 @@ _D8_NEIGHBORS = [
 ]
 
 
+def _d8_from_window(vals, ok, th, tw):
+    """(padded window) -> (d8 codes, valid-center mask): steepest-descent
+    metric over the 8 neighbors, exact integer arithmetic, fixed priority
+    tie-break (see _D8_NEIGHBORS)."""
+    center = np.rint(vals[1:-1, 1:-1]).astype(np.int64)
+    c_ok = ok[1:-1, 1:-1].astype(bool)
+    best_m = np.zeros((th, tw), np.int64)
+    best_d = np.zeros((th, tw), np.int64)
+    for dr, dc, code, mult in _D8_NEIGHBORS:
+        nb = np.rint(vals[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw]).astype(np.int64)
+        n_ok = ok[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw].astype(bool)
+        drop = center - nb
+        m = mult * drop * drop
+        take = n_ok & (drop > 0) & (m > best_m)
+        best_m[take] = m[take]
+        best_d[take] = code
+    return best_d, c_ok
+
+
 def flow_direction_tiled(
     tiles_ds,
     shape: tuple[int, int],
@@ -927,18 +946,7 @@ def flow_direction_tiled(
         r0, c0, th, tw, vals, ok = _assemble_window(
             cell, _tile_arrays(group), shape, tile_size, 1, nodata
         )
-        center = np.rint(vals[1:-1, 1:-1]).astype(np.int64)
-        c_ok = ok[1:-1, 1:-1].astype(bool)
-        best_m = np.zeros((th, tw), np.int64)
-        best_d = np.zeros((th, tw), np.int64)
-        for dr, dc, code, mult in _D8_NEIGHBORS:
-            nb = np.rint(vals[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw]).astype(np.int64)
-            n_ok = ok[1 + dr : 1 + dr + th, 1 + dc : 1 + dc + tw].astype(bool)
-            drop = center - nb
-            m = mult * drop * drop
-            take = n_ok & (drop > 0) & (m > best_m)
-            best_m[take] = m[take]
-            best_d[take] = code
+        best_d, c_ok = _d8_from_window(vals, ok, th, tw)
         return pa.table(
             {
                 "cell": pa.array([cell], pa.int64()),
@@ -1565,3 +1573,220 @@ def flow_trace(d8_ds, shape: tuple[int, int], seed_mod: int):
             }
         )
     )
+
+
+def _d8_targets(d8: np.ndarray, rr: np.ndarray, cc: np.ndarray, w: int):
+    """Flat D8 codes -> absolute flat target indices (self at pits)."""
+    DR = np.array([0, 1, 1, 1, 0, -1, -1, -1], np.int64)
+    DC = np.array([1, 1, 0, -1, -1, -1, 0, 1], np.int64)
+    nz = d8 > 0
+    idx = np.zeros(d8.shape, np.int64)
+    idx[nz] = np.round(np.log2(d8[nz])).astype(np.int64)
+    tr = rr + np.where(nz, DR[idx], 0)
+    tc = cc + np.where(nz, DC[idx], 0)
+    return tr * w + tc, nz
+
+
+def _accumulate_local(vals, d8, ok, r0, c0, th, tw, w, mass):
+    """Level-ordered in-tile mass routing: acc[p] = total mass arriving at
+    p (its own included) following only IN-TILE d8 edges. Strict integer
+    descent means same-value pixels never connect, so one vectorized
+    np.add.at per distinct value level (high -> low) is exact."""
+    rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
+    cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
+    tgt_abs, moving = _d8_targets(d8, rr, cc, w)
+    in_tile = (
+        (tgt_abs // w >= r0) & (tgt_abs // w < r0 + th)
+        & (tgt_abs % w >= c0) & (tgt_abs % w < c0 + tw)
+    )
+    routable = ok & moving & in_tile
+    tgt_local = (tgt_abs // w - r0) * tw + (tgt_abs % w - c0)
+    acc = mass.astype(np.int64).copy()
+    lv = vals[routable]
+    order = np.argsort(-lv, kind="stable")
+    sel_idx = np.flatnonzero(routable)[order]
+    lv_sorted = lv[order]
+    # group boundaries of equal-value runs (desc)
+    cuts = np.flatnonzero(np.diff(lv_sorted)) + 1
+    for grp in np.split(sel_idx, cuts):
+        np.add.at(acc, tgt_local[grp], acc[grp])
+    exits = ok & moving & ~in_tile
+    return acc, tgt_abs, exits
+
+
+def flow_accumulation(tiles_ds, shape: tuple[int, int], nodata: float,
+                      sample_mod: int, tile_size: int = 256):
+    """D8 flow accumulation (the number of pixels draining through each
+    pixel, itself included) — the Barnes (2017) two-pass tile scheme:
+
+    1. One halo exchange derives each tile's D8 grid; a LEVEL-ORDERED
+       vectorized pass routes the tile's own unit masses (acc0), records
+       each cross-tile crossing's carried mass (the source term b), and
+       pointer-doubles every ring pixel's in-tile path to its exit.
+    2. The contracted ring graph (O(perimeter) nodes: inflow(q) = b(q) +
+       sum of inflow over entries exiting at q) is solved by one
+       descending-value sweep — acyclic by strict integer descent.
+    3. A second per-tile pass re-routes mass with the solved boundary
+       inflows seeded at entry pixels; pixels cross no further exchange
+       (the derived D8 tiles from pass 1 are reused).
+
+    Returns (row, col, acc) for valid pixels with (row*W + col) %
+    sample_mod == 0; acc is exact int64."""
+    import ray
+    import ray.data  # noqa: F401
+
+    import pyarrow.compute as pc
+
+    h, w = shape
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def pass1(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, okw = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        d8_grid, c_ok = _d8_from_window(vals, okw, th, tw)
+        d8 = d8_grid.ravel()
+        ok = c_ok.ravel()
+        vflat = np.rint(vals[1:-1, 1:-1]).astype(np.int64).ravel()
+        acc0, tgt_abs, exits = _accumulate_local(
+            vflat, d8, ok, r0, c0, th, tw, w, ok.astype(np.int64)
+        )
+        # source terms: per distinct crossing target, the carried mass
+        q_abs = tgt_abs[exits]
+        b_mass = acc0[exits]
+        uq, inv = np.unique(q_abs, return_inverse=True)
+        b_sum = np.bincount(inv, weights=b_mass).astype(np.int64)
+        # ring entries: in-tile path exit via pointer doubling
+        rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
+        cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
+        self_abs = rr * w + cc
+        in_tile = (
+            (tgt_abs // w >= r0) & (tgt_abs // w < r0 + th)
+            & (tgt_abs % w >= c0) & (tgt_abs % w < c0 + tw)
+        )
+        moving = d8 > 0
+        terminal = ok & ~moving
+        cur = np.where(terminal, self_abs, tgt_abs)
+        done = terminal | ~in_tile
+        term = terminal.copy()
+        for _ in range(64):
+            active = ok & ~done
+            if not active.any():
+                break
+            q = cur[active]
+            ql = (q // w - r0) * tw + (q % w - c0)
+            done[active] = done[ql]
+            term[active] = term[ql]
+            cur[active] = cur[ql]
+        else:  # pragma: no cover
+            raise RuntimeError("flow_accumulation: local doubling did not converge")
+        lr = np.arange(th * tw, dtype=np.int64) // tw
+        lc = np.arange(th * tw, dtype=np.int64) % tw
+        ring = ((lr == 0) | (lr == th - 1) | (lc == 0) | (lc == tw - 1)) & ok
+        e_pix = self_abs[ring]
+        e_val = vflat[ring]
+        e_exit = np.where(term[ring], -1, cur[ring])
+        n_b, n_e = len(uq), len(e_pix)
+        return pa.table(
+            {
+                "kind": pa.array([0] * n_b + [1] * n_e + [2], pa.int8()),
+                "pix": pa.array(
+                    np.concatenate([uq, e_pix, [0]]), pa.int64()
+                ),
+                "aux": pa.array(
+                    np.concatenate([b_sum, e_val, [0]]), pa.int64()
+                ),
+                "exit": pa.array(
+                    np.concatenate([np.full(n_b, -1, np.int64), e_exit, [0]]),
+                    pa.int64(),
+                ),
+                "cell": pa.array([cell] * (n_b + n_e + 1), pa.int64()),
+                "row_off": pa.array([r0] * (n_b + n_e + 1), pa.int32()),
+                "col_off": pa.array([c0] * (n_b + n_e + 1), pa.int32()),
+                "height": pa.array([th] * (n_b + n_e + 1), pa.int32()),
+                "width": pa.array([tw] * (n_b + n_e + 1), pa.int32()),
+                "d8": pa.array([None] * (n_b + n_e) + [d8_grid.tobytes()], pa.binary()),
+                "vals": pa.array([None] * (n_b + n_e) + [vflat.tobytes()], pa.binary()),
+                "ok": pa.array(
+                    [None] * (n_b + n_e) + [c_ok.astype(np.uint8).tobytes()], pa.binary()
+                ),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = frags.groupby("cell").map_groups(pass1, batch_format="pyarrow").materialize()
+
+    contracted = pa.concat_tables(
+        mixed.map_batches(
+            lambda b: b.filter(pc.less(b["kind"], 2)).select(
+                ["kind", "pix", "aux", "exit"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).iter_batches(batch_format="pyarrow")
+    )
+    kind = contracted["kind"].to_numpy()
+    is_b = kind == 0
+    e_pix = contracted["pix"].to_numpy()[~is_b]
+    e_val = contracted["aux"].to_numpy()[~is_b]
+    e_exit = contracted["exit"].to_numpy()[~is_b]
+    order = np.argsort(e_pix, kind="stable")
+    e_pix, e_val, e_exit = e_pix[order], e_val[order], e_exit[order]
+    inflow = np.zeros(len(e_pix), np.int64)
+    b_pix = contracted["pix"].to_numpy()[is_b]
+    b_mass = contracted["aux"].to_numpy()[is_b]
+    pos = np.searchsorted(e_pix, b_pix)
+    if len(b_pix) and not np.array_equal(e_pix[np.clip(pos, 0, len(e_pix) - 1)], b_pix):
+        raise RuntimeError("flow_accumulation: crossing target missing from ring set")
+    np.add.at(inflow, pos, b_mass)
+    # descending-value sweep over the contracted DAG (vectorized per level)
+    has_exit = e_exit >= 0
+    lv = e_val[has_exit]
+    sel = np.flatnonzero(has_exit)[np.argsort(-lv, kind="stable")]
+    lv_sorted = e_val[sel]
+    cuts = np.flatnonzero(np.diff(lv_sorted)) + 1
+    for grp in np.split(sel, cuts):
+        tpos = np.searchsorted(e_pix, e_exit[grp])
+        np.add.at(inflow, tpos, inflow[grp])
+    ring_ref = ray.put((e_pix, inflow))
+
+    def pass3(batch: pa.Table) -> pa.Table:
+        ring_pix, ring_in = ray.get(ring_ref)
+        rows_o, cols_o, acc_o = [], [], []
+        tiles = batch.filter(pc.equal(batch["kind"], 2))
+        for i in range(len(tiles)):
+            r0 = int(tiles["row_off"][i].as_py())
+            c0 = int(tiles["col_off"][i].as_py())
+            th = int(tiles["height"][i].as_py())
+            tw = int(tiles["width"][i].as_py())
+            d8 = np.frombuffer(tiles["d8"][i].as_buffer(), np.int64)
+            vflat = np.frombuffer(tiles["vals"][i].as_buffer(), np.int64)
+            ok = np.frombuffer(tiles["ok"][i].as_buffer(), np.uint8).astype(bool)
+            rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
+            cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
+            self_abs = rr * w + cc
+            mass = ok.astype(np.int64)
+            p = np.searchsorted(ring_pix, self_abs)
+            p = np.clip(p, 0, max(len(ring_pix) - 1, 0))
+            hit = (ring_pix[p] == self_abs) if len(ring_pix) else np.zeros(len(p), bool)
+            mass = mass + np.where(hit & ok, ring_in[p] if len(ring_pix) else 0, 0)
+            acc, _tgt, _ex = _accumulate_local(
+                vflat, d8, ok, r0, c0, th, tw, w, mass
+            )
+            pick = ok & (self_abs % sample_mod == 0)
+            rows_o.append(rr[pick])
+            cols_o.append(cc[pick])
+            acc_o.append(acc[pick])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "row": pa.array(cat(rows_o), pa.int64()),
+                "col": pa.array(cat(cols_o), pa.int64()),
+                "acc": pa.array(cat(acc_o), pa.int64()),
+            }
+        )
+
+    return mixed.map_batches(pass3, batch_format="pyarrow", zero_copy_batch=True)

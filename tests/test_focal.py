@@ -903,3 +903,43 @@ def test_polygonize_single_region_spanning_all_tiles(ray_session):
     assert big["value"] == 7 and big["px_count"] == 40 * 40 - 2
     assert got.loc[5 * 40 + 5]["px_count"] == 1
     assert got.loc[30 * 40 + 33]["px_count"] == 1
+
+
+@pytest.mark.parametrize("tile_size", [16, 25, 96])
+def test_flow_accumulation_matches_walk(ray_session, tile_size):
+    """flow_accumulation (two-pass tile contraction) vs a naive reference
+    that walks every valid pixel's D8 path and counts visits."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import flow_accumulation
+
+    arr = _rand_raster(96, 80, seed=71)
+    h, w = arr.shape
+    ref_d8, ref_ok = _d8_reference(arr)
+    code_step = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+                 16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+    ref_acc = np.zeros((h, w), np.int64)
+    for r in range(h):
+        for c in range(w):
+            if not ref_ok[r, c]:
+                continue
+            cr, cc = r, c
+            ref_acc[cr, cc] += 1
+            while ref_d8[cr, cc] != 0:
+                dr, dc = code_step[int(ref_d8[cr, cc])]
+                cr, cc = cr + dr, cc + dc
+                ref_acc[cr, cc] += 1
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    got = (
+        pa.concat_tables(
+            flow_accumulation(tiles, arr.shape, NODATA, 1, tile_size=tile_size).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    assert len(got) == int(ref_ok.sum())
+    for (r, c), rec in got.iterrows():
+        assert rec["acc"] == ref_acc[r, c], (r, c)
