@@ -393,6 +393,25 @@ def bench_focal_shuffle():
     return ZONAL_SHAPE[0] * ZONAL_SHAPE[1] / 1e6
 
 
+def bench_flowacc():
+    """Hydrology operator (session 6): exact D8 flow accumulation over
+    the staged 8192^2 raster via the SHUFFLE-FREE store plan — pass 1 is
+    a task pool of targeted core+halo partition reads (the stencil store
+    trick), then the O(perimeter) contracted boundary solve and one
+    re-routing pass over the derived tiles. Values are rint-quantized
+    (the D8 kernel's own rule), so the result is deterministic on the
+    continuous bench surface."""
+    from python_rasterstats_ray.stages.focal import flow_accumulation_from_store
+
+    _affine, nodata = zonal_affine_nodata()
+    out = flow_accumulation_from_store(
+        _stage_tile_store(), ZONAL_SHAPE, nodata, 65537, tile_size=ZONAL_TILE
+    )
+    n = out.count()
+    assert n > 500, n  # ~1k sampled valid pixels at mod 65537
+    return ZONAL_SHAPE[0] * ZONAL_SHAPE[1] / 1e6
+
+
 def bench_flagship(sf_dir: str):
     from python_rasterstats_ray.pipelines.webpages import flagship_pipeline
 
@@ -532,6 +551,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t_fs = time.time()
     bench_focal_shuffle()
     extras["focal_shuffle_sec"] = round(time.time() - t_fs, 3)
+    t_fa = time.time()
+    mpx_fa = bench_flowacc()
+    extras["flowacc_sec"] = round(time.time() - t_fa, 3)
+    extras["flowacc_mpx_per_sec"] = round(mpx_fa / extras["flowacc_sec"], 2)
     timed("dedup_minhash", bench_minhash, sf_dir)
     timed("knn", bench_knn, sf_dir)
     n_pts = timed("point_query", bench_point_query)

@@ -45,6 +45,8 @@ __all__ = [
     "focal_minmax_tiled",
     "flow_direction_tiled",
     "flow_trace",
+    "flow_accumulation",
+    "flow_accumulation_from_store",
     "warp_nearest_tiled",
     "warp_bilinear_tiled",
     "downsample_mean",
@@ -1614,111 +1616,124 @@ def _accumulate_local(vals, d8, ok, r0, c0, th, tw, w, mass):
     return acc, tgt_abs, exits
 
 
-def flow_accumulation(tiles_ds, shape: tuple[int, int], nodata: float,
-                      sample_mod: int, tile_size: int = 256):
-    """D8 flow accumulation (the number of pixels draining through each
-    pixel, itself included) — the Barnes (2017) two-pass tile scheme:
+def _flowacc_pass1_tile(cell, frag_arrays, shape, tile_size, nodata):
+    """Pass-1 kernel for ONE tile (shared by the halo-shuffle and the
+    bucketed-store plans): derive the D8 grid from the assembled window,
+    route the tile's own unit masses (acc0), emit per-crossing source
+    terms (kind 0), ring-entry exit rows (kind 1) and the derived
+    D8+values tile (kind 2) pass 3 reuses."""
+    w = shape[1]
+    r0, c0, th, tw, vals, okw = _assemble_window(
+        cell, frag_arrays, shape, tile_size, 1, nodata
+    )
+    d8_grid, c_ok = _d8_from_window(vals, okw, th, tw)
+    d8 = d8_grid.ravel()
+    ok = c_ok.ravel()
+    vflat = np.rint(vals[1:-1, 1:-1]).astype(np.int64).ravel()
+    acc0, tgt_abs, exits = _accumulate_local(
+        vflat, d8, ok, r0, c0, th, tw, w, ok.astype(np.int64)
+    )
+    # source terms: per distinct crossing target, the carried mass
+    q_abs = tgt_abs[exits]
+    b_mass = acc0[exits]
+    uq, inv = np.unique(q_abs, return_inverse=True)
+    b_sum = np.bincount(inv, weights=b_mass).astype(np.int64)
+    # ring entries: in-tile path exit via pointer doubling
+    rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
+    cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
+    self_abs = rr * w + cc
+    in_tile = (
+        (tgt_abs // w >= r0) & (tgt_abs // w < r0 + th)
+        & (tgt_abs % w >= c0) & (tgt_abs % w < c0 + tw)
+    )
+    moving = d8 > 0
+    terminal = ok & ~moving
+    cur = np.where(terminal, self_abs, tgt_abs)
+    done = terminal | ~in_tile
+    term = terminal.copy()
+    for _ in range(64):
+        active = ok & ~done
+        if not active.any():
+            break
+        q = cur[active]
+        ql = (q // w - r0) * tw + (q % w - c0)
+        done[active] = done[ql]
+        term[active] = term[ql]
+        cur[active] = cur[ql]
+    else:  # pragma: no cover
+        raise RuntimeError("flow_accumulation: local doubling did not converge")
+    lr = np.arange(th * tw, dtype=np.int64) // tw
+    lc = np.arange(th * tw, dtype=np.int64) % tw
+    ring = ((lr == 0) | (lr == th - 1) | (lc == 0) | (lc == tw - 1)) & ok
+    e_pix = self_abs[ring]
+    e_val = vflat[ring]
+    e_exit = np.where(term[ring], -1, cur[ring])
+    n_b, n_e = len(uq), len(e_pix)
+    return pa.table(
+        {
+            "kind": pa.array([0] * n_b + [1] * n_e + [2], pa.int8()),
+            "pix": pa.array(np.concatenate([uq, e_pix, [0]]), pa.int64()),
+            "aux": pa.array(np.concatenate([b_sum, e_val, [0]]), pa.int64()),
+            "exit": pa.array(
+                np.concatenate([np.full(n_b, -1, np.int64), e_exit, [0]]), pa.int64()
+            ),
+            "cell": pa.array([cell] * (n_b + n_e + 1), pa.int64()),
+            "row_off": pa.array([r0] * (n_b + n_e + 1), pa.int32()),
+            "col_off": pa.array([c0] * (n_b + n_e + 1), pa.int32()),
+            "height": pa.array([th] * (n_b + n_e + 1), pa.int32()),
+            "width": pa.array([tw] * (n_b + n_e + 1), pa.int32()),
+            "d8": pa.array([None] * (n_b + n_e) + [d8_grid.tobytes()], pa.binary()),
+            "vals": pa.array([None] * (n_b + n_e) + [vflat.tobytes()], pa.binary()),
+            "ok": pa.array(
+                [None] * (n_b + n_e) + [c_ok.astype(np.uint8).tobytes()], pa.binary()
+            ),
+        }
+    )
 
-    1. One halo exchange derives each tile's D8 grid; a LEVEL-ORDERED
-       vectorized pass routes the tile's own unit masses (acc0), records
-       each cross-tile crossing's carried mass (the source term b), and
-       pointer-doubles every ring pixel's in-tile path to its exit.
-    2. The contracted ring graph (O(perimeter) nodes: inflow(q) = b(q) +
-       sum of inflow over entries exiting at q) is solved by one
-       descending-value sweep — acyclic by strict integer descent.
-    3. A second per-tile pass re-routes mass with the solved boundary
-       inflows seeded at entry pixels; pixels cross no further exchange
-       (the derived D8 tiles from pass 1 are reused).
 
-    Returns (row, col, acc) for valid pixels with (row*W + col) %
-    sample_mod == 0; acc is exact int64."""
+class _FlowAccStoreKernel:
+    """Task-pool pass-1 kernel over a ``write_tiles_bucketed`` store:
+    targeted core+halo partition reads per cell, zero exchanges (the
+    stencil store plan applied to hydrology)."""
+
+    def __init__(self, path, shape, tile_size, nodata):
+        self.path = path
+        self.shape = shape
+        self.tile_size = tile_size
+        self.nodata = nodata
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import os
+
+        import pyarrow.parquet as pq
+
+        cols = ["row_off", "col_off", "height", "width", "dtype", "pixels"]
+        out = []
+        for cell in batch["cell"].to_pylist():
+            cell = int(cell)
+            parts = [pq.read_table(os.path.join(self.path, f"core/cell={cell}"), columns=cols)]
+            halo_dir = os.path.join(self.path, f"halo/cell={cell}")
+            if os.path.isdir(halo_dir):
+                parts.append(pq.read_table(halo_dir, columns=cols))
+            frags = pa.concat_tables(parts).append_column(
+                "cell", pa.array([cell] * sum(len(p) for p in parts), pa.int64())
+            )
+            out.append(
+                _flowacc_pass1_tile(
+                    cell, _tile_arrays(frags), self.shape, self.tile_size, self.nodata
+                )
+            )
+        return pa.concat_tables(out)
+
+
+def _flowacc_finish(mixed, shape, sample_mod):
+    """Contracted boundary-inflow solve (driver, O(perimeter)) + pass 3
+    re-routing over the derived D8 tiles emitted by pass 1."""
     import ray
-    import ray.data  # noqa: F401
 
     import pyarrow.compute as pc
 
-    h, w = shape
-
-    def fan(batch: pa.Table) -> pa.Table:
-        return tile_fragments(batch, shape, tile_size, 1)
-
-    def pass1(group: pa.Table) -> pa.Table:
-        cell = int(group["cell"][0].as_py())
-        r0, c0, th, tw, vals, okw = _assemble_window(
-            cell, _tile_arrays(group), shape, tile_size, 1, nodata
-        )
-        d8_grid, c_ok = _d8_from_window(vals, okw, th, tw)
-        d8 = d8_grid.ravel()
-        ok = c_ok.ravel()
-        vflat = np.rint(vals[1:-1, 1:-1]).astype(np.int64).ravel()
-        acc0, tgt_abs, exits = _accumulate_local(
-            vflat, d8, ok, r0, c0, th, tw, w, ok.astype(np.int64)
-        )
-        # source terms: per distinct crossing target, the carried mass
-        q_abs = tgt_abs[exits]
-        b_mass = acc0[exits]
-        uq, inv = np.unique(q_abs, return_inverse=True)
-        b_sum = np.bincount(inv, weights=b_mass).astype(np.int64)
-        # ring entries: in-tile path exit via pointer doubling
-        rr = (r0 + np.arange(th, dtype=np.int64)).repeat(tw)
-        cc = np.tile(c0 + np.arange(tw, dtype=np.int64), th)
-        self_abs = rr * w + cc
-        in_tile = (
-            (tgt_abs // w >= r0) & (tgt_abs // w < r0 + th)
-            & (tgt_abs % w >= c0) & (tgt_abs % w < c0 + tw)
-        )
-        moving = d8 > 0
-        terminal = ok & ~moving
-        cur = np.where(terminal, self_abs, tgt_abs)
-        done = terminal | ~in_tile
-        term = terminal.copy()
-        for _ in range(64):
-            active = ok & ~done
-            if not active.any():
-                break
-            q = cur[active]
-            ql = (q // w - r0) * tw + (q % w - c0)
-            done[active] = done[ql]
-            term[active] = term[ql]
-            cur[active] = cur[ql]
-        else:  # pragma: no cover
-            raise RuntimeError("flow_accumulation: local doubling did not converge")
-        lr = np.arange(th * tw, dtype=np.int64) // tw
-        lc = np.arange(th * tw, dtype=np.int64) % tw
-        ring = ((lr == 0) | (lr == th - 1) | (lc == 0) | (lc == tw - 1)) & ok
-        e_pix = self_abs[ring]
-        e_val = vflat[ring]
-        e_exit = np.where(term[ring], -1, cur[ring])
-        n_b, n_e = len(uq), len(e_pix)
-        return pa.table(
-            {
-                "kind": pa.array([0] * n_b + [1] * n_e + [2], pa.int8()),
-                "pix": pa.array(
-                    np.concatenate([uq, e_pix, [0]]), pa.int64()
-                ),
-                "aux": pa.array(
-                    np.concatenate([b_sum, e_val, [0]]), pa.int64()
-                ),
-                "exit": pa.array(
-                    np.concatenate([np.full(n_b, -1, np.int64), e_exit, [0]]),
-                    pa.int64(),
-                ),
-                "cell": pa.array([cell] * (n_b + n_e + 1), pa.int64()),
-                "row_off": pa.array([r0] * (n_b + n_e + 1), pa.int32()),
-                "col_off": pa.array([c0] * (n_b + n_e + 1), pa.int32()),
-                "height": pa.array([th] * (n_b + n_e + 1), pa.int32()),
-                "width": pa.array([tw] * (n_b + n_e + 1), pa.int32()),
-                "d8": pa.array([None] * (n_b + n_e) + [d8_grid.tobytes()], pa.binary()),
-                "vals": pa.array([None] * (n_b + n_e) + [vflat.tobytes()], pa.binary()),
-                "ok": pa.array(
-                    [None] * (n_b + n_e) + [c_ok.astype(np.uint8).tobytes()], pa.binary()
-                ),
-            }
-        )
-
-    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
-    mixed = frags.groupby("cell").map_groups(pass1, batch_format="pyarrow").materialize()
-
+    w = shape[1]
     contracted = pa.concat_tables(
         mixed.map_batches(
             lambda b: b.filter(pc.less(b["kind"], 2)).select(
@@ -1790,3 +1805,67 @@ def flow_accumulation(tiles_ds, shape: tuple[int, int], nodata: float,
         )
 
     return mixed.map_batches(pass3, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flow_accumulation(tiles_ds, shape: tuple[int, int], nodata: float,
+                      sample_mod: int, tile_size: int = 256):
+    """D8 flow accumulation (the number of pixels draining through each
+    pixel, itself included) — the Barnes (2017) two-pass tile scheme:
+
+    1. One halo exchange derives each tile's D8 grid; a LEVEL-ORDERED
+       vectorized pass routes the tile's own unit masses (acc0), records
+       each cross-tile crossing's carried mass (the source term b), and
+       pointer-doubles every ring pixel's in-tile path to its exit.
+    2. The contracted ring graph (O(perimeter) nodes: inflow(q) = b(q) +
+       sum of inflow over entries exiting at q) is solved by one
+       descending-value sweep — acyclic by strict integer descent.
+    3. A second per-tile pass re-routes mass with the solved boundary
+       inflows seeded at entry pixels; pixels cross no further exchange
+       (the derived D8 tiles from pass 1 are reused).
+
+    ``flow_accumulation_from_store`` is the shuffle-free variant over a
+    ``write_tiles_bucketed`` store (bit-identical, pytest differential).
+
+    Returns (row, col, acc) for valid pixels with (row*W + col) %
+    sample_mod == 0; acc is exact int64."""
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def pass1(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        return _flowacc_pass1_tile(cell, _tile_arrays(group), shape, tile_size, nodata)
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    mixed = frags.groupby("cell").map_groups(pass1, batch_format="pyarrow").materialize()
+    return _flowacc_finish(mixed, shape, sample_mod)
+
+
+def flow_accumulation_from_store(
+    path: str,
+    shape: tuple[int, int],
+    nodata: float,
+    sample_mod: int,
+    tile_size: int = 256,
+):
+    """Shuffle-free flow accumulation over a ``write_tiles_bucketed``
+    store (staged radius >= 1): pass 1 becomes a task-pool of targeted
+    core+halo partition reads — NO pixel crosses an exchange at query
+    time, mirroring ``focal_mean_from_store``."""
+    import ray.data
+
+    from ._cluster import pool
+
+    ntr, ntc = _n_tiles(shape, tile_size)
+    grid_r, grid_c = np.meshgrid(
+        np.arange(ntr, dtype=np.int64), np.arange(ntc, dtype=np.int64), indexing="ij"
+    )
+    cells = cell_id(grid_r.ravel(), grid_c.ravel())
+    ds = ray.data.from_arrow(pa.table({"cell": pa.array(cells, pa.int64())}))
+    n_blocks = max(1, min(len(cells), pool()[1] * 2))
+    mixed = ds.repartition(n_blocks).map_batches(
+        _FlowAccStoreKernel(path, shape, tile_size, nodata),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    return _flowacc_finish(mixed, shape, sample_mod)

@@ -943,3 +943,40 @@ def test_flow_accumulation_matches_walk(ray_session, tile_size):
     assert len(got) == int(ref_ok.sum())
     for (r, c), rec in got.iterrows():
         assert rec["acc"] == ref_acc[r, c], (r, c)
+
+
+def test_flow_accumulation_store_matches_shuffle(ray_session, tmp_path):
+    """The shuffle-free store plan is bit-identical to the halo-exchange
+    plan on the same raster."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        flow_accumulation,
+        flow_accumulation_from_store,
+        write_tiles_bucketed,
+    )
+
+    arr = _rand_raster(96, 80, seed=73)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=32))
+    store = str(tmp_path / "facc_store")
+    write_tiles_bucketed(tiles, store, arr.shape, tile_size=32, radius=1)
+    a = (
+        pa.concat_tables(
+            flow_accumulation(tiles, arr.shape, NODATA, 7, tile_size=32).iter_batches(
+                batch_format="pyarrow"
+            )
+        )
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pa.concat_tables(
+            flow_accumulation_from_store(store, arr.shape, NODATA, 7, tile_size=32)
+            .iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .sort_values(["row", "col"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
