@@ -299,6 +299,39 @@ def cmd_focal(args) -> int:
     return 0
 
 
+def cmd_flowacc(args) -> int:
+    """Distributed D8 flow accumulation: (row, col, acc) parquet."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.focal import flow_accumulation
+
+    ds = ray.data.read_parquet(args.tiles)
+    out = flow_accumulation(
+        ds, tuple(args.shape), args.nodata, args.sample_mod, tile_size=args.tile_size
+    )
+    out.write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "sample_mod": args.sample_mod}))
+    _ray_down(ray, owned)
+    return 0
+
+
+def cmd_polygonize(args) -> int:
+    """Distributed raster->vector region extraction: one row per
+    4-connected equal-value region."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.polygonize import polygonize_tiled
+
+    ds = ray.data.read_parquet(args.tiles)
+    out = polygonize_tiled(ds, tuple(args.shape), args.nodata, tile_size=args.tile_size)
+    out.write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir}))
+    _ray_down(ray, owned)
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Domain-weighted mixture selection: kept (doc_id, domain) parquet.
 
@@ -551,6 +584,23 @@ def build_parser() -> argparse.ArgumentParser:
     fo.add_argument("--nodata", type=float, default=-9999.0)
     fo.add_argument("--radius", type=int, default=1)
     fo.set_defaults(fn=cmd_focal)
+
+    fa = sub.add_parser("flowacc", help="D8 flow accumulation over a tile-table parquet")
+    fa.add_argument("tiles", help="tile table parquet dir (cell,row_off,...,pixels)")
+    fa.add_argument("out_dir")
+    fa.add_argument("--shape", type=int, nargs=2, required=True, metavar=("H", "W"))
+    fa.add_argument("--tile-size", type=int, default=256)
+    fa.add_argument("--nodata", type=float, default=-9999.0)
+    fa.add_argument("--sample-mod", type=int, default=1)
+    fa.set_defaults(fn=cmd_flowacc)
+
+    pg = sub.add_parser("polygonize", help="raster->vector regions over a tile-table parquet")
+    pg.add_argument("tiles", help="tile table parquet dir (cell,row_off,...,pixels)")
+    pg.add_argument("out_dir")
+    pg.add_argument("--shape", type=int, nargs=2, required=True, metavar=("H", "W"))
+    pg.add_argument("--tile-size", type=int, default=256)
+    pg.add_argument("--nodata", type=float, default=-9999.0)
+    pg.set_defaults(fn=cmd_polygonize)
     return p
 
 

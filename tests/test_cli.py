@@ -235,3 +235,45 @@ def test_cli_prep_writes_shards(ray_session, capsys, tmp_path):
     # written rows = survivors
     total = sum(pq.read_table(f"{out}/{d}").num_rows for d in dirs)
     assert total == int(ref["n_docs"].sum())
+
+
+def test_cli_raster_ops(ray_session, capsys, tmp_path):
+    """flowacc / polygonize subcommands run end-to-end over a small tile
+    table written from a synthetic raster."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(1, 4, size=(40, 30)).astype(np.float32)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 40.0)
+    tiles_dir = str(tmp_path / "tiles")
+    import os
+
+    os.makedirs(tiles_dir)
+    pq.write_table(
+        raster_to_tiles_table(arr, aff, -9999.0, tile_size=16),
+        f"{tiles_dir}/t.parquet",
+    )
+
+    fa_dir = str(tmp_path / "fa_out")
+    rc, out = run_cli(
+        capsys,
+        ["flowacc", tiles_dir, fa_dir, "--shape", "40", "30", "--tile-size", "16"],
+    )
+    assert rc == 0 and json.loads(out.strip().splitlines()[-1])["sample_mod"] == 1
+    t = pq.read_table(fa_dir)
+    assert t.num_rows == 40 * 30  # no nodata: every pixel sampled at mod 1
+    assert int(np.asarray(t["acc"]).sum()) >= 40 * 30  # each pixel counts itself
+
+    pg_dir = str(tmp_path / "pg_out")
+    rc, _ = run_cli(
+        capsys,
+        ["polygonize", tiles_dir, pg_dir, "--shape", "40", "30", "--tile-size", "16"],
+    )
+    assert rc == 0
+    t = pq.read_table(pg_dir)
+    assert int(np.asarray(t["px_count"]).sum()) == 40 * 30
+    assert t.num_rows > 1
