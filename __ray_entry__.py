@@ -162,6 +162,7 @@ EXTRA_QUERY_ORDER = [
     "raster_warp_bilinear",
     "raster_flow_trace",
     "raster_flow_acc",
+    "raster_aspect",
     "raster_polygonize",
     "raster_pyramid",
     "raster_proximity",

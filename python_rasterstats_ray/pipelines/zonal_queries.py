@@ -466,6 +466,19 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_aspect(sf_dir: str):
+    """Aspect over 'holes' as the D8 code of the steepest-descent compass
+    direction implied by the Horn gradient — no trig: the same exact
+    integer projection metric as flow direction (2*proj^2 cardinal vs
+    proj^2 diagonal, fixed priority tie-break), 0 for flat gradients,
+    null off fully-valid 3x3 windows. (row*W + col) % 113 == 0 sample."""
+    from ..stages.focal import focal_slope_tiled, sample_aspect_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    slope = focal_slope_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return sample_aspect_pixels(slope, arr.shape[1], 113)
+
+
 def q_raster_flow_acc(sf_dir: str):
     """D8 flow accumulation over 'holes' (number of pixels draining
     through each pixel, itself included) — Barnes-style two-pass tile
@@ -1058,6 +1071,55 @@ FROM final WHERE rk = 1
 """
 
 
+# Aspect: the slope join derives gx/gy, then the best-projection rank
+# over the 8 compass directions — proj = -(gx*dc + gy*dr), metric
+# mult*proj^2, positive projections only, priority tie-break; flat -> 0.
+SQL_RASTER_ASPECT = f"""
+WITH offs AS (
+  SELECT * FROM (VALUES
+    (0, 1, 1, 2, 1), (1, 1, 2, 1, 2), (1, 0, 4, 2, 3), (1, -1, 8, 1, 4),
+    (0, -1, 16, 2, 5), (-1, -1, 32, 1, 6), (-1, 0, 64, 2, 7), (-1, 1, 128, 1, 8)
+  ) AS t(dr, dc, code, mult, prio)
+),
+woffs AS (
+  SELECT r.range AS dr, c.range AS dc,
+         c.range * (2 - abs(r.range)) AS wx,
+         r.range * (2 - abs(c.range)) AS wy
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 113 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         sum(o.wx * q.val) AS gx, sum(o.wy * q.val) AS gy,
+         count(q.val) AS fcnt
+  FROM p CROSS JOIN woffs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+),
+cand AS (
+  SELECT n.row, n.col, o.code, o.prio,
+         o.mult * CAST(-(n.gx * o.dc + n.gy * o.dr) AS BIGINT)
+                * CAST(-(n.gx * o.dc + n.gy * o.dr) AS BIGINT) AS m
+  FROM n CROSS JOIN offs o
+  WHERE n.fcnt = 9 AND -(n.gx * o.dc + n.gy * o.dr) > 0
+),
+best AS (
+  SELECT row, col, code,
+         row_number() OVER (PARTITION BY row, col ORDER BY m DESC, prio) AS rk
+  FROM cand
+)
+SELECT n.row, n.col,
+       CASE WHEN n.fcnt = 9 THEN CAST(n.gx AS BIGINT) END AS gx,
+       CASE WHEN n.fcnt = 9 THEN CAST(n.gy AS BIGINT) END AS gy,
+       CASE WHEN n.fcnt = 9 THEN CAST(coalesce(b.code, 0) AS BIGINT) END AS aspect_d8
+FROM n LEFT JOIN best b ON b.row = n.row AND b.col = n.col AND b.rk = 1
+"""
+
+
 # Flow accumulation: the walk CTE from EVERY valid pixel (not just
 # seeds); each path visits a pixel at most once (acyclic), so the visit
 # count per position IS the accumulation. ~6M walk rows at 512^2.
@@ -1509,6 +1571,7 @@ ZONAL_QUERIES = {
     "raster_warp_bilinear": q_raster_warp_bilinear,
     "raster_flow_trace": q_raster_flow_trace,
     "raster_flow_acc": q_raster_flow_acc,
+    "raster_aspect": q_raster_aspect,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
@@ -1545,6 +1608,7 @@ ZONAL_ORACLE_SQL = {
     "raster_warp_bilinear": SQL_RASTER_WARP_BILINEAR,
     "raster_flow_trace": SQL_RASTER_FLOW_TRACE,
     "raster_flow_acc": SQL_RASTER_FLOW_ACC,
+    "raster_aspect": SQL_RASTER_ASPECT,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

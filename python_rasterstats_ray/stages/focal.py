@@ -1869,3 +1869,57 @@ def flow_accumulation_from_store(
         zero_copy_batch=True,
     ).materialize()
     return _flowacc_finish(mixed, shape, sample_mod)
+
+
+def sample_aspect_pixels(slope_ds, raster_width: int, mod: int):
+    """(row, col, gx, gy, aspect_d8) sample of a focal_slope_tiled result:
+    aspect as the D8 code (ESRI powers of two) of the steepest-DESCENT
+    compass direction implied by the Horn gradient — the direction d
+    maximizing the downslope derivative -(gx*dx + gy*dy)/|d|. The same
+    exact integer metric as flow direction (2*proj^2 cardinal vs proj^2
+    diagonal, positive projections only, fixed E,SE,S,... priority
+    tie-break); 0 where the gradient is flat. Null where the 3x3 window
+    is not fully valid. No trig anywhere, so SQL mirrors it bit-exactly."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, gx_o, gy_o, ok_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            gx = np.frombuffer(batch["gx"][i].as_buffer(), np.int64).reshape(th, tw)
+            gy = np.frombuffer(batch["gy"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            gx_o.append(gx[pick])
+            gy_o.append(gy[pick])
+            ok_o.append(ok[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        gx = np.concatenate(gx_o) if gx_o else np.empty(0, np.int64)
+        gy = np.concatenate(gy_o) if gy_o else np.empty(0, np.int64)
+        bad = ~(np.concatenate(ok_o) if ok_o else np.empty(0, np.uint8)).astype(bool)
+        best_m = np.zeros(len(gx), np.int64)
+        best_d = np.zeros(len(gx), np.int64)
+        for dr, dc, code, mult in _D8_NEIGHBORS:
+            proj = -(gx * dc + gy * dr)
+            m = mult * proj * proj
+            take = (proj > 0) & (m > best_m)
+            best_m[take] = m[take]
+            best_d[take] = code
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "gx": pa.array(gx, pa.int64(), mask=bad),
+                "gy": pa.array(gy, pa.int64(), mask=bad),
+                "aspect_d8": pa.array(best_d, pa.int64(), mask=bad),
+            }
+        )
+
+    return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

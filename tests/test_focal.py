@@ -980,3 +980,58 @@ def test_flow_accumulation_store_matches_shuffle(ray_session, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_aspect_matches_reference(ray_session):
+    """Aspect-octant sample vs a nested-loop reference computing the
+    Horn gradient and the best-projection D8 code directly."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        focal_slope_tiled,
+        sample_aspect_pixels,
+    )
+
+    arr = _rand_raster(60, 50, seed=79)
+    h, w = arr.shape
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=16))
+    slope = focal_slope_tiled(tiles, arr.shape, NODATA, tile_size=16)
+    got = (
+        pa.concat_tables(
+            sample_aspect_pixels(slope, w, 1).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    dirs = [(0, 1, 1, 2), (1, 1, 2, 1), (1, 0, 4, 2), (1, -1, 8, 1),
+            (0, -1, 16, 2), (-1, -1, 32, 1), (-1, 0, 64, 2), (-1, 1, 128, 1)]
+    n_flat = n_dir = 0
+    for r in range(h):
+        for c in range(w):
+            rec = got.loc[(r, c)]
+            if (r == 0 or c == 0 or r == h - 1 or c == w - 1
+                    or not valid[r - 1 : r + 2, c - 1 : c + 2].all()):
+                assert np.isnan(rec["aspect_d8"])
+                continue
+            win = a[r - 1 : r + 2, c - 1 : c + 2]
+            gx = (win[0, 2] + 2 * win[1, 2] + win[2, 2]) - (
+                win[0, 0] + 2 * win[1, 0] + win[2, 0]
+            )
+            gy = (win[2, 0] + 2 * win[2, 1] + win[2, 2]) - (
+                win[0, 0] + 2 * win[0, 1] + win[0, 2]
+            )
+            best_m, best_code = 0, 0
+            for dr, dc, code, mult in dirs:
+                proj = -(gx * dc + gy * dr)
+                m = mult * proj * proj
+                if proj > 0 and m > best_m:
+                    best_m, best_code = m, code
+            assert rec["aspect_d8"] == best_code
+            if best_code == 0:
+                n_flat += 1
+            else:
+                n_dir += 1
+    assert n_dir > 0  # the surface actually slopes somewhere
