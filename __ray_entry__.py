@@ -163,6 +163,8 @@ EXTRA_QUERY_ORDER = [
     "raster_flow_trace",
     "raster_flow_acc",
     "raster_aspect",
+    "raster_majority",
+    "raster_reclass",
     "raster_polygonize",
     "raster_pyramid",
     "raster_proximity",

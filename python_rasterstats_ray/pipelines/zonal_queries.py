@@ -466,6 +466,34 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_majority(sf_dir: str):
+    """3x3 focal majority (mode) filter over the categorical 'classes'
+    raster: most frequent valid neighbor value, ties to the SMALLEST
+    value (the reference's zonal majority convention); null where the
+    whole neighborhood is invalid. One integral-image box sum per class.
+    (row*W + col) % 137 == 0 sample."""
+    from ..stages.focal import focal_majority_tiled, sample_majority_pixels
+
+    tiles, arr, nodata = _tiles_ds("classes")
+    maj = focal_majority_tiled(tiles, arr.shape, nodata, radius=1, tile_size=128)
+    return sample_majority_pixels(maj, arr.shape[1], 137)
+
+
+RECLASS_MAP = {1: 10, 2: 20, 3: -5, 4: 40}  # class 5 deliberately unmapped
+
+
+def q_raster_reclass(sf_dir: str):
+    """Broadcast-map reclassification of 'classes' (gdal reclass as a
+    standalone tile->tile op): mapped classes remap, class 5 is
+    deliberately UNMAPPED (-> null, like nodata), exercising the
+    invalid-output rule. (row*W + col) % 139 == 0 sample."""
+    from ..stages.focal import reclassify_tiled, sample_calc_pixels
+
+    tiles, arr, nodata = _tiles_ds("classes")
+    out = reclassify_tiled(tiles, RECLASS_MAP, nodata)
+    return sample_calc_pixels(out, arr.shape[1], 139)
+
+
 def q_raster_aspect(sf_dir: str):
     """Aspect over 'holes' as the D8 code of the steepest-descent compass
     direction implied by the Horn gradient — no trig: the same exact
@@ -1071,6 +1099,52 @@ FROM final WHERE rk = 1
 """
 
 
+CLASSES_W = 384
+
+
+# Focal majority: per (pixel, value) neighbor counts via the 9-offset
+# join, rank (cnt DESC, val ASC) — the smallest-value tie-break.
+SQL_RASTER_MAJORITY = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col FROM {_px("classes")}
+  WHERE (row * {CLASSES_W} + col) % 137 = 0
+),
+n AS (
+  SELECT p.row, p.col, CAST(q.val AS BIGINT) AS v, count(*) AS cnt
+  FROM p CROSS JOIN offs o
+  JOIN (SELECT row, col, val FROM {_px("classes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col, v
+),
+best AS (
+  SELECT row, col, v, cnt,
+         row_number() OVER (PARTITION BY row, col ORDER BY cnt DESC, v) AS rk,
+         sum(cnt) OVER (PARTITION BY row, col) AS fcnt
+  FROM n
+)
+SELECT p.row, p.col, b.v AS maj_val, b.cnt AS maj_cnt,
+       CAST(coalesce(b.fcnt, 0) AS BIGINT) AS fcnt
+FROM p LEFT JOIN best b ON b.row = p.row AND b.col = p.col AND b.rk = 1
+"""
+
+
+# Reclassify: LEFT JOIN to the VALUES map; unmapped or nodata -> null.
+SQL_RASTER_RECLASS = f"""
+WITH m AS (
+  SELECT * FROM (VALUES (1, 10.0), (2, 20.0), (3, -5.0), (4, 40.0)) AS t(v, outv)
+)
+SELECT p.row, p.col,
+       CASE WHEN NOT p.is_nodata THEN m.outv END AS value
+FROM {_px("classes")} p
+LEFT JOIN m ON m.v = CAST(p.val AS BIGINT)
+WHERE (p.row * {CLASSES_W} + p.col) % 139 = 0
+"""
+
+
 # Aspect: the slope join derives gx/gy, then the best-projection rank
 # over the 8 compass directions — proj = -(gx*dc + gy*dr), metric
 # mult*proj^2, positive projections only, priority tie-break; flat -> 0.
@@ -1572,6 +1646,8 @@ ZONAL_QUERIES = {
     "raster_flow_trace": q_raster_flow_trace,
     "raster_flow_acc": q_raster_flow_acc,
     "raster_aspect": q_raster_aspect,
+    "raster_majority": q_raster_majority,
+    "raster_reclass": q_raster_reclass,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
@@ -1609,6 +1685,8 @@ ZONAL_ORACLE_SQL = {
     "raster_flow_trace": SQL_RASTER_FLOW_TRACE,
     "raster_flow_acc": SQL_RASTER_FLOW_ACC,
     "raster_aspect": SQL_RASTER_ASPECT,
+    "raster_majority": SQL_RASTER_MAJORITY,
+    "raster_reclass": SQL_RASTER_RECLASS,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

@@ -43,6 +43,8 @@ __all__ = [
     "focal_mean_tiled",
     "focal_slope_tiled",
     "focal_minmax_tiled",
+    "focal_majority_tiled",
+    "reclassify_tiled",
     "flow_direction_tiled",
     "flow_trace",
     "flow_accumulation",
@@ -1923,3 +1925,140 @@ def sample_aspect_pixels(slope_ds, raster_width: int, mod: int):
         )
 
     return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_majority_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Focal majority (mode) filter for CATEGORICAL rasters: per pixel
+    the most frequent valid value in the (2r+1)^2 neighborhood, ties to
+    the SMALLEST value (the zonal majority convention, main.py:259-266
+    of the reference); null where the whole neighborhood is invalid.
+
+    Per-window counts are one integral-image box sum PER DISTINCT CLASS
+    in the padded window — O(k) vectorized passes, documented bound:
+    small-cardinality categorical rasters (the gdal sieve/majority
+    use case). Same radius-r halo exchange. Returns derived tiles
+    (cell, row_off, col_off, height, width, maj:binary i64,
+    majcnt:binary i64, fcnt:binary i64)."""
+    if radius > tile_size:
+        raise ValueError(f"radius {radius} exceeds tile_size {tile_size}")
+    k = 2 * radius + 1
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, radius)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, radius, nodata
+        )
+        iv = np.rint(vals).astype(np.int64)
+        okb = ok.astype(bool)
+        fcnt = _box_sum(ok, k)
+        best_cnt = np.zeros((th, tw), np.int64)
+        best_val = np.zeros((th, tw), np.int64)
+        for v in np.unique(iv[okb]):  # ascending -> smallest wins ties
+            cnt = _box_sum((okb & (iv == v)).astype(np.int64), k)
+            take = cnt > best_cnt
+            best_cnt[take] = cnt[take]
+            best_val[take] = v
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "maj": pa.array([best_val.tobytes()], pa.binary()),
+                "majcnt": pa.array([best_cnt.tobytes()], pa.binary()),
+                "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_majority_pixels(maj_ds, raster_width: int, mod: int):
+    """(row, col, maj_val, maj_cnt, fcnt) sample of a focal_majority
+    result; maj_val/maj_cnt null where the neighborhood is empty."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, v_o, c_o, f_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            maj = np.frombuffer(batch["maj"][i].as_buffer(), np.int64).reshape(th, tw)
+            mc = np.frombuffer(batch["majcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            fc = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            v_o.append(maj[pick])
+            c_o.append(mc[pick])
+            f_o.append(fc[pick])
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        fc = cat(f_o)
+        empty = fc == 0
+        return pa.table(
+            {
+                "row": pa.array(cat(rows_o), pa.int64()),
+                "col": pa.array(cat(cols_o), pa.int64()),
+                "maj_val": pa.array(cat(v_o), pa.int64(), mask=empty),
+                "maj_cnt": pa.array(cat(c_o), pa.int64(), mask=empty),
+                "fcnt": pa.array(fc, pa.int64()),
+            }
+        )
+
+    return maj_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def reclassify_tiled(tiles_ds, mapping: dict, nodata: float):
+    """Broadcast-map reclassification (gdal reclass / category remap as a
+    standalone raster op): out(px) = mapping[val] for valid pixels whose
+    integer value is mapped; UNMAPPED valid pixels and nodata pixels are
+    both invalid in the output. Stateless map_batches (the mapping rides
+    the closure — O(k) smal side), searchsorted gather per tile, no
+    exchange. Output schema matches raster_calc_tiled (vals f64 + ok)."""
+    keys = np.array(sorted(mapping), dtype=np.int64)
+    outs = np.array([float(mapping[k]) for k in keys], dtype=np.float64)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        cells, fro, fco, fh, fw, vals_o, ok_o = [], [], [], [], [], [], []
+        for cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            valid = arr != float(nodata)
+            iv = np.rint(arr.astype(np.float64)).astype(np.int64)
+            pos = np.clip(np.searchsorted(keys, iv), 0, max(len(keys) - 1, 0))
+            hit = (keys[pos] == iv) if len(keys) else np.zeros(iv.shape, bool)
+            ok = valid & hit
+            out = np.where(ok, outs[pos] if len(keys) else 0.0, np.nan)
+            cells.append(cell)
+            fro.append(r0)
+            fco.append(c0)
+            fh.append(th)
+            fw.append(tw)
+            vals_o.append(out.tobytes())
+            ok_o.append(ok.astype(np.uint8).tobytes())
+        return pa.table(
+            {
+                "cell": pa.array(cells, pa.int64()),
+                "row_off": pa.array(fro, pa.int32()),
+                "col_off": pa.array(fco, pa.int32()),
+                "height": pa.array(fh, pa.int32()),
+                "width": pa.array(fw, pa.int32()),
+                "vals": pa.array(vals_o, pa.binary()),
+                "ok": pa.array(ok_o, pa.binary()),
+            }
+        )
+
+    return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)

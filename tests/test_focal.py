@@ -1035,3 +1035,78 @@ def test_aspect_matches_reference(ray_session):
             else:
                 n_dir += 1
     assert n_dir > 0  # the surface actually slopes somewhere
+
+
+@pytest.mark.parametrize("radius,tile_size", [(1, 16), (2, 32)])
+def test_majority_matches_reference(ray_session, radius, tile_size):
+    """Focal majority vs a nested-loop mode reference with the
+    smallest-value tie-break."""
+    from collections import Counter
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        focal_majority_tiled,
+        sample_majority_pixels,
+    )
+
+    rng = np.random.default_rng(83)
+    arr = rng.integers(1, 5, size=(48, 40)).astype(np.float32)
+    arr[10:16, 8:20] = NODATA
+    h, w = arr.shape
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    maj = focal_majority_tiled(tiles, arr.shape, NODATA, radius=radius, tile_size=tile_size)
+    got = (
+        pa.concat_tables(
+            sample_majority_pixels(maj, w, 1).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    valid = arr != NODATA
+    for r in range(h):
+        for c in range(w):
+            r0, r1 = max(0, r - radius), min(h, r + radius + 1)
+            c0, c1 = max(0, c - radius), min(w, c + radius + 1)
+            win = arr[r0:r1, c0:c1]
+            ok = valid[r0:r1, c0:c1]
+            rec = got.loc[(r, c)]
+            assert rec["fcnt"] == int(ok.sum())
+            if ok.sum() == 0:
+                assert np.isnan(rec["maj_val"])
+                continue
+            cnt = Counter(int(v) for v in win[ok])
+            best = min(cnt, key=lambda v: (-cnt[v], v))
+            assert rec["maj_val"] == best and rec["maj_cnt"] == cnt[best]
+
+
+def test_reclassify_matches_reference(ray_session):
+    """Reclassify: mapped values remap, unmapped valid values and nodata
+    both null."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import reclassify_tiled, sample_calc_pixels
+
+    rng = np.random.default_rng(89)
+    arr = rng.integers(1, 6, size=(30, 25)).astype(np.float32)
+    arr[3:6, 3:9] = NODATA
+    mapping = {1: 10.0, 2: 20.0, 3: -5.0, 4: 40.0}
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 30.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=8))
+    got = (
+        pa.concat_tables(
+            sample_calc_pixels(reclassify_tiled(tiles, mapping, NODATA), 25, 1)
+            .iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    for r in range(30):
+        for c in range(25):
+            v = arr[r, c]
+            rec = got.loc[(r, c)]
+            if v == NODATA or int(v) not in mapping:
+                assert np.isnan(rec["value"])
+            else:
+                assert rec["value"] == mapping[int(v)]
