@@ -165,6 +165,8 @@ EXTRA_QUERY_ORDER = [
     "raster_aspect",
     "raster_majority",
     "raster_reclass",
+    "raster_focal_std",
+    "raster_quantiles",
     "raster_polygonize",
     "raster_pyramid",
     "raster_proximity",

@@ -466,6 +466,31 @@ def q_raster_d8_flow(sf_dir: str):
     return sample_d8_pixels(d8, arr.shape[1], 107)
 
 
+def q_raster_focal_std(sf_dir: str):
+    """5x5 focal standard deviation (terrain roughness) over 'holes':
+    box sums of v and v^2 per halo window (exact integers in float64),
+    std finished per pixel by the same IEEE chain as the SQL —
+    sqrt(max(sq/cnt - (s/cnt)^2, 0)). (row*W + col) % 149 == 0 sample."""
+    from ..stages.focal import focal_std_tiled, sample_std_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    std = focal_std_tiled(tiles, arr.shape, nodata, radius=2, tile_size=128)
+    return sample_std_pixels(std, arr.shape[1], 149)
+
+
+def q_raster_quantiles(sf_dir: str):
+    """EXACT whole-raster quantiles (q25/q50/q90) of 'holes' via the
+    distinct-value histogram: per-tile (value, count) partials, one thin
+    groupby, a driver cumulative scan (bounded distinct values —
+    the integer-raster analogue of select_top_exact's score histogram).
+    quantile(q) = smallest value whose cumulative count reaches
+    ceil(q*n), integer arithmetic end to end."""
+    from ..stages.focal import raster_value_quantiles
+
+    tiles, _arr, nodata = _tiles_ds("holes")
+    return raster_value_quantiles(tiles, nodata, qs=(0.25, 0.5, 0.9))
+
+
 def q_raster_majority(sf_dir: str):
     """3x3 focal majority (mode) filter over the categorical 'classes'
     raster: most frequent valid neighbor value, ties to the SMALLEST
@@ -1102,6 +1127,55 @@ FROM final WHERE rk = 1
 CLASSES_W = 384
 
 
+# Focal std: the focal-mean join shape with a second moment; the final
+# expression is the identical left-associated IEEE chain as the engine.
+SQL_RASTER_FOCAL_STD = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-2, 3) r CROSS JOIN range(-2, 3) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 149 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         sum(q.val) AS fsum, sum(q.val * q.val) AS fsq, count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col, fsum, fsq, CAST(fcnt AS BIGINT) AS fcnt,
+       CASE WHEN fcnt = 0 THEN NULL
+            ELSE sqrt(greatest(fsq / fcnt - (fsum / fcnt) * (fsum / fcnt), 0.0))
+       END AS fstd
+FROM n
+"""
+
+
+# Exact quantiles from the distinct-value histogram: smallest value
+# whose cumulative count reaches ceil(q*n) (pure integer arithmetic).
+SQL_RASTER_QUANTILES = f"""
+WITH h AS (
+  SELECT CAST(val AS BIGINT) AS v, count(*) AS c
+  FROM {_px("holes")} WHERE NOT is_nodata GROUP BY v
+),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cc FROM h),
+qs AS (SELECT * FROM (VALUES (250), (500), (900)) AS t(qm)),
+sel AS (
+  SELECT q.qm, c.v, c.cc,
+         row_number() OVER (PARTITION BY q.qm ORDER BY c.v) AS rk
+  FROM qs q CROSS JOIN tot t
+  JOIN cum c ON c.cc >= greatest((CAST(q.qm AS BIGINT) * t.n + 999) // 1000, 1)
+)
+SELECT CAST(qm AS BIGINT) AS q_millis, v AS value, cc AS cum_count,
+       (SELECT n FROM tot) AS n_valid
+FROM sel WHERE rk = 1
+"""
+
+
 # Focal majority: per (pixel, value) neighbor counts via the 9-offset
 # join, rank (cnt DESC, val ASC) — the smallest-value tie-break.
 SQL_RASTER_MAJORITY = f"""
@@ -1648,6 +1722,8 @@ ZONAL_QUERIES = {
     "raster_aspect": q_raster_aspect,
     "raster_majority": q_raster_majority,
     "raster_reclass": q_raster_reclass,
+    "raster_focal_std": q_raster_focal_std,
+    "raster_quantiles": q_raster_quantiles,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
@@ -1687,6 +1763,8 @@ ZONAL_ORACLE_SQL = {
     "raster_aspect": SQL_RASTER_ASPECT,
     "raster_majority": SQL_RASTER_MAJORITY,
     "raster_reclass": SQL_RASTER_RECLASS,
+    "raster_focal_std": SQL_RASTER_FOCAL_STD,
+    "raster_quantiles": SQL_RASTER_QUANTILES,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

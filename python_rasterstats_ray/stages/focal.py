@@ -44,6 +44,8 @@ __all__ = [
     "focal_slope_tiled",
     "focal_minmax_tiled",
     "focal_majority_tiled",
+    "focal_std_tiled",
+    "raster_value_quantiles",
     "reclassify_tiled",
     "flow_direction_tiled",
     "flow_trace",
@@ -2062,3 +2064,156 @@ def reclassify_tiled(tiles_ds, mapping: dict, nodata: float):
         )
 
     return tiles_ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_std_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Focal standard deviation (terrain roughness / texture): per pixel
+    the population std of the valid neighbors in the (2r+1)^2 window —
+    box sums of v and v^2 per assembled halo window (both exact integers
+    in float64 for integer rasters), finished per pixel by the same IEEE
+    chain the SQL mirror uses: sqrt(max(sq/cnt - (s/cnt)*(s/cnt), 0)).
+    Returns derived tiles (..., fsum/fsq:binary f64, fcnt:binary i64)."""
+    if radius > tile_size:
+        raise ValueError(f"radius {radius} exceeds tile_size {tile_size}")
+    k = 2 * radius + 1
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, radius)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, radius, nodata
+        )
+        fsum = _box_sum(vals * ok, k)
+        fsq = _box_sum(vals * vals * ok, k)
+        fcnt = _box_sum(ok, k)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "fsum": pa.array([fsum.tobytes()], pa.binary()),
+                "fsq": pa.array([fsq.tobytes()], pa.binary()),
+                "fcnt": pa.array([fcnt.tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_std_pixels(std_ds, raster_width: int, mod: int):
+    """(row, col, fsum, fsq, fcnt, fstd) sample of a focal_std result;
+    null std where the neighborhood is empty."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, s_o, q_o, c_o = [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            fsum = np.frombuffer(batch["fsum"][i].as_buffer(), np.float64).reshape(th, tw)
+            fsq = np.frombuffer(batch["fsq"][i].as_buffer(), np.float64).reshape(th, tw)
+            fcnt = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            s_o.append(fsum[pick])
+            q_o.append(fsq[pick])
+            c_o.append(fcnt[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        s = np.concatenate(s_o) if s_o else np.empty(0, np.float64)
+        q = np.concatenate(q_o) if q_o else np.empty(0, np.float64)
+        c = np.concatenate(c_o) if c_o else np.empty(0, np.int64)
+        empty = c == 0
+        cs = np.where(empty, 1, c).astype(np.float64)
+        mean = s / cs
+        std = np.sqrt(np.maximum(q / cs - mean * mean, 0.0))
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "fsum": pa.array(np.where(empty, np.nan, s), pa.float64(), mask=empty),
+                "fsq": pa.array(np.where(empty, np.nan, q), pa.float64(), mask=empty),
+                "fcnt": pa.array(c, pa.int64()),
+                "fstd": pa.array(std, pa.float64(), mask=empty),
+            }
+        )
+
+    return std_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def raster_value_quantiles(tiles_ds, nodata: float, qs: tuple = (0.25, 0.5, 0.9)):
+    """EXACT raster quantiles via the value-histogram: per-tile
+    (value, count) partials -> one thin groupby -> a driver-side
+    cumulative scan over the (bounded-cardinality) distinct values.
+    quantile(q) = the smallest value whose cumulative count reaches
+    ceil(q * n) — integer arithmetic end to end, no sampling, no sort of
+    pixels. Documented bound: distinct-value table fits the driver (the
+    integer-raster analogue of select_top_exact's score histogram).
+    Returns Dataset(q, value, cum_count, n_valid)."""
+    import ray.data
+
+    def partials(batch: pa.Table) -> pa.Table:
+        vs_o, cn_o = [], []
+        for _cell, _r0, _c0, arr in _tile_arrays(batch):
+            a = np.rint(arr.astype(np.float64)).astype(np.int64).ravel()
+            valid = arr.ravel() != float(nodata)
+            uv, cnt = np.unique(a[valid], return_counts=True)
+            vs_o.append(uv)
+            cn_o.append(cnt.astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {"value": pa.array(cat(vs_o), pa.int64()), "cnt": pa.array(cat(cn_o), pa.int64())}
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "value": pa.array([int(group["value"][0].as_py())], pa.int64()),
+                "cnt": pa.array([int(np.sum(group["cnt"].to_numpy()))], pa.int64()),
+            }
+        )
+
+    hist = (
+        tiles_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("value")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+    tbl = pa.concat_tables(hist.iter_batches(batch_format="pyarrow"))
+    vals = tbl["value"].to_numpy()
+    cnts = tbl["cnt"].to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1]) if len(cum) else 0
+    q_o, v_o, c_o = [], [], []
+    for q in qs:
+        target = -(-int(round(q * 1000)) * n // 1000)  # ceil(q*n) in exact integers
+        idx = int(np.searchsorted(cum, max(target, 1)))
+        q_o.append(int(round(q * 1000)))
+        v_o.append(int(vals[idx]) if n else None)
+        c_o.append(int(cum[idx]) if n else None)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_millis": pa.array(q_o, pa.int64()),
+                "value": pa.array(v_o, pa.int64()),
+                "cum_count": pa.array(c_o, pa.int64()),
+                "n_valid": pa.array([n] * len(qs), pa.int64()),
+            }
+        )
+    )

@@ -1110,3 +1110,78 @@ def test_reclassify_matches_reference(ray_session):
                 assert np.isnan(rec["value"])
             else:
                 assert rec["value"] == mapping[int(v)]
+
+
+def test_focal_std_matches_reference(ray_session):
+    """Focal std vs a nested-loop population-std reference using the
+    identical IEEE expression."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import focal_std_tiled, sample_std_pixels
+
+    arr = _rand_raster(48, 40, seed=97)
+    h, w = arr.shape
+    radius = 2
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=16))
+    std = focal_std_tiled(tiles, arr.shape, NODATA, radius=radius, tile_size=16)
+    got = (
+        pa.concat_tables(
+            sample_std_pixels(std, w, 1).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index(["row", "col"])
+        .sort_index()
+    )
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    for r in range(h):
+        for c in range(w):
+            r0, r1 = max(0, r - radius), min(h, r + radius + 1)
+            c0, c1 = max(0, c - radius), min(w, c + radius + 1)
+            win = a[r0:r1, c0:c1]
+            ok = valid[r0:r1, c0:c1]
+            rec = got.loc[(r, c)]
+            cnt = int(ok.sum())
+            assert rec["fcnt"] == cnt
+            if cnt == 0:
+                assert np.isnan(rec["fstd"])
+                continue
+            s = float(win[ok].sum())
+            q = float((win[ok] * win[ok]).sum())
+            mean = s / cnt
+            ref = np.sqrt(max(q / cnt - mean * mean, 0.0))
+            assert rec["fsum"] == s and rec["fsq"] == q
+            assert rec["fstd"] == ref
+
+
+def test_raster_quantiles_match_sorted(ray_session):
+    """Exact histogram quantiles vs a plain sorted-array reference,
+    across tile layouts."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import raster_value_quantiles
+
+    arr = _rand_raster(50, 44, seed=101)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 50.0)
+    vals = np.sort(
+        np.rint(arr[arr != NODATA].astype(np.float64)).astype(np.int64)
+    )
+    n = len(vals)
+    for tile_size in (16, 50):
+        tiles = ray.data.from_arrow(
+            raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size)
+        )
+        got = (
+            pa.concat_tables(
+                raster_value_quantiles(tiles, NODATA, qs=(0.25, 0.5, 0.9)).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+            .to_pandas()
+            .set_index("q_millis")
+            .sort_index()
+        )
+        for qm in (250, 500, 900):
+            target = -(-qm * n // 1000)
+            ref = int(vals[max(target, 1) - 1])
+            assert got.loc[qm]["value"] == ref
+            assert got.loc[qm]["n_valid"] == n
