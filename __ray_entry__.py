@@ -108,6 +108,7 @@ EXTRA_QUERY_ORDER = [
     "events_sessionize",
     "docs_dedup_filtered",
     "docs_geocells",
+    "docs_quadkey_rollup",
     "docs_pip_zones",
     "tpch_q10",
     "docs_inverted_index",
@@ -167,6 +168,7 @@ EXTRA_QUERY_ORDER = [
     "raster_reclass",
     "raster_focal_std",
     "raster_quantiles",
+    "raster_cost_distance",
     "raster_polygonize",
     "raster_pyramid",
     "raster_proximity",

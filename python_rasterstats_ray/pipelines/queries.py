@@ -952,6 +952,110 @@ def q_docs_geocells(sf_dir: str):
     return _partial_final_groupby(ds, partial, ["cell_row", "cell_col"], final)
 
 
+def q_docs_quadkey_rollup(sf_dir: str):
+    """Hierarchical quadtree-cell rollup (the H3/S2-style multi-resolution
+    index over geotagged docs): each doc's synthetic geotag is assigned
+    its level-6 quadtree cell (a 64x64 grid over the lon/lat domain) in
+    PURE INTEGER arithmetic (milli-degree residues * 2^6 // domain — no
+    floats anywhere), per-batch Arrow partials merge once at level 6,
+    then ancestor levels 4 and 2 derive from level 6 by `>> 2` — the
+    pyramid property: associative integer sums make level-from-level
+    equal level-from-base, so the base table is scanned ONCE no matter
+    how many levels roll up. Output: (level, cell_row, cell_col, n_docs,
+    total_chars)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lon_m = (ids * 2654435761) % 360000  # milli-degree residues
+        lat_m = (ids * 40503) % 120000
+        r6 = lat_m * 64 // 120000
+        c6 = lon_m * 64 // 360000
+        t = pa.table(
+            {
+                "cell_row": pa.array(r6, pa.int64()),
+                "cell_col": pa.array(c6, pa.int64()),
+                "n_chars": batch["n_chars"],
+            }
+        )
+        return (
+            t.group_by(["cell_row", "cell_col"])
+            .aggregate([("n_chars", "count"), ("n_chars", "sum")])
+            .rename_columns(["cell_row", "cell_col", "n_docs", "total_chars"])
+        )
+
+    def merge6(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cell_row": [int(g["cell_row"].iloc[0])],
+                "cell_col": [int(g["cell_col"].iloc[0])],
+                "n_docs": [int(g["n_docs"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    lvl6 = _partial_final_groupby(ds, partial, ["cell_row", "cell_col"], merge6)
+
+    def fan_levels(batch: pa.Table) -> pa.Table:
+        r = batch["cell_row"].to_numpy().astype(np.int64)
+        c = batch["cell_col"].to_numpy().astype(np.int64)
+        n = batch["n_docs"].to_numpy().astype(np.int64)
+        ch = batch["total_chars"].to_numpy().astype(np.int64)
+        lv, rr, cc = [], [], []
+        for level, shift in ((6, 0), (4, 2), (2, 4)):
+            lv.append(np.full(len(r), level, np.int64))
+            rr.append(r >> shift)
+            cc.append(c >> shift)
+        k = 3
+        return pa.table(
+            {
+                "level": pa.array(np.concatenate(lv), pa.int64()),
+                "cell_row": pa.array(np.concatenate(rr), pa.int64()),
+                "cell_col": pa.array(np.concatenate(cc), pa.int64()),
+                "n_docs": pa.array(np.tile(n, k), pa.int64()),
+                "total_chars": pa.array(np.tile(ch, k), pa.int64()),
+            }
+        )
+
+    def merge_lvl(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "level": [int(g["level"].iloc[0])],
+                "cell_row": [int(g["cell_row"].iloc[0])],
+                "cell_col": [int(g["cell_col"].iloc[0])],
+                "n_docs": [int(g["n_docs"].sum())],
+                "total_chars": [int(g["total_chars"].sum())],
+            }
+        )
+
+    fanned = lvl6.map_batches(fan_levels, batch_format="pyarrow", zero_copy_batch=True)
+    return fanned.groupby(["level", "cell_row", "cell_col"]).map_groups(
+        merge_lvl, batch_format="pandas"
+    )
+
+
+# Quadkey rollup oracle: the identical integer cell derivation (milli-
+# degree residues * 64 // domain) grouped per level; >> in DuckDB is the
+# same arithmetic shift on BIGINT.
+SQL_DOCS_QUADKEY_ROLLUP = """
+WITH pts AS (
+  SELECT CAST(((doc_id * 40503) % 120000) * 64 // 120000 AS BIGINT) AS r6,
+         CAST(((doc_id * 2654435761) % 360000) * 64 // 360000 AS BIGINT) AS c6,
+         n_chars
+  FROM documents
+), lv AS (
+  SELECT 6 AS level, r6 AS cell_row, c6 AS cell_col, n_chars FROM pts
+  UNION ALL
+  SELECT 4, r6 >> 2, c6 >> 2, n_chars FROM pts
+  UNION ALL
+  SELECT 2, r6 >> 4, c6 >> 4, n_chars FROM pts
+)
+SELECT CAST(level AS BIGINT) AS level, cell_row, cell_col,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM lv GROUP BY level, cell_row, cell_col
+"""
+
+
 SQL_DOCS_GEOCELLS = """
 WITH pts AS (
   SELECT doc_id, n_chars,
@@ -3616,6 +3720,7 @@ ORACLE_SQL = {
     "url_canonical_dedup": _url_canonical_sql(),
     "embeddings_knn": SQL_EMBEDDINGS_KNN,
     "docs_geocells": SQL_DOCS_GEOCELLS,
+    "docs_quadkey_rollup": SQL_DOCS_QUADKEY_ROLLUP,
     "docs_pip_zones": SQL_DOCS_PIP_ZONES,
     "lang_id": _langid_sql(),
     "flagship_rect_zones": SQL_FLAGSHIP_RECT_ZONES,
@@ -3667,6 +3772,7 @@ QUERIES = {
     "url_canonical_dedup": q_url_canonical_dedup,
     "embeddings_knn": q_embeddings_knn,
     "docs_geocells": q_docs_geocells,
+    "docs_quadkey_rollup": q_docs_quadkey_rollup,
     "docs_pip_zones": q_docs_pip_zones,
     "lang_id": q_lang_id,
     "flagship_rect_zones": q_flagship_rect_zones,

@@ -491,6 +491,40 @@ def q_raster_quantiles(sf_dir: str):
     return raster_value_quantiles(tiles, nodata, qs=(0.25, 0.5, 0.9))
 
 
+def q_raster_cost_distance(sf_dir: str):
+    """Cost distance with obstacles over the 96x96 top-left crop of
+    'holes': exact geodesic (4-connected, unit-step) BFS distance to the
+    nearest of 3 seed pixels through passable pixels only, where
+    impassable = nodata OR value % 7 == 0 (a value-derived barrier field,
+    ~14% obstacles, 489 unreachable pixels -> null dist). Superstep halo
+    iteration (Bellman-Ford over tiles) on a 3x3 tile grid; convergence
+    (a no-change round) certifies the exact min-plus fixpoint. Emits
+    every passable pixel."""
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.focal import cost_distance_tiled, sample_cost_pixels
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    crop = arr[:96, :96]
+    tiles = ray.data.from_arrow(raster_to_tiles_table(crop, affine, nodata, tile_size=32))
+
+    def passable(a, valid):
+        v = np.rint(a.astype(np.float64)).astype(np.int64)
+        return valid & (v % 7 != 0)
+
+    dist = cost_distance_tiled(
+        tiles,
+        crop.shape,
+        nodata,
+        seeds=[(5, 7), (60, 80), (90, 15)],
+        tile_size=32,
+        passable_fn=passable,
+    )
+    return sample_cost_pixels(dist, crop.shape[1], 1)
+
+
 def q_raster_majority(sf_dir: str):
     """3x3 focal majority (mode) filter over the categorical 'classes'
     raster: most frequent valid neighbor value, ties to the SMALLEST
@@ -1176,6 +1210,34 @@ FROM sel WHERE rk = 1
 """
 
 
+# Cost distance: recursive-CTE BFS over the passable-pixel graph (the
+# 4 neighbor offsets as an equi-join); UNION-distinct (row, col, d) rows
+# with d capped at 120 (true max is 86 — measured, engine-independent);
+# min(d) per pixel, LEFT JOIN keeps unreachable pixels as null.
+SQL_RASTER_COST_DISTANCE = f"""
+WITH RECURSIVE px AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE NOT is_nodata AND CAST(val AS BIGINT) % 7 != 0
+    AND row < 96 AND col < 96
+),
+offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)),
+seeds AS (SELECT * FROM (VALUES (5, 7), (60, 80), (90, 15)) s(r, c)),
+bfs AS (
+  SELECT p.row, p.col, 0 AS d
+  FROM px p JOIN seeds s ON p.row = s.r AND p.col = s.c
+  UNION
+  SELECT p.row, p.col, b.d + 1
+  FROM bfs b
+  JOIN offs o ON true
+  JOIN px p ON p.row = b.row + o.dr AND p.col = b.col + o.dc
+  WHERE b.d < 120
+)
+SELECT p.row, p.col, CAST(min(b.d) AS BIGINT) AS dist
+FROM px p LEFT JOIN bfs b ON b.row = p.row AND b.col = p.col
+GROUP BY p.row, p.col
+"""
+
+
 # Focal majority: per (pixel, value) neighbor counts via the 9-offset
 # join, rank (cnt DESC, val ASC) — the smallest-value tie-break.
 SQL_RASTER_MAJORITY = f"""
@@ -1724,6 +1786,7 @@ ZONAL_QUERIES = {
     "raster_reclass": q_raster_reclass,
     "raster_focal_std": q_raster_focal_std,
     "raster_quantiles": q_raster_quantiles,
+    "raster_cost_distance": q_raster_cost_distance,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
@@ -1765,6 +1828,7 @@ ZONAL_ORACLE_SQL = {
     "raster_reclass": SQL_RASTER_RECLASS,
     "raster_focal_std": SQL_RASTER_FOCAL_STD,
     "raster_quantiles": SQL_RASTER_QUANTILES,
+    "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

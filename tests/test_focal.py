@@ -1185,3 +1185,86 @@ def test_raster_quantiles_match_sorted(ray_session):
             ref = int(vals[max(target, 1) - 1])
             assert got.loc[qm]["value"] == ref
             assert got.loc[qm]["n_valid"] == n
+
+
+def test_cost_distance_matches_bfs(ray_session):
+    """Distributed superstep cost distance vs a sequential deque BFS,
+    across tile layouts, incl. value-derived obstacles, unreachable
+    pockets (null dist) and a seed on an impassable pixel (ignored)."""
+    from collections import deque
+
+    import pandas as pd
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        cost_distance_tiled,
+        sample_cost_pixels,
+    )
+
+    arr = _rand_raster(60, 52, seed=131)
+    h, w = arr.shape
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    vals = np.rint(arr.astype(np.float64)).astype(np.int64)
+    passable = (arr != NODATA) & (vals % 5 != 0)
+    seeds = [(3, 4), (50, 40), (0, 0)]  # (0,0) may be impassable: ignored
+
+    INF = 1 << 62
+    ref = np.full(arr.shape, INF, dtype=np.int64)
+    dq = deque()
+    for s in seeds:
+        if passable[s]:
+            ref[s] = 0
+            dq.append(s)
+    while dq:
+        r, c = dq.popleft()
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and passable[nr, nc] and ref[nr, nc] > ref[r, c] + 1:
+                ref[nr, nc] = ref[r, c] + 1
+                dq.append((nr, nc))
+
+    def passable_fn(a, valid):
+        v = np.rint(a.astype(np.float64)).astype(np.int64)
+        return valid & (v % 5 != 0)
+
+    for tile_size in (16, 32, 64):
+        tiles = ray.data.from_arrow(
+            raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size)
+        )
+        dist = cost_distance_tiled(
+            tiles, arr.shape, NODATA, seeds, tile_size=tile_size, passable_fn=passable_fn
+        )
+        got = (
+            pa.concat_tables(
+                sample_cost_pixels(dist, w, 1).iter_batches(batch_format="pyarrow")
+            )
+            .to_pandas()
+            .set_index(["row", "col"])
+            .sort_index()
+        )
+        assert len(got) == int(passable.sum())
+        for (r, c), rec in got.iterrows():
+            if ref[r, c] >= INF:
+                assert pd.isna(rec["dist"]), (r, c)
+            else:
+                assert rec["dist"] == ref[r, c], (r, c)
+
+
+def test_cost_distance_no_reachable_seed(ray_session):
+    """All seeds impassable -> every passable pixel unreachable (null)."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        cost_distance_tiled,
+        sample_cost_pixels,
+    )
+
+    arr = np.full((20, 20), 3.0, dtype=np.float32)
+    arr[5, 5] = NODATA
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 20.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=8))
+    dist = cost_distance_tiled(tiles, arr.shape, NODATA, [(5, 5)], tile_size=8)
+    got = pa.concat_tables(
+        sample_cost_pixels(dist, 20, 1).iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+    assert len(got) == 399
+    assert got["dist"].isna().all()
