@@ -156,6 +156,7 @@ EXTRA_QUERY_ORDER = [
     "raster_global_stats",
     "point_idw",
     "raster_slope",
+    "raster_terrain",
     "raster_focal_minmax",
     "raster_warp",
     "raster_d8_flow",

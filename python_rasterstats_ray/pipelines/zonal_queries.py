@@ -421,6 +421,18 @@ def q_raster_slope(sf_dir: str):
     return sample_slope_pixels(slope, arr.shape[1], 101, cellsize=1.0)
 
 
+def q_raster_terrain(sf_dir: str):
+    """gdaldem TRI (Wilson), TPI and roughness over 'holes' in one
+    radius-1 halo pass: exact int64 numerators per fully-valid 3x3
+    window, finished by one divide-by-8 each (bit-exact vs SQL).
+    Deterministic (row*W + col) % 89 == 0 pixel sample."""
+    from ..stages.focal import focal_terrain_tiled, sample_terrain_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    terr = focal_terrain_tiled(tiles, arr.shape, nodata, tile_size=128)
+    return sample_terrain_pixels(terr, arr.shape[1], 89)
+
+
 def q_raster_focal_minmax(sf_dir: str):
     """5x5 morphological erosion/dilation (focal min/max) over 'holes':
     shifted-slice extrema reduction per assembled halo window; null where
@@ -1051,6 +1063,38 @@ SELECT row, col,
        CASE WHEN fcnt = 9
             THEN sqrt(CAST(gx * gx + gy * gy AS DOUBLE)) / 8 * 100 END AS slope_pct
 FROM n
+"""
+
+
+# TRI/TPI/roughness: the 9-offset join with the center value carried
+# through the group — integer numerators, one divide-by-8 each, extrema
+# over the full window; fcnt < 9 (border / nodata-adjacent) -> null.
+SQL_RASTER_TERRAIN = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-1, 2) r CROSS JOIN range(-1, 2) c
+),
+p AS (
+  SELECT row, col, val FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 89 = 0
+),
+n AS (
+  SELECT p.row, p.col,
+         count(q.val) AS fcnt,
+         sum(CASE WHEN NOT (o.dr = 0 AND o.dc = 0)
+                  THEN abs(p.val - q.val) END) AS tri_num,
+         sum(CASE WHEN NOT (o.dr = 0 AND o.dc = 0) THEN q.val END) AS nsum,
+         min(q.val) AS tmin, max(q.val) AS tmax
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col, p.val
+)
+SELECT n.row, n.col,
+       CASE WHEN fcnt = 9 THEN CAST(tri_num AS DOUBLE) / 8 END AS tri,
+       CASE WHEN fcnt = 9 THEN CAST(8 * p.val - nsum AS DOUBLE) / 8 END AS tpi,
+       CASE WHEN fcnt = 9 THEN CAST(tmax - tmin AS BIGINT) END AS roughness
+FROM n JOIN p ON p.row = n.row AND p.col = n.col
 """
 
 
@@ -1774,6 +1818,7 @@ ZONAL_QUERIES = {
     "raster_global_stats": q_raster_global_stats,
     "point_idw": q_point_idw,
     "raster_slope": q_raster_slope,
+    "raster_terrain": q_raster_terrain,
     "raster_focal_minmax": q_raster_focal_minmax,
     "raster_warp": q_raster_warp,
     "raster_d8_flow": q_raster_d8_flow,
@@ -1816,6 +1861,7 @@ ZONAL_ORACLE_SQL = {
     "raster_global_stats": SQL_RASTER_GLOBAL_STATS,
     "point_idw": SQL_POINT_IDW,
     "raster_slope": SQL_RASTER_SLOPE,
+    "raster_terrain": SQL_RASTER_TERRAIN,
     "raster_focal_minmax": SQL_RASTER_FOCAL_MINMAX,
     "raster_warp": SQL_RASTER_WARP,
     "raster_d8_flow": SQL_RASTER_D8_FLOW,

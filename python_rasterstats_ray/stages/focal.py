@@ -42,6 +42,8 @@ from ..sources.tiles import cell_decode, cell_id
 __all__ = [
     "focal_mean_tiled",
     "focal_slope_tiled",
+    "focal_terrain_tiled",
+    "sample_terrain_pixels",
     "focal_minmax_tiled",
     "focal_majority_tiled",
     "focal_std_tiled",
@@ -797,6 +799,119 @@ def sample_slope_pixels(slope_ds, raster_width: int, mod: int, cellsize: float =
         )
 
     return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_terrain_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    tile_size: int = 256,
+):
+    """gdaldem TRI / TPI / roughness in ONE radius-1 halo pass.
+
+    Per pixel with a FULLY-VALID 3x3 window (same validity rule as the
+    Horn slope so border / nodata-adjacent pixels are null):
+
+    - ``tri_num``  = sum over the 8 neighbors of |center - neighbor|
+      (Wilson et al. TRI = tri_num / 8; gdaldem's -alg Wilson)
+    - ``tpi_num``  = 8*center - sum(8 neighbors)  (TPI = tpi_num / 8 —
+      center minus the neighbor mean as one exact integer numerator)
+    - ``rough``    = max - min over all 9 window cells (gdaldem
+      roughness; pure integer for integer rasters)
+
+    All three are exact int64 on integer-valued rasters, so the one
+    float64 divide-by-8 in the sampler is bit-identical to the SQL
+    mirror. Same fragment exchange as focal_slope_tiled; returns derived
+    tiles (cell, row_off, col_off, height, width, tri_num/tpi_num/rough
+    : binary i64, ok: binary u8)."""
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        full = _box_sum(ok, 3) == 9
+        e = vals[1:-1, 1:-1]
+        tri = np.zeros_like(e)
+        nsum = np.zeros_like(e)
+        mn = e.copy()
+        mx = e.copy()
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == 0 and dc == 0:
+                    continue
+                nb = vals[1 + dr : 1 + dr + e.shape[0], 1 + dc : 1 + dc + e.shape[1]]
+                tri += np.abs(e - nb)
+                nsum += nb
+                np.minimum(mn, nb, out=mn)
+                np.maximum(mx, nb, out=mx)
+        tpi = 8.0 * e - nsum
+        rough = mx - mn
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "tri_num": pa.array([tri.astype(np.int64).tobytes()], pa.binary()),
+                "tpi_num": pa.array([tpi.astype(np.int64).tobytes()], pa.binary()),
+                "rough": pa.array([rough.astype(np.int64).tobytes()], pa.binary()),
+                "ok": pa.array([full.astype(np.uint8).tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_terrain_pixels(terrain_ds, raster_width: int, mod: int):
+    """(row, col, tri, tpi, roughness) sample of a focal_terrain_tiled
+    result: tri = tri_num / 8.0 and tpi = tpi_num / 8.0 (ONE IEEE divide
+    of an exact int64 numerator each — bit-exact vs the SQL mirror),
+    roughness stays int64. Null where the 3x3 window is not fully
+    valid."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, tri_o, tpi_o, rg_o, ok_o = [], [], [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            tri = np.frombuffer(batch["tri_num"][i].as_buffer(), np.int64).reshape(th, tw)
+            tpi = np.frombuffer(batch["tpi_num"][i].as_buffer(), np.int64).reshape(th, tw)
+            rg = np.frombuffer(batch["rough"][i].as_buffer(), np.int64).reshape(th, tw)
+            ok = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            tri_o.append(tri[pick])
+            tpi_o.append(tpi[pick])
+            rg_o.append(rg[pick])
+            ok_o.append(ok[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        tri = np.concatenate(tri_o) if tri_o else np.empty(0, np.int64)
+        tpi = np.concatenate(tpi_o) if tpi_o else np.empty(0, np.int64)
+        rg = np.concatenate(rg_o) if rg_o else np.empty(0, np.int64)
+        bad = ~(np.concatenate(ok_o) if ok_o else np.empty(0, np.uint8)).astype(bool)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "tri": pa.array(tri.astype(np.float64) / 8.0, pa.float64(), mask=bad),
+                "tpi": pa.array(tpi.astype(np.float64) / 8.0, pa.float64(), mask=bad),
+                "roughness": pa.array(rg, pa.int64(), mask=bad),
+            }
+        )
+
+    return terrain_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sample_hillshade_pixels(

@@ -1268,3 +1268,55 @@ def test_cost_distance_no_reachable_seed(ray_session):
     ).to_pandas()
     assert len(got) == 399
     assert got["dist"].isna().all()
+
+
+def _terrain_reference(arr):
+    """Nested-loop TRI/TPI/roughness on fully-valid 3x3 windows."""
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    tri = np.zeros((h, w), np.int64)
+    tpi = np.zeros((h, w), np.int64)
+    rough = np.zeros((h, w), np.int64)
+    ok = np.zeros((h, w), bool)
+    for r in range(1, h - 1):
+        for c in range(1, w - 1):
+            win = a[r - 1 : r + 2, c - 1 : c + 2]
+            if not valid[r - 1 : r + 2, c - 1 : c + 2].all():
+                continue
+            ok[r, c] = True
+            e = a[r, c]
+            nb = np.delete(win.ravel(), 4)
+            tri[r, c] = int(np.abs(e - nb).sum())
+            tpi[r, c] = int(8 * e - nb.sum())
+            rough[r, c] = int(win.max() - win.min())
+    return tri, tpi, rough, ok
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_terrain_matches_reference(ray_session, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import focal_terrain_tiled
+
+    arr = _rand_raster(96, 80, seed=47)
+    ref_tri, ref_tpi, ref_rough, ref_ok = _terrain_reference(arr)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(arr.shape[0]))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = focal_terrain_tiled(tiles, arr.shape, NODATA, tile_size=tile_size)
+    got_tri = np.zeros(arr.shape, np.int64)
+    got_tpi = np.zeros(arr.shape, np.int64)
+    got_rough = np.zeros(arr.shape, np.int64)
+    got_ok = np.zeros(arr.shape, bool)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            sl = np.s_[r0 : r0 + th, c0 : c0 + tw]
+            got_tri[sl] = np.frombuffer(batch["tri_num"][i].as_buffer(), np.int64).reshape(th, tw)
+            got_tpi[sl] = np.frombuffer(batch["tpi_num"][i].as_buffer(), np.int64).reshape(th, tw)
+            got_rough[sl] = np.frombuffer(batch["rough"][i].as_buffer(), np.int64).reshape(th, tw)
+            got_ok[sl] = np.frombuffer(batch["ok"][i].as_buffer(), np.uint8).reshape(th, tw).astype(bool)
+    assert np.array_equal(got_ok, ref_ok)
+    assert np.array_equal(got_tri[got_ok], ref_tri[ref_ok])
+    assert np.array_equal(got_tpi[got_ok], ref_tpi[ref_ok])
+    assert np.array_equal(got_rough[got_ok], ref_rough[ref_ok])
