@@ -169,6 +169,7 @@ EXTRA_QUERY_ORDER = [
     "raster_reclass",
     "raster_focal_std",
     "raster_quantiles",
+    "raster_contour",
     "raster_cost_distance",
     "raster_polygonize",
     "raster_pyramid",

@@ -503,6 +503,20 @@ def q_raster_quantiles(sf_dir: str):
     return raster_value_quantiles(tiles, nodata, qs=(0.25, 0.5, 0.9))
 
 
+def q_raster_contour(sf_dir: str):
+    """Iso-level edge crossings over 'holes' at levels 30 and 70 (the
+    gdal_contour marching-squares core): adjacent valid pixel pairs
+    strictly straddling a level emit the exact linear-interpolation
+    offset t = (L-a)/(b-a); each pair owned by its left/top pixel,
+    sampled (row*W + col) % 13 == 0."""
+    from ..stages.focal import contour_crossings
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    return contour_crossings(
+        tiles, arr.shape, nodata, levels=(30, 70), tile_size=128, mod=13
+    )
+
+
 def q_raster_cost_distance(sf_dir: str):
     """Cost distance with obstacles over the 96x96 top-left crop of
     'holes': exact geodesic (4-connected, unit-step) BFS distance to the
@@ -1254,6 +1268,31 @@ FROM sel WHERE rk = 1
 """
 
 
+# Contour crossings: adjacent-pixel self-joins (right and down), strict
+# straddle predicate, one CAST-to-DOUBLE divide — the engine's exact
+# expression.
+SQL_RASTER_CONTOUR = f"""
+WITH v AS (
+  SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata
+),
+own AS (
+  SELECT * FROM v WHERE (row * {HOLES_SHAPE_W} + col) % 13 = 0
+),
+lvls AS (SELECT * FROM (VALUES (30), (70)) l(lv)),
+pairs AS (
+  SELECT a.row, a.col, 0 AS dir, a.val AS av, b.val AS bv
+  FROM own a JOIN v b ON b.row = a.row AND b.col = a.col + 1
+  UNION ALL
+  SELECT a.row, a.col, 1 AS dir, a.val AS av, b.val AS bv
+  FROM own a JOIN v b ON b.row = a.row + 1 AND b.col = a.col
+)
+SELECT CAST(l.lv AS BIGINT) AS level, p.row, p.col, CAST(p.dir AS BIGINT) AS dir,
+       CAST(l.lv - p.av AS DOUBLE) / (p.bv - p.av) AS t
+FROM pairs p CROSS JOIN lvls l
+WHERE (p.av < l.lv) != (p.bv < l.lv)
+"""
+
+
 # Cost distance: recursive-CTE BFS over the passable-pixel graph (the
 # 4 neighbor offsets as an equi-join); UNION-distinct (row, col, d) rows
 # with d capped at 120 (true max is 86 — measured, engine-independent);
@@ -1831,6 +1870,7 @@ ZONAL_QUERIES = {
     "raster_reclass": q_raster_reclass,
     "raster_focal_std": q_raster_focal_std,
     "raster_quantiles": q_raster_quantiles,
+    "raster_contour": q_raster_contour,
     "raster_cost_distance": q_raster_cost_distance,
     "raster_polygonize": q_raster_polygonize,
     "raster_pyramid": q_raster_pyramid,
@@ -1874,6 +1914,7 @@ ZONAL_ORACLE_SQL = {
     "raster_reclass": SQL_RASTER_RECLASS,
     "raster_focal_std": SQL_RASTER_FOCAL_STD,
     "raster_quantiles": SQL_RASTER_QUANTILES,
+    "raster_contour": SQL_RASTER_CONTOUR,
     "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,

@@ -48,6 +48,7 @@ __all__ = [
     "focal_majority_tiled",
     "focal_std_tiled",
     "raster_value_quantiles",
+    "contour_crossings",
     "cost_distance_tiled",
     "sample_cost_pixels",
     "reclassify_tiled",
@@ -2334,6 +2335,82 @@ def raster_value_quantiles(tiles_ds, nodata: float, qs: tuple = (0.25, 0.5, 0.9)
             }
         )
     )
+
+
+# ----------------------------------------------------- contour extraction
+
+
+def contour_crossings(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    levels,
+    tile_size: int = 256,
+    mod: int = 1,
+):
+    """Iso-level edge crossings — the marching-squares building block of
+    ``gdal_contour``: for every adjacent VALID pixel pair (right and
+    down neighbors, each pair owned by its left/top pixel so it is
+    emitted exactly once) whose values strictly straddle a level L
+    (``(a < L) != (b < L)``; a == L counts as not-below), the linear
+    interpolation offset ``t = (L - a) / (b - a)`` of the crossing along
+    the edge. One float64 divide of exact integer operands per crossing,
+    bit-identical to the SQL mirror. Assembling crossings into polylines
+    is the tile-local trace + contracted-graph stitch already proven by
+    ``polygonize_tiled``; the crossings themselves are the exact,
+    SQL-checkable core.
+
+    Same radius-1 halo exchange as the focal family (a pixel's right /
+    down neighbor may live in the next tile). ``mod`` samples owner
+    pixels by ``(row*W + col) % mod == 0``. Output rows:
+    (level:int64, row, col, dir 0=toward col+1 / 1=toward row+1, t)."""
+    levels = [int(lv) for lv in levels]
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def crossings(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        e = vals[1:-1, 1:-1]
+        oke = ok[1:-1, 1:-1] > 0
+        rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+        cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+        own = (rr * shape[1] + cc) % mod == 0
+        lv_o, r_o, c_o, d_o, t_o = [], [], [], [], []
+        for direction, nb, okn in (
+            (0, vals[1:-1, 2:], ok[1:-1, 2:] > 0),
+            (1, vals[2:, 1:-1], ok[2:, 1:-1] > 0),
+        ):
+            pair = oke & okn & own
+            for lv in levels:
+                hit = pair & ((e < lv) != (nb < lv))
+                if not hit.any():
+                    continue
+                a = e[hit]
+                b = nb[hit]
+                t = (float(lv) - a) / (b - a)
+                n = int(hit.sum())
+                lv_o.append(np.full(n, lv, np.int64))
+                r_o.append(np.broadcast_to(rr, (th, tw))[hit])
+                c_o.append(np.broadcast_to(cc, (th, tw))[hit])
+                d_o.append(np.full(n, direction, np.int64))
+                t_o.append(t)
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)  # noqa: E731
+        return pa.table(
+            {
+                "level": pa.array(cat(lv_o, np.int64), pa.int64()),
+                "row": pa.array(cat(r_o, np.int64), pa.int64()),
+                "col": pa.array(cat(c_o, np.int64), pa.int64()),
+                "dir": pa.array(cat(d_o, np.int64), pa.int64()),
+                "t": pa.array(cat(t_o, np.float64), pa.float64()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(crossings, batch_format="pyarrow")
 
 
 # ----------------------------------------------------- cost distance

@@ -1320,3 +1320,42 @@ def test_terrain_matches_reference(ray_session, tile_size):
     assert np.array_equal(got_tri[got_ok], ref_tri[ref_ok])
     assert np.array_equal(got_tpi[got_ok], ref_tpi[ref_ok])
     assert np.array_equal(got_rough[got_ok], ref_rough[ref_ok])
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_contour_crossings_match_reference(ray_session, tile_size):
+    """Every straddling valid pair emitted exactly once (incl. pairs
+    spanning tile borders), exact t, nodata pairs skipped."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import contour_crossings
+
+    arr = _rand_raster(60, 52, seed=71)
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    levels = (20, 65)
+    ref = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            for direction, (nr, nc) in ((0, (r, c + 1)), (1, (r + 1, c))):
+                if nr >= h or nc >= w or not valid[nr, nc]:
+                    continue
+                for lv in levels:
+                    if (a[r, c] < lv) != (a[nr, nc] < lv):
+                        ref[(lv, r, c, direction)] = (float(lv) - a[r, c]) / (
+                            a[nr, nc] - a[r, c]
+                        )
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = contour_crossings(tiles, arr.shape, NODATA, levels, tile_size=tile_size, mod=1)
+    got = {}
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for rec in batch.to_pylist():
+            key = (rec["level"], rec["row"], rec["col"], rec["dir"])
+            assert key not in got, f"duplicate crossing {key}"
+            got[key] = rec["t"]
+    assert got.keys() == ref.keys()
+    for k, t in ref.items():
+        assert got[k] == t, k
