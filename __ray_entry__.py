@@ -123,6 +123,7 @@ EXTRA_QUERY_ORDER = [
     "minhash_pairs",
     "docs_fuzzy_dedup",
     "docs_dsir_weights",
+    "docs_winnow",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -2597,6 +2597,59 @@ ORDER BY k.doc_id
 """
 
 
+WINNOW_K = 3  # words per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+def q_docs_winnow(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003, MOSS):
+    md5 every word 3-gram, select the rightmost minimal hash in each
+    window of 4 consecutive grams — the plagiarism / near-match
+    fingerprint set with the guarantee that any shared 6-word substring
+    yields a shared fingerprint. Stateless per-batch scan, no shuffle;
+    output (doc_id, pos, fp)."""
+    from ..stages.text import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: winnow_fingerprints(b, k=WINNOW_K, w=WINNOW_W),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# Winnowing oracle: the same md5 gram keys (lowercase-hex compares
+# bytewise identically in SQL and numpy), explicit window join, rightmost
+# minimum via (fp ASC, pos DESC) ranking, DISTINCT selections.
+SQL_DOCS_WINNOW = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+grams AS (
+  SELECT doc_id, u['pos'] AS pos, u['fp'] AS fp
+  FROM (
+    SELECT doc_id,
+           unnest([{'pos': i - 1,
+                    'fp': md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])}
+                   for i in range(1, len(toks) - 1)]) AS u
+    FROM w
+  )
+),
+ng AS (SELECT doc_id, max(pos) + 1 AS n FROM grams GROUP BY doc_id),
+win AS (
+  SELECT g.doc_id, s.pos AS wstart, g.pos, g.fp
+  FROM grams s
+  JOIN ng ON ng.doc_id = s.doc_id AND s.pos + 3 <= ng.n - 1
+  JOIN grams g ON g.doc_id = s.doc_id AND g.pos BETWEEN s.pos AND s.pos + 3
+),
+sel AS (
+  SELECT doc_id, wstart, pos, fp,
+         row_number() OVER (PARTITION BY doc_id, wstart
+                            ORDER BY fp ASC, pos DESC) AS rk
+  FROM win
+)
+SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel WHERE rk = 1
+"""
+
+
 def q_docs_dsir_weights(sf_dir: str):
     """DSIR-style data-selection importance weights (Xie et al. 2023,
     unigram features): one corpus pass builds paired target/source
@@ -3731,6 +3784,7 @@ ORACLE_SQL = {
     "minhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
     "docs_fuzzy_dedup": SQL_DOCS_FUZZY_DEDUP,
     "docs_dsir_weights": SQL_DOCS_DSIR_WEIGHTS,
+    "docs_winnow": SQL_DOCS_WINNOW,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -3783,6 +3837,7 @@ QUERIES = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "docs_fuzzy_dedup": q_docs_fuzzy_dedup,
     "docs_dsir_weights": q_docs_dsir_weights,
+    "docs_winnow": q_docs_winnow,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

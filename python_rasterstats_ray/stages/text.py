@@ -552,3 +552,78 @@ class BloomDecontaminateCandidates:
                 "gram_hash": pa.array(gh[pos].view(np.int64), pa.int64()),
             }
         )
+
+
+# --------------------------------------------------- winnowing fingerprints
+
+
+def winnow_fingerprints(
+    batch: pa.Table,
+    text_col: str = "text",
+    k: int = 3,
+    w: int = 4,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm): hash every word k-gram, slide a window of
+    ``w`` consecutive gram hashes over the document, select the RIGHTMOST
+    minimal hash in each window, report the distinct selected
+    (position, hash) pairs. Guarantees every shared substring of
+    k + w - 1 words produces at least one shared fingerprint, with a
+    ~2/(w+1) expected selection density.
+
+    The gram key is the md5 hex digest of the space-joined words —
+    content-defined and reproducible as SQL ``md5()``, with identical
+    ordering on both sides (lowercase-hex ASCII compares bytewise).
+    Documents with fewer than w grams have no full window and emit no
+    fingerprints (the paper's rule). Selection is vectorized: md5 ranks
+    via np.unique, per-window rightmost argmin over a stride view;
+    windows never span documents. Stateless per-batch map — at 100 TB
+    the operator is an embarrassingly parallel scan; only the selected
+    ~2/(w+1) of grams would feed any downstream (e.g. match-finding)
+    shuffle. Output: (doc_id, pos, fp) per selected fingerprint."""
+    import hashlib
+
+    words = pc.split_pattern(batch[text_col], " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    toks = words.to_pylist()
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    md5s, gdoc, gpos = [], [], []
+    for d, tl in zip(did, toks):
+        n_g = len(tl) - k + 1
+        for i in range(max(n_g, 0)):
+            md5s.append(hashlib.md5(" ".join(tl[i : i + k]).encode("utf-8")).hexdigest())
+            gdoc.append(d)
+            gpos.append(i)
+    if not md5s:
+        return pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "fp": pa.array([], pa.string()),
+            }
+        )
+    gdoc = np.asarray(gdoc, np.int64)
+    gpos = np.asarray(gpos, np.int64)
+    uniq, ranks = np.unique(np.asarray(md5s), return_inverse=True)
+    m = len(ranks) - w + 1
+    out_doc, out_pos, out_fp = [], [], []
+    if m > 0:
+        sw = np.lib.stride_tricks.sliding_window_view(ranks, w)
+        # rightmost minimal: argmin over the REVERSED window picks the
+        # first (= rightmost original) occurrence of the minimum
+        idx = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+        starts = np.arange(m, dtype=np.int64)
+        infull = gdoc[starts] == gdoc[starts + w - 1]  # window within one doc
+        sel = starts[infull] + idx[infull]
+        sel = np.unique(sel)  # adjacent windows often pick the same gram
+        out_doc = gdoc[sel]
+        out_pos = gpos[sel]
+        out_fp = uniq[ranks[sel]]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
+            "pos": pa.array(np.asarray(out_pos, np.int64), pa.int64()),
+            "fp": pa.array(list(out_fp), pa.string()),
+        }
+    )

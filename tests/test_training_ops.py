@@ -2213,3 +2213,57 @@ def test_ivfpq_store_matches_sequential(ray_session, tmp_path):
         sub = out[out["query_id"] == qid]
         assert sub["neighbor_id"].tolist() == mids[top].tolist()
         assert sub["adc_dist"].tolist() == dist[top].tolist()
+
+
+def test_winnow_fingerprints_matches_sequential(ray_session):
+    """Distributed winnowing vs a per-doc sequential reference (the
+    Schleimer et al. definition verbatim), incl. rightmost-tie windows
+    (repeated grams), short docs (< w grams -> none) and the shared-
+    substring guarantee."""
+    import hashlib
+
+    import ray.data
+
+    from python_rasterstats_ray.stages.text import winnow_fingerprints
+
+    K, W = 3, 4
+    texts = [
+        "a b c d e f g h i j",                 # plain
+        "x y x y x y x y x y x y",             # repeated grams: tie-breaks
+        "a b c",                                # exactly one gram, no window
+        "q r",                                  # no grams at all
+        "m n o p q r s t a b c d e f",          # shares 'a b c d e f' with doc 0
+        "",                                     # empty
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+    ref = set()
+    for d, t in enumerate(texts):
+        toks = t.split(" ")
+        fps = [hashlib.md5(" ".join(toks[i : i + K]).encode()).hexdigest()
+               for i in range(len(toks) - K + 1)]
+        for s in range(len(fps) - W + 1):
+            win = fps[s : s + W]
+            mn = min(win)
+            pos = s + max(j for j, f in enumerate(win) if f == mn)
+            ref.add((d, pos, fps[pos]))
+
+    for nblocks in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nblocks)
+        out = ds.map_batches(
+            lambda b: winnow_fingerprints(b, k=K, w=W),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        got = {(r["doc_id"], r["pos"], r["fp"])
+               for b in out.iter_batches(batch_format="pyarrow")
+               for r in b.to_pylist()}
+        assert got == ref
+
+    # guarantee: docs 0 and 4 share a 6-word (k + w - 1) substring ->
+    # they must share at least one fingerprint hash
+    f0 = {fp for d, _p, fp in ref if d == 0}
+    f4 = {fp for d, _p, fp in ref if d == 4}
+    assert f0 & f4
