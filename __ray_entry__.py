@@ -173,6 +173,7 @@ EXTRA_QUERY_ORDER = [
     "raster_contour",
     "raster_cost_distance",
     "raster_polygonize",
+    "raster_sieve",
     "raster_pyramid",
     "raster_proximity",
     "points_density",

@@ -620,6 +620,63 @@ def q_raster_polygonize(sf_dir: str):
     return polygonize_tiled(tiles, arr.shape, nodata, tile_size=128)
 
 
+def q_raster_sieve(sf_dir: str):
+    """gdal_sieve over 'classes': 4-connected regions smaller than 128 px
+    take the value of their largest neighbor region (size DESC, region
+    id ASC tie-break; sizes on the original labeling). Rows-only driver
+    check (region labeling is not SQL-expressible); exactness pinned by
+    tests/test_focal.py::test_sieve_matches_reference against an
+    independent sequential flood-fill sieve, layout-invariant. Output:
+    the changed pixels (row, col, old_val, new_val)."""
+    from ..stages.polygonize import sieve_tiled
+
+    tiles, arr, nodata = _tiles_ds("classes")
+    sieved = sieve_tiled(tiles, arr.shape, nodata, threshold=128, tile_size=128)
+    before = {
+        int(c): (int(r0), int(c0), a.copy())
+        for c, r0, c0, a in _before_tiles(arr, nodata)
+    }
+
+    def diff(batch):
+        import pyarrow as _pa
+
+        from ..stages.focal import _tile_arrays
+
+        r_o, c_o, ov_o, nv_o = [], [], [], []
+        for cell, r0, c0, a in _tile_arrays(batch):
+            _r0, _c0, orig = before[int(cell)]
+            chg = a != orig
+            if not chg.any():
+                continue
+            rr = r0 + np.arange(a.shape[0], dtype=np.int64).reshape(-1, 1)
+            cc = c0 + np.arange(a.shape[1], dtype=np.int64).reshape(1, -1)
+            r_o.append(np.broadcast_to(rr, a.shape)[chg])
+            c_o.append(np.broadcast_to(cc, a.shape)[chg])
+            ov_o.append(orig[chg].astype(np.int64))
+            nv_o.append(a[chg].astype(np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return _pa.table(
+            {
+                "row": _pa.array(cat(r_o), _pa.int64()),
+                "col": _pa.array(cat(c_o), _pa.int64()),
+                "old_val": _pa.array(cat(ov_o), _pa.int64()),
+                "new_val": _pa.array(cat(nv_o), _pa.int64()),
+            }
+        )
+
+    return sieved.map_batches(diff, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _before_tiles(arr, nodata, tile_size: int = 128):
+    """Original tile arrays keyed by cell (driver-side, for diffing a
+    derived tile table against its source in the sieve query)."""
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.focal import _tile_arrays
+
+    tbl = raster_to_tiles_table(arr, None, nodata, tile_size=tile_size)
+    return _tile_arrays(tbl)
+
+
 def q_raster_flow_trace(sf_dir: str):
     """Flow-path tracing over the 'holes' D8 graph: for every valid
     pixel with (row*W + col) % 211 == 0, the hop count and terminal pit
@@ -1873,6 +1930,7 @@ ZONAL_QUERIES = {
     "raster_contour": q_raster_contour,
     "raster_cost_distance": q_raster_cost_distance,
     "raster_polygonize": q_raster_polygonize,
+    "raster_sieve": q_raster_sieve,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
     "points_density": q_points_density,

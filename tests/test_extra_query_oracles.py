@@ -131,6 +131,8 @@ ROWS_ONLY = {
     "knn_ivfpq": 30,
     # exact differential: tests/test_focal.py::test_polygonize_matches_flood_fill
     "raster_polygonize": 100,
+    # exact differential: tests/test_focal.py::test_sieve_matches_reference
+    "raster_sieve": 1000,
 }
 
 # derive the oracled list from the registry so a new extra query is

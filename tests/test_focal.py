@@ -1359,3 +1359,111 @@ def test_contour_crossings_match_reference(ray_session, tile_size):
     assert got.keys() == ref.keys()
     for k, t in ref.items():
         assert got[k] == t, k
+
+
+def _sieve_reference(arr, nodata, threshold):
+    """Sequential one-pass sieve: flood-fill regions, sizes on the
+    original labeling, each small region takes the value of its largest
+    neighbor (size DESC, region id ASC); no valid neighbor -> keep."""
+    from collections import deque
+
+    h, w = arr.shape
+    a = np.rint(arr.astype(np.float64)).astype(np.int64)
+    valid = arr != nodata
+    lab = np.full((h, w), -1, np.int64)
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c] or lab[r, c] >= 0:
+                continue
+            rid = r * w + c
+            lab[r, c] = rid
+            dq = deque([(r, c)])
+            while dq:
+                cr, cc = dq.popleft()
+                for nr, nc in ((cr + 1, cc), (cr - 1, cc), (cr, cc + 1), (cr, cc - 1)):
+                    if (0 <= nr < h and 0 <= nc < w and valid[nr, nc]
+                            and lab[nr, nc] < 0 and a[nr, nc] == a[cr, cc]):
+                        lab[nr, nc] = rid
+                        dq.append((nr, nc))
+    regions = {}
+    for r in range(h):
+        for c in range(w):
+            if valid[r, c]:
+                regions.setdefault(lab[r, c], [0, int(a[r, c])])[0] += 1
+    adj = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            for nr, nc in ((r + 1, c), (r, c + 1)):
+                if nr < h and nc < w and valid[nr, nc] and lab[nr, nc] != lab[r, c]:
+                    adj.setdefault(lab[r, c], set()).add(lab[nr, nc])
+                    adj.setdefault(lab[nr, nc], set()).add(lab[r, c])
+    out = arr.copy()
+    for rid, (size, _val) in regions.items():
+        if size >= threshold or rid not in adj:
+            continue
+        best = min(adj[rid], key=lambda n: (-regions[n][0], n))
+        out[lab == rid] = np.asarray(regions[best][1]).astype(arr.dtype)
+    return out
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_sieve_matches_reference(ray_session, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.polygonize import sieve_tiled
+
+    rng = np.random.default_rng(91)
+    arr = rng.integers(0, 4, size=(60, 52)).astype(np.float32)
+    arr[rng.random((60, 52)) < 0.05] = NODATA  # nodata holes
+    ref = _sieve_reference(arr, NODATA, threshold=6)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 60.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = sieve_tiled(tiles, arr.shape, NODATA, threshold=6, tile_size=tile_size)
+    got = np.full(arr.shape, NODATA, np.float32)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            got[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                batch["pixels"][i].as_buffer(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(th, tw)
+    assert np.array_equal(got, ref)
+    assert (got != arr).any()  # the workload actually sieves something
+
+
+def test_sieve_region_spanning_tiles(ray_session):
+    """A small region split across 4 tiles is measured at its GLOBAL
+    size: 4 corner pixels of one value meeting at the tile cross must
+    count as one region of 4, not four regions of 1."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.polygonize import sieve_tiled
+
+    arr = np.zeros((8, 8), dtype=np.float32)
+    arr[3:5, 3:5] = 7.0  # 2x2 region of value 7 spanning the 4x4 tile cross
+    ref = _sieve_reference(arr, NODATA, threshold=5)
+    assert (ref[3:5, 3:5] == 0.0).all()  # size 4 < 5: sieved into the 0-sea
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 8.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=4))
+    out = sieve_tiled(tiles, arr.shape, NODATA, threshold=5, tile_size=4)
+    got = np.zeros(arr.shape, np.float32)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            got[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                batch["pixels"][i].as_buffer(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(th, tw)
+    assert np.array_equal(got, ref)
+
+    # threshold 4 keeps it (size 4 >= 4)
+    out2 = sieve_tiled(tiles, arr.shape, NODATA, threshold=4, tile_size=4)
+    got2 = np.zeros(arr.shape, np.float32)
+    for batch in out2.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            got2[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                batch["pixels"][i].as_buffer(), dtype=np.dtype(batch["dtype"][i].as_py())
+            ).reshape(th, tw)
+    assert np.array_equal(got2, arr)
