@@ -551,6 +551,38 @@ def q_raster_cost_distance(sf_dir: str):
     return sample_cost_pixels(dist, crop.shape[1], 1)
 
 
+def q_raster_cost_alloc(sf_dir: str):
+    """Cost ALLOCATION over the same obstacle field as
+    raster_cost_distance: each passable pixel's nearest seed INDEX
+    (distance first, smallest seed index tie-break) via the composite
+    integer dist * n_seeds + seed relaxed by the identical superstep
+    sweep. Emits every passable pixel; unreachable -> both null."""
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.focal import cost_distance_tiled, sample_alloc_pixels
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    crop = arr[:96, :96]
+    tiles = ray.data.from_arrow(raster_to_tiles_table(crop, affine, nodata, tile_size=32))
+
+    def passable(a, valid):
+        v = np.rint(a.astype(np.float64)).astype(np.int64)
+        return valid & (v % 7 != 0)
+
+    alloc = cost_distance_tiled(
+        tiles,
+        crop.shape,
+        nodata,
+        seeds=[(5, 7), (60, 80), (90, 15)],
+        tile_size=32,
+        passable_fn=passable,
+        allocate=True,
+    )
+    return sample_alloc_pixels(alloc, crop.shape[1], 1, n_seeds=3)
+
+
 def q_raster_majority(sf_dir: str):
     """3x3 focal majority (mode) filter over the categorical 'classes'
     raster: most frequent valid neighbor value, ties to the SMALLEST
@@ -1378,6 +1410,35 @@ GROUP BY p.row, p.col
 """
 
 
+# Cost allocation: the BFS CTE additionally carries the seed index; the
+# composite min(d * 3 + sid) decodes to (dist, nearest seed) with the
+# engine's exact tie-break.
+SQL_RASTER_COST_ALLOC = f"""
+WITH RECURSIVE px AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE NOT is_nodata AND CAST(val AS BIGINT) % 7 != 0
+    AND row < 96 AND col < 96
+),
+offs AS (SELECT * FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) o(dr, dc)),
+seeds AS (SELECT * FROM (VALUES (5, 7, 0), (60, 80, 1), (90, 15, 2)) s(r, c, sid)),
+bfs AS (
+  SELECT p.row, p.col, 0 AS d, s.sid
+  FROM px p JOIN seeds s ON p.row = s.r AND p.col = s.c
+  UNION
+  SELECT p.row, p.col, b.d + 1, b.sid
+  FROM bfs b
+  JOIN offs o ON true
+  JOIN px p ON p.row = b.row + o.dr AND p.col = b.col + o.dc
+  WHERE b.d < 120
+)
+SELECT p.row, p.col,
+       CAST(min(b.d * 3 + b.sid) // 3 AS BIGINT) AS dist,
+       CAST(min(b.d * 3 + b.sid) % 3 AS BIGINT) AS seed
+FROM px p LEFT JOIN bfs b ON b.row = p.row AND b.col = p.col
+GROUP BY p.row, p.col
+"""
+
+
 # Focal majority: per (pixel, value) neighbor counts via the 9-offset
 # join, rank (cnt DESC, val ASC) — the smallest-value tie-break.
 SQL_RASTER_MAJORITY = f"""
@@ -1929,6 +1990,7 @@ ZONAL_QUERIES = {
     "raster_quantiles": q_raster_quantiles,
     "raster_contour": q_raster_contour,
     "raster_cost_distance": q_raster_cost_distance,
+    "raster_cost_alloc": q_raster_cost_alloc,
     "raster_polygonize": q_raster_polygonize,
     "raster_sieve": q_raster_sieve,
     "raster_pyramid": q_raster_pyramid,
@@ -1974,6 +2036,7 @@ ZONAL_ORACLE_SQL = {
     "raster_quantiles": SQL_RASTER_QUANTILES,
     "raster_contour": SQL_RASTER_CONTOUR,
     "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+    "raster_cost_alloc": SQL_RASTER_COST_ALLOC,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,
     "points_density": SQL_POINTS_DENSITY,

@@ -51,6 +51,7 @@ __all__ = [
     "contour_crossings",
     "cost_distance_tiled",
     "sample_cost_pixels",
+    "sample_alloc_pixels",
     "reclassify_tiled",
     "flow_direction_tiled",
     "flow_trace",
@@ -2426,10 +2427,18 @@ def cost_distance_tiled(
     tile_size: int = 128,
     passable_fn=None,
     max_rounds: int | None = None,
+    allocate: bool = False,
 ):
     """Geodesic (4-connected, unit-step) distance to the nearest seed
     pixel through PASSABLE pixels only — cost distance with obstacles,
     the gdal_proximity generalization that respects barriers.
+
+    With ``allocate=True`` the relaxed quantity is the COMPOSITE integer
+    ``dist * n_seeds + seed_index`` (cost ALLOCATION): min-plus over the
+    composite minimizes distance first, then the seed index as the
+    tie-break, and a unit step adds ``n_seeds`` — the identical sweep /
+    convergence machinery yields nearest-seed ids with zero extra
+    exchanges. Decode with ``sample_alloc_pixels``.
 
     Distributed plan: superstep halo iteration (Bellman-Ford over
     tiles, the pagerank-style materialize barrier). Each round the
@@ -2459,6 +2468,10 @@ def cost_distance_tiled(
     seeds = list(seeds)
     seed_r = np.asarray([r for r, _ in seeds], dtype=np.int64)
     seed_c = np.asarray([c for _, c in seeds], dtype=np.int64)
+    step = np.int64(len(seeds)) if allocate else np.int64(1)
+    seed_val = np.arange(len(seeds), dtype=np.int64) if allocate else np.zeros(
+        len(seeds), np.int64
+    )
     ntr, ntc = _n_tiles(shape, tile_size)
     if max_rounds is None:
         # runaway guard: a geodesic crosses at most (path length) tile
@@ -2475,7 +2488,9 @@ def cost_distance_tiled(
             sel = (seed_r >= r0) & (seed_r < r0 + th) & (seed_c >= c0) & (seed_c < c0 + tw)
             sr, sc = seed_r[sel] - r0, seed_c[sel] - c0
             on = ok[sr, sc]
-            d[sr[on], sc[on]] = 0
+            # smallest seed index wins a shared pixel (matches the
+            # composite's tie-break)
+            np.minimum.at(d, (sr[on], sc[on]), seed_val[sel][on])
             cells.append(cell)
             fro.append(r0)
             fco.append(c0)
@@ -2520,7 +2535,7 @@ def cost_distance_tiled(
                     np.minimum(dv[:-2, 1:-1], dv[2:, 1:-1]),
                     np.minimum(dv[1:-1, :-2], dv[1:-1, 2:]),
                 )
-                + 1
+                + step
             )
             core = dv[1:-1, 1:-1]
             new = np.minimum(core, cand)
@@ -2584,3 +2599,36 @@ def sample_cost_pixels(dist_ds, raster_width: int, mod: int):
         )
 
     return dist_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_alloc_pixels(alloc_ds, raster_width: int, mod: int, n_seeds: int):
+    """Decode a ``cost_distance_tiled(..., allocate=True)`` composite:
+    (row, col, dist, seed) for passable sampled pixels — dist = c //
+    n_seeds, seed = c % n_seeds (the seed's index in the caller's list);
+    both null for unreachable pixels."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, d_o = [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = ((rr * raster_width + cc) % mod == 0) & (arr >= 0)
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            d_o.append(arr[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        comp = np.concatenate(d_o) if d_o else np.empty(0, np.int64)
+        unreach = comp >= _COST_INF
+        safe = np.where(unreach, 0, comp)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "dist": pa.array(safe // n_seeds, pa.int64(), mask=unreach),
+                "seed": pa.array(safe % n_seeds, pa.int64(), mask=unreach),
+            }
+        )
+
+    return alloc_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

@@ -1467,3 +1467,72 @@ def test_sieve_region_spanning_tiles(ray_session):
                 batch["pixels"][i].as_buffer(), dtype=np.dtype(batch["dtype"][i].as_py())
             ).reshape(th, tw)
     assert np.array_equal(got2, arr)
+
+
+def test_cost_allocation_matches_bfs(ray_session):
+    """allocate=True vs a sequential (dist, seed-index) lexicographic
+    BFS, incl. a pixel shared by two seeds (smallest index wins) and
+    equidistant frontier ties."""
+    from collections import deque
+
+    import pandas as pd
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        cost_distance_tiled,
+        sample_alloc_pixels,
+    )
+
+    arr = _rand_raster(48, 40, seed=57)
+    h, w = arr.shape
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    vals = np.rint(arr.astype(np.float64)).astype(np.int64)
+    passable = (arr != NODATA) & (vals % 6 != 0)
+    seeds = [(2, 3), (40, 35), (2, 3), (20, 20)]  # duplicate pixel: index 0 wins
+
+    INF = 1 << 62
+    n = len(seeds)
+    comp = np.full(arr.shape, INF, dtype=np.int64)
+    dq = deque()
+    for i, s in enumerate(seeds):
+        if passable[s] and comp[s] > i:
+            comp[s] = i
+            dq.append(s)
+    while dq:
+        r, c = dq.popleft()
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if (0 <= nr < h and 0 <= nc < w and passable[nr, nc]
+                    and comp[nr, nc] > comp[r, c] + n):
+                comp[nr, nc] = comp[r, c] + n
+                dq.append((nr, nc))
+
+    def passable_fn(a, valid):
+        v = np.rint(a.astype(np.float64)).astype(np.int64)
+        return valid & (v % 6 != 0)
+
+    for tile_size in (16, 48):
+        tiles = ray.data.from_arrow(
+            raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size)
+        )
+        alloc = cost_distance_tiled(
+            tiles, arr.shape, NODATA, seeds, tile_size=tile_size,
+            passable_fn=passable_fn, allocate=True,
+        )
+        got = (
+            pa.concat_tables(
+                sample_alloc_pixels(alloc, w, 1, n_seeds=n).iter_batches(
+                    batch_format="pyarrow"
+                )
+            )
+            .to_pandas()
+            .set_index(["row", "col"])
+            .sort_index()
+        )
+        assert len(got) == int(passable.sum())
+        for (r, c), rec in got.iterrows():
+            if comp[r, c] >= INF:
+                assert pd.isna(rec["dist"]) and pd.isna(rec["seed"]), (r, c)
+            else:
+                assert rec["dist"] == comp[r, c] // n, (r, c)
+                assert rec["seed"] == comp[r, c] % n, (r, c)
