@@ -172,6 +172,7 @@ EXTRA_QUERY_ORDER = [
     "raster_quantiles",
     "raster_contour",
     "raster_cost_distance",
+    "raster_crosstab",
     "raster_cost_alloc",
     "raster_polygonize",
     "raster_sieve",

@@ -551,6 +551,18 @@ def q_raster_cost_distance(sf_dir: str):
     return sample_cost_pixels(dist, crop.shape[1], 1)
 
 
+def q_raster_crosstab(sf_dir: str):
+    """Cross-tabulation (GIS combine) of 'holes' x 'terrain': pixel
+    counts per distinct value pair where both aligned pixels are valid.
+    One union + groupby(cell) co-locates tiles; only thin
+    (val_a, val_b, cnt) partials reach the final groupby."""
+    from ..stages.focal import raster_crosstab
+
+    tiles_a, _arr, nodata_a = _tiles_ds("holes")
+    tiles_b, _arr_b, nodata_b = _tiles_ds("terrain")
+    return raster_crosstab(tiles_a, tiles_b, nodata_a, nodata_b)
+
+
 def q_raster_cost_alloc(sf_dir: str):
     """Cost ALLOCATION over the same obstacle field as
     raster_cost_distance: each passable pixel's nearest seed INDEX
@@ -1410,6 +1422,18 @@ GROUP BY p.row, p.col
 """
 
 
+# Crosstab: aligned-pixel equi-join, both-valid filter, GROUP BY the
+# value pair.
+SQL_RASTER_CROSSTAB = f"""
+SELECT CAST(a.val AS BIGINT) AS val_a, CAST(b.val AS BIGINT) AS val_b,
+       count(*) AS n_px
+FROM {_px("holes")} a
+JOIN {_px("terrain")} b ON b.row = a.row AND b.col = a.col
+WHERE NOT a.is_nodata AND NOT b.is_nodata
+GROUP BY val_a, val_b
+"""
+
+
 # Cost allocation: the BFS CTE additionally carries the seed index; the
 # composite min(d * 3 + sid) decodes to (dist, nearest seed) with the
 # engine's exact tie-break.
@@ -1990,6 +2014,7 @@ ZONAL_QUERIES = {
     "raster_quantiles": q_raster_quantiles,
     "raster_contour": q_raster_contour,
     "raster_cost_distance": q_raster_cost_distance,
+    "raster_crosstab": q_raster_crosstab,
     "raster_cost_alloc": q_raster_cost_alloc,
     "raster_polygonize": q_raster_polygonize,
     "raster_sieve": q_raster_sieve,
@@ -2036,6 +2061,7 @@ ZONAL_ORACLE_SQL = {
     "raster_quantiles": SQL_RASTER_QUANTILES,
     "raster_contour": SQL_RASTER_CONTOUR,
     "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+    "raster_crosstab": SQL_RASTER_CROSSTAB,
     "raster_cost_alloc": SQL_RASTER_COST_ALLOC,
     "raster_pyramid": SQL_RASTER_PYRAMID,
     "raster_proximity": SQL_RASTER_PROXIMITY,

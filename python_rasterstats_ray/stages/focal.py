@@ -62,6 +62,7 @@ __all__ = [
     "downsample_mean",
     "pyramid_levels",
     "raster_calc_tiled",
+    "raster_crosstab",
     "sample_focal_pixels",
     "sample_calc_pixels",
     "sample_slope_pixels",
@@ -599,6 +600,65 @@ def raster_calc_tiled(tiles_a, tiles_b, fn, nodata_a: float, nodata_b: float):
         tiles_b.map_batches(tag(1), batch_format="pyarrow")
     )
     return both.groupby("cell").map_groups(combine, batch_format="pyarrow")
+
+
+def raster_crosstab(tiles_a, tiles_b, nodata_a: float, nodata_b: float):
+    """Cross-tabulation of two grid-aligned rasters (the GIS ``combine``
+    / crosstab op): pixel counts per DISTINCT (val_a, val_b) pair where
+    both operands are valid. Same one-union co-location as
+    raster_calc_tiled, then per-cell integer pair-count partials (one
+    np.unique over packed keys per tile — no per-pixel Python) merge in
+    one THIN groupby: only (va, vb, cnt) rows ever shuffle, bounded by
+    the value-domain product, not the pixel count."""
+
+    def tag(src: int):
+        def _t(batch: pa.Table) -> pa.Table:
+            return batch.append_column("src", pa.array([src] * len(batch), pa.int8()))
+
+        return _t
+
+    def pairs(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        srcs = group["src"].to_numpy()
+        parts: dict[int, tuple] = {}
+        for i, (_cell, r0, c0, arr) in enumerate(_tile_arrays(group)):
+            parts[int(srcs[i])] = (r0, c0, arr)
+        if len(parts) != 2:
+            raise ValueError(f"cell {cell}: expected both operands, got {sorted(parts)}")
+        (_r0, _c0, a), (_r1, _c1, b) = parts[0], parts[1]
+        if a.shape != b.shape:
+            raise ValueError(f"cell {cell}: operand shape mismatch {a.shape} vs {b.shape}")
+        af = np.rint(a.astype(np.float64)).astype(np.int64)
+        bf = np.rint(b.astype(np.float64)).astype(np.int64)
+        ok = (a.astype(np.float64) != float(nodata_a)) & (
+            b.astype(np.float64) != float(nodata_b)
+        )
+        va, vb = af[ok], bf[ok]
+        key = np.stack([va, vb], axis=1)
+        uniq, cnt = (np.unique(key, axis=0, return_counts=True)
+                     if len(key) else (np.empty((0, 2), np.int64), np.empty(0, np.int64)))
+        return pa.table(
+            {
+                "val_a": pa.array(uniq[:, 0], pa.int64()),
+                "val_b": pa.array(uniq[:, 1], pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "val_a": pa.array([int(group["val_a"][0].as_py())], pa.int64()),
+                "val_b": pa.array([int(group["val_b"][0].as_py())], pa.int64()),
+                "n_px": pa.array([int(np.sum(group["cnt"].to_numpy()))], pa.int64()),
+            }
+        )
+
+    both = tiles_a.map_batches(tag(0), batch_format="pyarrow").union(
+        tiles_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+    partials = both.groupby("cell").map_groups(pairs, batch_format="pyarrow")
+    return partials.groupby(["val_a", "val_b"]).map_groups(merge, batch_format="pyarrow")
 
 
 def raster_global_stats(tiles_ds, nodata: float):
