@@ -154,6 +154,7 @@ EXTRA_QUERY_ORDER = [
     "docs_select_top",
     "zonal_over_focal",
     "zonal_weighted",
+    "zonal_weighted_raster",
     "raster_global_stats",
     "point_idw",
     "raster_slope",

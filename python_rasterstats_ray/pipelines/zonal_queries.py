@@ -399,6 +399,21 @@ def q_zonal_weighted(sf_dir: str):
     return zonal_weighted_broadcast(_zones_ds("main"), (arr, affine, nodata))
 
 
+def q_zonal_weighted_raster(sf_dir: str):
+    """Zonal stats of 'holes' WEIGHTED BY the grid-aligned 'terrain'
+    raster (exactextract weighted_mean/weighted_sum with a weight
+    raster) over the 'main' rect zones: center-rule pixels where BOTH
+    rasters are valid, integer wtot/wsum, one float divide for wmean.
+    Both rasters broadcast once via a single ray.put."""
+    from ..stages.weighted import zonal_weighted_by_raster_broadcast
+
+    varr, affine, v_nod = oracle_raster("holes")
+    warr, w_affine, w_nod = oracle_raster("terrain")
+    return zonal_weighted_by_raster_broadcast(
+        _zones_ds("main"), (varr, affine, v_nod), (warr, w_affine, w_nod)
+    )
+
+
 def q_raster_global_stats(sf_dir: str):
     """Whole-raster reduction over 'holes' via per-tile combinable
     partials (the raster analogue of tpch_q1's pre-aggregation): one
@@ -1835,6 +1850,43 @@ FROM agg
 """
 
 
+# Weight-raster zonal: scaled-int strict center rule (the engine's
+# exact membership arithmetic), aligned-pixel join to the weight
+# raster, integer sums, one divide.
+SQL_ZONAL_WEIGHTED_RASTER = f"""
+WITH z AS (
+  SELECT zone_id,
+         CAST(round(xmin * 10000) AS BIGINT) AS xi,
+         CAST(round(xmax * 10000) AS BIGINT) AS xa,
+         CAST(round(({HOLES_H} - ymax) * 10000) AS BIGINT) AS yi,
+         CAST(round(({HOLES_H} - ymin) * 10000) AS BIGINT) AS ya
+  FROM read_parquet('{ORACLE_DIR}/rect_zones.parquet') WHERE zset = 'main'
+),
+j AS (
+  SELECT z.zone_id, CAST(p.val AS BIGINT) AS v, CAST(w.val AS BIGINT) AS wv,
+         (p.is_nodata OR w.is_nodata) AS bad
+  FROM z
+  LEFT JOIN ({_px("holes")} p JOIN {_px("terrain")} w
+             ON w.row = p.row AND w.col = p.col)
+    ON (2 * p.col + 1) * 10000 > 2 * z.xi AND (2 * p.col + 1) * 10000 < 2 * z.xa
+   AND (2 * p.row + 1) * 10000 > 2 * z.yi AND (2 * p.row + 1) * 10000 < 2 * z.ya
+),
+agg AS (
+  SELECT zone_id,
+         count(CASE WHEN NOT bad THEN 1 END) AS n_px,
+         sum(CASE WHEN NOT bad THEN wv END) AS wtot,
+         sum(CASE WHEN NOT bad THEN wv * v END) AS wsum
+  FROM j GROUP BY zone_id
+)
+SELECT zone_id, CAST(n_px AS BIGINT) AS n_px,
+       CASE WHEN n_px > 0 THEN CAST(wtot AS BIGINT) END AS wtot,
+       CASE WHEN n_px > 0 THEN CAST(wsum AS BIGINT) END AS wsum,
+       CASE WHEN n_px > 0 AND wtot != 0
+            THEN CAST(wsum AS DOUBLE) / CAST(wtot AS DOUBLE) END AS wmean
+FROM agg
+"""
+
+
 # IDW: k=4 neighbors rank-pivoted to columns; the value expression uses
 # the engine's exact left-associated accumulation order. Integer-only
 # literals (the +3/-7 shift) keep every coordinate op bit-identical.
@@ -1996,6 +2048,7 @@ ZONAL_QUERIES = {
     "raster_calc_ndvi": q_raster_calc_ndvi,
     "zonal_over_focal": q_zonal_over_focal,
     "zonal_weighted": q_zonal_weighted,
+    "zonal_weighted_raster": q_zonal_weighted_raster,
     "raster_global_stats": q_raster_global_stats,
     "point_idw": q_point_idw,
     "raster_slope": q_raster_slope,
@@ -2043,6 +2096,7 @@ ZONAL_ORACLE_SQL = {
     "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,
     "zonal_over_focal": SQL_ZONAL_OVER_FOCAL,
     "zonal_weighted": SQL_ZONAL_WEIGHTED,
+    "zonal_weighted_raster": SQL_ZONAL_WEIGHTED_RASTER,
     "raster_global_stats": SQL_RASTER_GLOBAL_STATS,
     "point_idw": SQL_POINT_IDW,
     "raster_slope": SQL_RASTER_SLOPE,

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-__all__ = ["zonal_weighted_broadcast"]
+__all__ = ["zonal_weighted_broadcast", "zonal_weighted_by_raster_broadcast"]
 
 
 class _WeightedKernel:
@@ -125,6 +125,122 @@ def zonal_weighted_broadcast(zones_ds, raster, scale: int = 10_000, concurrency=
     ref = ray.put(raster)
     return zones_ds.map_batches(
         _WeightedKernel,
+        fn_constructor_args=(ref, scale),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=64,
+        zero_copy_batch=True,
+    ).sort("zone_id")
+
+
+class _WeightedByRasterKernel:
+    """Actor-pool kernel: VALUE and WEIGHT rasters fetched once in
+    __init__, per-batch integer accumulation over center-rule pixels."""
+
+    def __init__(self, ref, scale: int):
+        import ray
+
+        varr, warr, affine, v_nodata, w_nodata = ray.get(ref)
+        self.varr = np.asarray(varr)
+        self.warr = np.asarray(warr)
+        if self.varr.shape != self.warr.shape:
+            raise ValueError("value and weight rasters must be grid-aligned")
+        self.affine = affine
+        self.v_nodata = v_nodata
+        self.w_nodata = w_nodata
+        self.scale = int(scale)
+        self.h, self.w = self.varr.shape
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.geometry import from_wkb
+
+        S = self.scale
+        a, b, c, d, e, f = self.affine
+        if b or d:
+            raise ValueError("sheared affines unsupported")
+        zids, n_o, wt_o, ws_o, wm_o = [], [], [], [], []
+        for zid, wkb in zip(batch["zone_id"].to_pylist(), batch["geom_wkb"].to_pylist()):
+            g = from_wkb(wkb)
+            xmin, ymin, xmax, ymax = g.bounds
+            px0, px1 = (xmin - c) / a, (xmax - c) / a
+            py0, py1 = (ymax - f) / e, (ymin - f) / e
+            xi = int(np.round(min(px0, px1) * S))
+            xa = int(np.round(max(px0, px1) * S))
+            yi = int(np.round(min(py0, py1) * S))
+            ya = int(np.round(max(py0, py1) * S))
+            c0 = max(0, xi // S - 1)
+            c1 = min(self.w, -(-xa // S) + 1)
+            r0 = max(0, yi // S - 1)
+            r1 = min(self.h, -(-ya // S) + 1)
+            if c1 <= c0 or r1 <= r0:
+                zids.append(zid)
+                n_o.append(0)
+                wt_o.append(None)
+                ws_o.append(None)
+                wm_o.append(None)
+                continue
+            cols = np.arange(c0, c1, dtype=np.int64)
+            rows = np.arange(r0, r1, dtype=np.int64)
+            # strict center rule in scaled ints: (2c+1)S strictly inside
+            mx = ((2 * cols + 1) * S > 2 * xi) & ((2 * cols + 1) * S < 2 * xa)
+            my = ((2 * rows + 1) * S > 2 * yi) & ((2 * rows + 1) * S < 2 * ya)
+            if not (mx.any() and my.any()):
+                zids.append(zid)
+                n_o.append(0)
+                wt_o.append(None)
+                ws_o.append(None)
+                wm_o.append(None)
+                continue
+            rs, cs = rows[my], cols[mx]
+            vwin = self.varr[np.ix_(rs, cs)].astype(np.float64)
+            wwin = self.warr[np.ix_(rs, cs)].astype(np.float64)
+            ok = (vwin != float(self.v_nodata)) & (wwin != float(self.w_nodata))
+            v = np.rint(vwin[ok]).astype(np.int64)
+            w = np.rint(wwin[ok]).astype(np.int64)
+            n = int(ok.sum())
+            wtot = int(w.sum())
+            wsum = int((w * v).sum())
+            zids.append(zid)
+            n_o.append(n)
+            wt_o.append(wtot if n else None)
+            ws_o.append(wsum if n else None)
+            wm_o.append(wsum / wtot if n and wtot else None)
+        return pa.table(
+            {
+                "zone_id": pa.array(zids, pa.int64()),
+                "n_px": pa.array(n_o, pa.int64()),
+                "wtot": pa.array(wt_o, pa.int64()),
+                "wsum": pa.array(ws_o, pa.int64()),
+                "wmean": pa.array(wm_o, pa.float64()),
+            }
+        )
+
+
+def zonal_weighted_by_raster_broadcast(
+    zones_ds, value_raster, weight_raster, scale: int = 10_000, concurrency=None
+):
+    """Zonal stats of a VALUE raster weighted by a second, grid-aligned
+    WEIGHT raster (exactextract ``weighted_mean`` / ``weighted_sum``
+    with a weight raster): per rect zone over CENTER-RULE pixels where
+    BOTH rasters are valid, n_px, wtot = sum(w), wsum = sum(w*v) as
+    exact int64, wmean = wsum/wtot as the one float divide (null when
+    no pixel or zero total weight). Both rasters broadcast once via one
+    ``ray.put``; actor-pool map_batches over the zone table (ST1
+    shape). ``value_raster``/``weight_raster``: (arr, affine, nodata)
+    with identical grids."""
+    import ray
+
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    varr, affine, v_nodata = value_raster
+    warr, w_affine, w_nodata = weight_raster
+    if tuple(w_affine) != tuple(affine):
+        raise ValueError("value and weight rasters must share one grid")
+    ref = ray.put((varr, warr, affine, v_nodata, w_nodata))
+    return zones_ds.map_batches(
+        _WeightedByRasterKernel,
         fn_constructor_args=(ref, scale),
         batch_format="pyarrow",
         concurrency=concurrency,

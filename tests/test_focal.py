@@ -1536,3 +1536,63 @@ def test_cost_allocation_matches_bfs(ray_session):
             else:
                 assert rec["dist"] == comp[r, c] // n, (r, c)
                 assert rec["seed"] == comp[r, c] % n, (r, c)
+
+
+def test_zonal_weighted_by_raster_hand_cases(ray_session):
+    """Weight-raster zonal against hand-computable rectangles: center
+    rule membership, both-valid requirement, zero-weight totals."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.functions.geometry import make_box, to_wkb
+    from python_rasterstats_ray.stages.weighted import (
+        zonal_weighted_by_raster_broadcast,
+    )
+
+    varr = np.arange(100, dtype=np.float32).reshape(10, 10)  # v = row*10+col
+    varr[0, 3] = NODATA  # nodata VALUE at (0,3)
+    warr = np.ones((10, 10), dtype=np.float32) * 2.0
+    warr[0, 4] = NODATA  # nodata WEIGHT at (0,4)
+    warr[9, 0] = 0.0     # zero weight at (9,0)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 10.0)
+    rects = {
+        # zone 0: pixels rows 8..9, cols 2..5 (6 cells), all valid, w=2
+        0: (2.0, 0.0, 5.0, 2.0),
+        # zone 1: top row cols 2..6 -> pixels (0,2..5); (0,3) v-nodata,
+        # (0,4) w-nodata -> valid {(0,2),(0,5)}
+        1: (2.0, 9.0, 6.0, 10.0),
+        # zone 2: fully outside
+        2: (20.0, 20.0, 25.0, 25.0),
+        # zone 3: ONLY the zero-weight pixel (9,0) -> wtot 0, wmean null
+        3: (0.0, 0.0, 1.0, 1.0),
+        # zone 4: boundary exactness: x 2.5..4.5 strictly excludes the
+        # center of col 2 (2.5 not > 2.5) and of col 4 -> col 3 only
+        4: (2.5, 0.0, 4.5, 1.0),
+    }
+    tbl = pa.table(
+        {
+            "zone_id": pa.array(sorted(rects), pa.int64()),
+            "geom_wkb": pa.array(
+                [to_wkb(make_box(*rects[z])) for z in sorted(rects)], pa.binary()
+            ),
+        }
+    )
+    got = (
+        zonal_weighted_by_raster_broadcast(
+            ray.data.from_arrow(tbl), (varr, aff, NODATA), (warr, aff, NODATA)
+        )
+        .to_pandas()
+        .set_index("zone_id")
+    )
+    z0 = got.loc[0]
+    v0 = varr[8:10, 2:5].astype(np.int64)
+    assert z0["n_px"] == 6 and z0["wtot"] == 12
+    assert z0["wsum"] == 2 * v0.sum() and z0["wmean"] == v0.mean()
+    z1 = got.loc[1]
+    assert z1["n_px"] == 2 and z1["wtot"] == 4
+    assert z1["wsum"] == 2 * (2 + 5) and z1["wmean"] == (2 + 5) / 2
+    z2 = got.loc[2]
+    assert z2["n_px"] == 0 and np.isnan(z2["wmean"])
+    z3 = got.loc[3]
+    assert z3["n_px"] == 1 and z3["wtot"] == 0 and z3["wsum"] == 0
+    assert np.isnan(z3["wmean"])
+    z4 = got.loc[4]
+    assert z4["n_px"] == 1 and z4["wsum"] == 2 * 93  # pixel (9,3): v=93
