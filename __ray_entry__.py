@@ -124,6 +124,7 @@ EXTRA_QUERY_ORDER = [
     "docs_fuzzy_dedup",
     "docs_dsir_weights",
     "docs_winnow",
+    "docs_ppl_buckets",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -2597,6 +2597,126 @@ ORDER BY k.doc_id
 """
 
 
+def q_docs_ppl_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing: score every document with the
+    corpus unigram LM (the q_docs_unigram_lm pipeline), normalize to an
+    integer per-1k-token negative-log-likelihood
+    (``ppl = -lm_score * 1000 // n_tokens`` — all-positive so floor and
+    truncating division agree between numpy and SQL), then assign each
+    doc its global tertile bucket (0 = head / lowest perplexity,
+    1 = middle, 2 = tail) by the exact rank in (ppl, doc_id) order:
+    ``bucket = rank0 * 3 // n``.
+
+    Distributed exactness without a global sort: a distinct-ppl
+    histogram pass (thin (ppl, cnt) partials -> one small groupby ->
+    driver cumsum, the select_top_exact bound: distinct scores fit the
+    driver) broadcasts rank offsets; one groupby(ppl) then ranks ties by
+    doc_id locally. Only 16-byte rows ever shuffle."""
+    import ray
+
+    from ..stages.text import UnigramLMKernel, token_count_partials, vocab_micronats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = (
+        ds.map_batches(token_count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("c")
+        .to_pandas()
+    )
+    tokens, micronats = vocab_micronats(vocab["token"].tolist(), vocab["sum(c)"].tolist())
+    vref = ray.put((tokens, micronats))
+    scored = ds.map_batches(
+        UnigramLMKernel,
+        fn_constructor_kwargs=dict(vocab_ref=vref),
+        batch_format="pyarrow",
+        concurrency=pool(),
+        zero_copy_batch=True,
+    )
+
+    def to_ppl(batch: pa.Table) -> pa.Table:
+        ntok = batch["n_lm_tokens"].to_numpy()
+        lm = batch["lm_score_micronats"].to_numpy()
+        keep = ntok > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(batch["doc_id"].to_numpy()[keep], pa.int64()),
+                "ppl": pa.array((-lm[keep]) * 1000 // ntok[keep], pa.int64()),
+            }
+        )
+
+    ppl_ds = scored.map_batches(
+        to_ppl, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # thin (id, ppl) rows, consumed twice
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v, c = np.unique(batch["ppl"].to_numpy(), return_counts=True)
+        return pa.table(
+            {"ppl": pa.array(v, pa.int64()), "c": pa.array(c.astype(np.int64), pa.int64())}
+        )
+
+    hist = (
+        ppl_ds.map_batches(hist_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ppl")
+        .sum("c")
+        .to_pandas()
+        .sort_values("ppl")
+    )
+    svals = hist["ppl"].to_numpy().astype(np.int64)
+    cnts = hist["sum(c)"].to_numpy().astype(np.int64)
+    n = int(cnts.sum())
+    cum_before = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    rref = ray.put((svals, cum_before, n))
+
+    def bucketize(group: pa.Table) -> pa.Table:
+        sv, cb, total = ray.get(rref)
+        s = int(group["ppl"][0].as_py())
+        ids = group["doc_id"].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        rank0 = cb[np.searchsorted(sv, s)] + np.arange(len(ids), dtype=np.int64)
+        bucket = rank0 * 3 // total
+        out_ids = ids[order]
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "ppl_micronats_per_1k": pa.array(np.full(len(ids), s, np.int64), pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return ppl_ds.groupby("ppl").map_groups(bucketize, batch_format="pyarrow")
+
+
+SQL_DOCS_PPL_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+tot AS (SELECT sum(c) AS t FROM vocab),
+lm AS (
+  SELECT k.doc_id,
+         count(*) AS ntok,
+         CAST(sum(CAST(floor(ln(CAST(v.c AS DOUBLE) / CAST(tt.t AS DOUBLE)) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS score
+  FROM toks k JOIN vocab v USING (tok) CROSS JOIN tot tt
+  GROUP BY k.doc_id
+),
+sc AS (
+  SELECT doc_id, (-score) * 1000 // ntok AS ppl FROM lm WHERE ntok > 0
+),
+rk AS (
+  SELECT doc_id, ppl,
+         row_number() OVER (ORDER BY ppl, doc_id) AS rn,
+         count(*) OVER () AS n
+  FROM sc
+)
+SELECT doc_id, CAST(ppl AS BIGINT) AS ppl_micronats_per_1k,
+       CAST((rn - 1) * 3 // n AS BIGINT) AS bucket
+FROM rk
+"""
+
+
 WINNOW_K = 3  # words per gram
 WINNOW_W = 4  # grams per winnowing window
 
@@ -3785,6 +3905,7 @@ ORACLE_SQL = {
     "docs_fuzzy_dedup": SQL_DOCS_FUZZY_DEDUP,
     "docs_dsir_weights": SQL_DOCS_DSIR_WEIGHTS,
     "docs_winnow": SQL_DOCS_WINNOW,
+    "docs_ppl_buckets": SQL_DOCS_PPL_BUCKETS,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -3838,6 +3959,7 @@ QUERIES = {
     "docs_fuzzy_dedup": q_docs_fuzzy_dedup,
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winnow": q_docs_winnow,
+    "docs_ppl_buckets": q_docs_ppl_buckets,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,
