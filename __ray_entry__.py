@@ -174,6 +174,7 @@ EXTRA_QUERY_ORDER = [
     "raster_quantiles",
     "raster_contour",
     "raster_cost_distance",
+    "raster_focal_median",
     "raster_crosstab",
     "raster_cost_alloc",
     "raster_polygonize",

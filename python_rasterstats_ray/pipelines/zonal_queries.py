@@ -566,6 +566,18 @@ def q_raster_cost_distance(sf_dir: str):
     return sample_cost_pixels(dist, crop.shape[1], 1)
 
 
+def q_raster_focal_median(sf_dir: str):
+    """5x5 nodata-aware focal median (despeckle filter) over 'holes':
+    one sort of the 25 stacked shifted slices per assembled halo window,
+    two per-pixel middle gathers, (m1+m2)/2.0 — the DuckDB median()
+    interpolation rule exactly. (row*W + col) % 113 == 0 sample."""
+    from ..stages.focal import focal_median_tiled, sample_median_pixels
+
+    tiles, arr, nodata = _tiles_ds("holes")
+    med = focal_median_tiled(tiles, arr.shape, nodata, radius=2, tile_size=128)
+    return sample_median_pixels(med, arr.shape[1], 113)
+
+
 def q_raster_crosstab(sf_dir: str):
     """Cross-tabulation (GIS combine) of 'holes' x 'terrain': pixel
     counts per distinct value pair where both aligned pixels are valid.
@@ -1437,6 +1449,29 @@ GROUP BY p.row, p.col
 """
 
 
+# Focal median: the 5x5 offset join with DuckDB's interpolating
+# median() — identical to the engine's (m1 + m2) / 2.0 rule.
+SQL_RASTER_FOCAL_MEDIAN = f"""
+WITH offs AS (
+  SELECT r.range AS dr, c.range AS dc
+  FROM range(-2, 3) r CROSS JOIN range(-2, 3) c
+),
+p AS (
+  SELECT row, col FROM {_px("holes")}
+  WHERE (row * {HOLES_SHAPE_W} + col) % 113 = 0
+),
+n AS (
+  SELECT p.row, p.col, median(q.val) AS fmed, count(q.val) AS fcnt
+  FROM p CROSS JOIN offs o
+  LEFT JOIN (SELECT row, col, val FROM {_px("holes")} WHERE NOT is_nodata) q
+    ON q.row = p.row + o.dr AND q.col = p.col + o.dc
+  GROUP BY p.row, p.col
+)
+SELECT row, col, CAST(fmed AS DOUBLE) AS fmed, CAST(fcnt AS BIGINT) AS fcnt
+FROM n
+"""
+
+
 # Crosstab: aligned-pixel equi-join, both-valid filter, GROUP BY the
 # value pair.
 SQL_RASTER_CROSSTAB = f"""
@@ -2067,6 +2102,7 @@ ZONAL_QUERIES = {
     "raster_quantiles": q_raster_quantiles,
     "raster_contour": q_raster_contour,
     "raster_cost_distance": q_raster_cost_distance,
+    "raster_focal_median": q_raster_focal_median,
     "raster_crosstab": q_raster_crosstab,
     "raster_cost_alloc": q_raster_cost_alloc,
     "raster_polygonize": q_raster_polygonize,
@@ -2115,6 +2151,7 @@ ZONAL_ORACLE_SQL = {
     "raster_quantiles": SQL_RASTER_QUANTILES,
     "raster_contour": SQL_RASTER_CONTOUR,
     "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+    "raster_focal_median": SQL_RASTER_FOCAL_MEDIAN,
     "raster_crosstab": SQL_RASTER_CROSSTAB,
     "raster_cost_alloc": SQL_RASTER_COST_ALLOC,
     "raster_pyramid": SQL_RASTER_PYRAMID,

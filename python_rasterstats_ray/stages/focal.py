@@ -46,6 +46,8 @@ __all__ = [
     "sample_terrain_pixels",
     "focal_minmax_tiled",
     "focal_majority_tiled",
+    "focal_median_tiled",
+    "sample_median_pixels",
     "focal_std_tiled",
     "raster_value_quantiles",
     "contour_crossings",
@@ -861,6 +863,102 @@ def sample_slope_pixels(slope_ds, raster_width: int, mod: int, cellsize: float =
         )
 
     return slope_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def focal_median_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    radius: int = 1,
+    tile_size: int = 256,
+):
+    """Nodata-aware focal MEDIAN (the classic despeckle filter): per
+    in-raster pixel, the exact median of the valid pixels in its
+    (2r+1)^2 neighborhood — lower/upper middle averaged for even counts
+    ((m1 + m2) / 2.0, one exact float op on integer values, the SQL
+    ``median()`` interpolation rule). Windowed medians aren't
+    integral-image-able; the kernel stacks the k^2 shifted slices,
+    sorts ONCE along the stack axis (invalid = +inf sentinel) and
+    gathers the two per-pixel middles by the valid count — no per-pixel
+    Python. Same radius-r halo exchange as focal_mean_tiled. Returns
+    derived tiles (..., fmed:binary f64, fcnt:binary i64); fcnt 0 ->
+    null median."""
+    if radius > tile_size:
+        raise ValueError("radius must be <= tile_size")
+    k = 2 * radius + 1
+
+    def fan(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, radius)
+
+    def assemble(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, radius, nodata
+        )
+        cnt = _box_sum(ok, k).astype(np.int64)
+        stack = np.empty((k * k, th, tw), dtype=np.float64)
+        i = 0
+        for dr in range(k):
+            for dc in range(k):
+                v = vals[dr : dr + th, dc : dc + tw]
+                o = ok[dr : dr + th, dc : dc + tw]
+                stack[i] = np.where(o > 0, v, np.inf)
+                i += 1
+        stack.sort(axis=0)
+        safe = np.maximum(cnt, 1)
+        m1 = np.take_along_axis(stack, ((safe - 1) // 2)[None, :, :], axis=0)[0]
+        m2 = np.take_along_axis(stack, (safe // 2)[None, :, :], axis=0)[0]
+        med = np.where(cnt > 0, (m1 + m2) / 2.0, np.nan)
+        return pa.table(
+            {
+                "cell": pa.array([cell], pa.int64()),
+                "row_off": pa.array([r0], pa.int32()),
+                "col_off": pa.array([c0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "fmed": pa.array([med.tobytes()], pa.binary()),
+                "fcnt": pa.array([np.ascontiguousarray(cnt).tobytes()], pa.binary()),
+            }
+        )
+
+    frags = tiles_ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+    return frags.groupby("cell").map_groups(assemble, batch_format="pyarrow")
+
+
+def sample_median_pixels(med_ds, raster_width: int, mod: int):
+    """(row, col, fmed, fcnt) sample of a focal_median_tiled result;
+    fmed null where the whole neighborhood is invalid."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, m_o, c_o = [], [], [], []
+        for i in range(len(batch)):
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            th = int(batch["height"][i].as_py())
+            tw = int(batch["width"][i].as_py())
+            med = np.frombuffer(batch["fmed"][i].as_buffer(), np.float64).reshape(th, tw)
+            cnt = np.frombuffer(batch["fcnt"][i].as_buffer(), np.int64).reshape(th, tw)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = (rr * raster_width + cc) % mod == 0
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            m_o.append(med[pick])
+            c_o.append(cnt[pick])
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        med = np.concatenate(m_o) if m_o else np.empty(0, np.float64)
+        cnt = np.concatenate(c_o) if c_o else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "fmed": pa.array(med, pa.float64(), mask=cnt == 0),
+                "fcnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    return med_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def focal_terrain_tiled(

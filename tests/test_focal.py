@@ -1596,3 +1596,48 @@ def test_zonal_weighted_by_raster_hand_cases(ray_session):
     assert np.isnan(z3["wmean"])
     z4 = got.loc[4]
     assert z4["n_px"] == 1 and z4["wsum"] == 2 * 93  # pixel (9,3): v=93
+
+
+def _median_reference(arr, radius):
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != NODATA
+    med = np.full((h, w), np.nan)
+    cnt = np.zeros((h, w), np.int64)
+    for r in range(h):
+        for c in range(w):
+            r0, r1 = max(0, r - radius), min(h, r + radius + 1)
+            c0, c1 = max(0, c - radius), min(w, c + radius + 1)
+            v = np.sort(a[r0:r1, c0:c1][valid[r0:r1, c0:c1]])
+            cnt[r, c] = len(v)
+            if len(v):
+                med[r, c] = (v[(len(v) - 1) // 2] + v[len(v) // 2]) / 2.0
+    return med, cnt
+
+
+@pytest.mark.parametrize("radius,tile_size", [(1, 32), (2, 16), (2, 96)])
+def test_focal_median_matches_reference(ray_session, radius, tile_size):
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import focal_median_tiled
+
+    arr = _rand_raster(60, 52, seed=83)
+    ref_m, ref_c = _median_reference(arr, radius)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 60.0)
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = focal_median_tiled(tiles, arr.shape, NODATA, radius=radius, tile_size=tile_size)
+    got_m = np.full(arr.shape, np.nan)
+    got_c = np.zeros(arr.shape, np.int64)
+    for batch in out.iter_batches(batch_format="pyarrow"):
+        for i in range(len(batch)):
+            r0, c0 = batch["row_off"][i].as_py(), batch["col_off"][i].as_py()
+            th, tw = batch["height"][i].as_py(), batch["width"][i].as_py()
+            got_m[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                batch["fmed"][i].as_buffer(), np.float64
+            ).reshape(th, tw)
+            got_c[r0 : r0 + th, c0 : c0 + tw] = np.frombuffer(
+                batch["fcnt"][i].as_buffer(), np.int64
+            ).reshape(th, tw)
+    assert np.array_equal(got_c, ref_c)
+    ok = ref_c > 0
+    assert np.array_equal(got_m[ok], ref_m[ok])
+    assert np.isnan(got_m[~ok]).all()
