@@ -125,6 +125,7 @@ EXTRA_QUERY_ORDER = [
     "docs_dsir_weights",
     "docs_winnow",
     "docs_ppl_buckets",
+    "events_running",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

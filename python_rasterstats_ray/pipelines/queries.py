@@ -509,6 +509,70 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_running(sf_dir: str):
+    """Per-key ORDERED window analytics (the SUM/ROW_NUMBER/LAG OVER
+    operator class): every event annotated with its rank, running total
+    and gap to the previous event of the same user in (ts, event_id)
+    order. The running metric is exact integer cents
+    ``floor(value * 100 + 0.5)`` — the identical three IEEE ops on both
+    sides — so the cumulative int64 sums are order-rounding-free (a raw
+    float running sum would depend on DuckDB's segment-tree association
+    order). Same 64-user bucketed groupby as sessionize: one vectorized
+    segmented-cumsum kernel per bucket, no per-user Python; documented
+    bound: one bucket's events fit a worker."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "value"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
+
+    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        users = g["user_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        n = len(g)
+        new_user = np.concatenate([[True], users[1:] != users[:-1]])
+        starts = np.nonzero(new_user)[0]
+        seg_len = np.diff(np.concatenate([starts, [n]]))
+        seg_id = np.cumsum(new_user) - 1
+        total = np.cumsum(cents)
+        base = (total[starts] - cents[starts])[seg_id]
+        rk = np.arange(n, dtype=np.int64) - starts[seg_id] + 1
+        gap = np.empty(n, np.int64)
+        gap[1:] = ts[1:] - ts[:-1]
+        gap[starts] = 0  # masked below
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": users,
+                "rk": rk,
+                "run_sum_cents": total - base,
+                # float64 with NaN firsts: nullable BIGINT lands as
+                # float64 on the DuckDB->pandas side; gaps are exact
+                # integers well under 2^53
+                "gap_us": pd.Series(gap, dtype="float64").mask(new_user),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(running_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_RUNNING = """
+SELECT event_id, user_id,
+       row_number() OVER w AS rk,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+            AS BIGINT) AS run_sum_cents,
+       CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
     """Per-user session count: a new session starts after a >30 min gap.
     Derived from the bucketed session_windows operator (one vectorized
@@ -3906,6 +3970,7 @@ ORACLE_SQL = {
     "docs_dsir_weights": SQL_DOCS_DSIR_WEIGHTS,
     "docs_winnow": SQL_DOCS_WINNOW,
     "docs_ppl_buckets": SQL_DOCS_PPL_BUCKETS,
+    "events_running": SQL_EVENTS_RUNNING,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -3960,6 +4025,7 @@ QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winnow": q_docs_winnow,
     "docs_ppl_buckets": q_docs_ppl_buckets,
+    "events_running": q_events_running,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,
