@@ -126,6 +126,7 @@ EXTRA_QUERY_ORDER = [
     "docs_winnow",
     "docs_ppl_buckets",
     "events_running",
+    "events_funnel",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -573,6 +573,95 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered funnel analysis (product-analytics staple): per user, the
+    earliest strictly-ordered completion of view -> click -> purchase —
+    t1 = min ts(view), t2 = min ts(click) with ts > t1, t3 = min
+    ts(purchase) with ts > t2 — and the step count reached (0-3).
+    Vectorized per 64-user bucket: one integer scatter-min
+    (np.minimum.at over factorized user indices) per step, no per-user
+    Python; timestamps compare as exact epoch-us int64 and emit as
+    float64 with NaN for unreached steps (the nullable-BIGINT pandas
+    landing)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        users = g["user_id"].to_numpy()
+        etype = g["event_type"].to_numpy()
+        uniq, uidx = np.unique(users, return_inverse=True)
+        n = len(uniq)
+        INF = np.iinfo(np.int64).max
+        prev = np.full(n, np.int64(-1))  # every ts > -1: step 1 unconstrained
+        mins = []
+        for step in FUNNEL_STEPS:
+            cur = np.full(n, INF)
+            sel = (etype == step) & (ts > prev[uidx])
+            np.minimum.at(cur, uidx[sel], ts[sel])
+            mins.append(cur)
+            prev = cur
+        t1, t2, t3 = mins
+        step_reached = (
+            (t1 < INF).astype(np.int64)
+            + (t2 < INF).astype(np.int64)
+            + (t3 < INF).astype(np.int64)
+        )
+
+        def col(t):
+            return pd.Series(t.astype(np.float64)).mask(t >= INF)
+
+        return pd.DataFrame(
+            {
+                "user_id": uniq,
+                "step_reached": step_reached,
+                "t1_us": col(t1),
+                "t2_us": col(t2),
+                "t3_us": col(t3),
+            }
+        )
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(funnel_bucket, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id AND epoch_us(e.ts) > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON s2.user_id = e.user_id AND epoch_us(e.ts) > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST((s1.user_id IS NOT NULL)::BIGINT + (s2.user_id IS NOT NULL)::BIGINT
+            + (s3.user_id IS NOT NULL)::BIGINT AS BIGINT) AS step_reached,
+       CAST(s1.t1 AS DOUBLE) AS t1_us,
+       CAST(s2.t2 AS DOUBLE) AS t2_us,
+       CAST(s3.t3 AS DOUBLE) AS t3_us
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
     """Per-user session count: a new session starts after a >30 min gap.
     Derived from the bucketed session_windows operator (one vectorized
@@ -3971,6 +4060,7 @@ ORACLE_SQL = {
     "docs_winnow": SQL_DOCS_WINNOW,
     "docs_ppl_buckets": SQL_DOCS_PPL_BUCKETS,
     "events_running": SQL_EVENTS_RUNNING,
+    "events_funnel": SQL_EVENTS_FUNNEL,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4026,6 +4116,7 @@ QUERIES = {
     "docs_winnow": q_docs_winnow,
     "docs_ppl_buckets": q_docs_ppl_buckets,
     "events_running": q_events_running,
+    "events_funnel": q_events_funnel,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

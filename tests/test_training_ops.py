@@ -2267,3 +2267,54 @@ def test_winnow_fingerprints_matches_sequential(ray_session):
     f0 = {fp for d, _p, fp in ref if d == 0}
     f4 = {fp for d, _p, fp in ref if d == 4}
     assert f0 & f4
+
+
+def test_events_funnel_partial_paths(ray_session, tmp_path):
+    """Funnel ordering edge cases the fixture corpus can't exercise
+    (every sf user completes all 3 steps): purchase BEFORE click doesn't
+    count, equal timestamps are excluded by the strict >, and users stop
+    at every depth 0-3."""
+    import pandas as pd
+
+    from python_rasterstats_ray.pipelines.queries import q_events_funnel
+
+    us = 1_000_000
+    rows = [
+        # user 0: full ordered funnel
+        (1, 10 * us, 0, "view"), (2, 20 * us, 0, "click"), (3, 30 * us, 0, "purchase"),
+        # user 1: purchase before click -> step 2 only
+        (4, 10 * us, 1, "view"), (5, 30 * us, 1, "click"), (6, 20 * us, 1, "purchase"),
+        # user 2: click at the SAME us as view -> strict > excludes it
+        (7, 10 * us, 2, "view"), (8, 10 * us, 2, "click"),
+        # user 3: no view at all -> step 0 despite later events
+        (9, 10 * us, 3, "click"), (10, 20 * us, 3, "purchase"),
+        # user 4: two views; funnel anchors on the EARLIEST
+        (11, 50 * us, 4, "view"), (12, 5 * us, 4, "view"),
+        (13, 10 * us, 4, "click"), (14, 11 * us, 4, "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"], unit="us")
+    df["value"] = 1.0
+    df["props"] = ""
+    path = str(tmp_path / "events.parquet")
+    df.to_parquet(path)
+
+    got = (
+        pa.concat_tables(
+            q_events_funnel(str(tmp_path)).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.loc[0, "step_reached"] == 3
+    assert got.loc[0, "t3_us"] == 30 * us
+    assert got.loc[1, "step_reached"] == 2
+    assert np.isnan(got.loc[1, "t3_us"])
+    assert got.loc[2, "step_reached"] == 1
+    assert np.isnan(got.loc[2, "t2_us"])
+    assert got.loc[3, "step_reached"] == 0
+    assert np.isnan(got.loc[3, "t1_us"])
+    assert got.loc[4, "step_reached"] == 3
+    assert got.loc[4, "t1_us"] == 5 * us
+    assert got.loc[4, "t2_us"] == 10 * us
