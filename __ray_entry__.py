@@ -175,6 +175,7 @@ EXTRA_QUERY_ORDER = [
     "raster_focal_std",
     "raster_quantiles",
     "raster_contour",
+    "raster_contour_lines",
     "raster_cost_distance",
     "raster_focal_median",
     "raster_crosstab",

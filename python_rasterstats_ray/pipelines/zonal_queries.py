@@ -532,6 +532,22 @@ def q_raster_contour(sf_dir: str):
     )
 
 
+def q_raster_contour_lines(sf_dir: str):
+    """Assembled contour polylines over 'terrain' at levels 40/70
+    (gdal_contour): marching-squares segments chained by per-tile
+    pointer-jumping CC + contracted fragment-graph components — one row
+    per line (level, line_id, n_pts, closed). Rows-only driver check
+    (line labeling is transitive closure); exactness pinned by
+    tests/test_focal.py::test_contour_polylines_match_reference against
+    a sequential marching-squares + union-find reference,
+    layout-invariant. The crossing COORDINATES are exact-checked by the
+    companion raster_contour query."""
+    from ..stages.focal import contour_polylines
+
+    tiles, arr, nodata = _tiles_ds("terrain")
+    return contour_polylines(tiles, arr.shape, nodata, levels=(40, 70), tile_size=128)
+
+
 def q_raster_cost_distance(sf_dir: str):
     """Cost distance with obstacles over the 96x96 top-left crop of
     'holes': exact geodesic (4-connected, unit-step) BFS distance to the
@@ -2101,6 +2117,7 @@ ZONAL_QUERIES = {
     "raster_focal_std": q_raster_focal_std,
     "raster_quantiles": q_raster_quantiles,
     "raster_contour": q_raster_contour,
+    "raster_contour_lines": q_raster_contour_lines,
     "raster_cost_distance": q_raster_cost_distance,
     "raster_focal_median": q_raster_focal_median,
     "raster_crosstab": q_raster_crosstab,

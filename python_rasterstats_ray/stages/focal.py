@@ -51,6 +51,7 @@ __all__ = [
     "focal_std_tiled",
     "raster_value_quantiles",
     "contour_crossings",
+    "contour_polylines",
     "cost_distance_tiled",
     "sample_cost_pixels",
     "sample_alloc_pixels",
@@ -2790,3 +2791,277 @@ def sample_alloc_pixels(alloc_ds, raster_width: int, mod: int, n_seeds: int):
         )
 
     return alloc_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Marching-squares segment table: per 4-bit BELOW mask (TL=1, TR=2,
+# BR=4, BL=8), the crossed-edge pairs to connect. Edges: T, R, B, L.
+# Saddle cases 5/10 use the FIXED (T,L)+(B,R) / (T,R)+(B,L) rule (no
+# center sampling) — any fixed rule yields consistent lines; the
+# sequential reference in tests uses the same table.
+_MS_SEGMENTS = {
+    0: [], 15: [],
+    1: [("T", "L")], 14: [("T", "L")],
+    2: [("T", "R")], 13: [("T", "R")],
+    4: [("R", "B")], 11: [("R", "B")],
+    8: [("B", "L")], 7: [("B", "L")],
+    3: [("L", "R")], 12: [("L", "R")],
+    6: [("T", "B")], 9: [("T", "B")],
+    5: [("T", "L"), ("B", "R")],
+    10: [("T", "R"), ("B", "L")],
+}
+
+
+
+
+def contour_polylines(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    levels,
+    tile_size: int = 256,
+    max_iter: int = 256,
+):
+    """Assembled contour LINES (the rest of ``gdal_contour`` on top of
+    ``contour_crossings``): marching squares over every fully-valid 2x2
+    pixel cell connects the cell's edge crossings into segments (fixed
+    saddle rule, ``_MS_SEGMENTS``), and two-level connected components
+    yield one row per polyline: (level, line_id, n_pts, closed).
+
+    Distributed plan — contours are LONG PATH GRAPHS, so flat min-label
+    propagation would need O(line length) supersteps; instead the
+    polygonize/flow_trace contraction applies:
+
+    1. Per tile (cells owned by their top-left pixel; the radius-1 halo
+       provides the other corners, so each segment is emitted exactly
+       once), a LOCAL pointer-jumping CC chains the tile's segments into
+       polyline FRAGMENTS — O(log tile diameter) numpy passes. The tile
+       emits one thin stats row per fragment (min node key, n_nodes,
+       n_edges) plus (node, fragment) claims for every node.
+    2. ``groupby(node)`` over the claims: a node claimed by k fragments
+       emits k-1 contracted union edges and a (k-1) node-count
+       correction (shared border crossings are counted once).
+       ``components_auto`` resolves the contracted fragment graph whose
+       diameter is ~line length / tile_size, then a broadcast root map +
+       one small groupby roll up each line.
+
+    line_id = min crossing key of the line ((row*w + col)*2 + dir scaled
+    by level index — the contour_crossings identity), layout-invariant;
+    ``closed`` = n_edges == n_pts (every crossing has degree 2; an open
+    line has n_edges == n_pts - 1)."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from .graph import components_auto
+
+    levels = [int(lv) for lv in levels]
+    nlv = len(levels)
+    h, w = shape
+
+    def frags_of(batch: pa.Table) -> pa.Table:
+        return tile_fragments(batch, shape, tile_size, 1)
+
+    def local(group: pa.Table) -> pa.Table:
+        cell = int(group["cell"][0].as_py())
+        r0, c0, th, tw, vals, ok = _assemble_window(
+            cell, _tile_arrays(group), shape, tile_size, 1, nodata
+        )
+        tl = vals[1:-1, 1:-1]
+        tr_ = vals[1:-1, 2:]
+        bl = vals[2:, 1:-1]
+        br = vals[2:, 2:]
+        ok4 = (
+            (ok[1:-1, 1:-1] > 0) & (ok[1:-1, 2:] > 0)
+            & (ok[2:, 1:-1] > 0) & (ok[2:, 2:] > 0)
+        )
+        rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+        cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+        base = ok4 & (rr < h - 1) & (cc < w - 1)
+        rows = np.broadcast_to(rr, (th, tw))
+        cols = np.broadcast_to(cc, (th, tw))
+        src_o, dst_o = [], []
+        for li, lv in enumerate(levels):
+            case = (
+                (tl < lv).astype(np.int64)
+                + 2 * (tr_ < lv).astype(np.int64)
+                + 4 * (br < lv).astype(np.int64)
+                + 8 * (bl < lv).astype(np.int64)
+            )
+            for code, pairs in _MS_SEGMENTS.items():
+                if not pairs:
+                    continue
+                m = base & (case == code)
+                if not m.any():
+                    continue
+                r = rows[m]
+                c = cols[m]
+                key = {
+                    "T": (r * w + c) * 2,
+                    "B": ((r + 1) * w + c) * 2,
+                    "L": (r * w + c) * 2 + 1,
+                    "R": (r * w + c + 1) * 2 + 1,
+                }
+                for ea, eb in pairs:
+                    src_o.append(key[ea] * nlv + li)
+                    dst_o.append(key[eb] * nlv + li)
+        if not src_o:
+            return pa.table(
+                {
+                    "kind": pa.array([], pa.int8()),
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                }
+            )
+        src = np.concatenate(src_o)
+        dst = np.concatenate(dst_o)
+        # local pointer-jumping CC over the tile's segments
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        si, di = inv[: len(src)], inv[len(src):]
+        lab = np.arange(len(nodes), dtype=np.int64)
+        for _ in range(128):
+            new = lab.copy()
+            np.minimum.at(new, di, lab[si])
+            np.minimum.at(new, si, lab[di])
+            new = new[new]
+            new = new[new]
+            if np.array_equal(new, lab):
+                break
+            lab = new
+        else:  # pragma: no cover - log2(nodes per tile) << 128
+            raise RuntimeError("contour_polylines: local CC did not converge")
+        frag = nodes[lab]  # fragment id = min node key, globally unique
+        roots, rinv = np.unique(frag, return_inverse=True)
+        n_nodes = np.bincount(rinv, minlength=len(roots)).astype(np.int64)
+        n_edges = np.bincount(rinv[si], minlength=len(roots)).astype(np.int64)
+        # kind 0: per-fragment stats (a=frag, b=n_nodes, c=n_edges)
+        # kind 1: per-node claims   (a=node, b=frag)
+        k0 = len(roots)
+        k1 = len(nodes)
+        return pa.table(
+            {
+                "kind": pa.array([0] * k0 + [1] * k1, pa.int8()),
+                "a": pa.array(np.concatenate([roots, nodes]), pa.int64()),
+                "b": pa.array(np.concatenate([n_nodes, frag]), pa.int64()),
+                "c": pa.array(
+                    np.concatenate([n_edges, np.zeros(k1, np.int64)]), pa.int64()
+                ),
+            }
+        )
+
+    fanned = tiles_ds.map_batches(frags_of, batch_format="pyarrow", zero_copy_batch=True)
+    both = fanned.groupby("cell").map_groups(local, batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as _pc
+
+    stats = both.map_batches(
+        lambda t: t.filter(_pc.equal(t["kind"], 0)).select(["a", "b", "c"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    claims = both.map_batches(
+        lambda t: t.filter(_pc.equal(t["kind"], 1)).select(["a", "b"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def stitch(group: pa.Table) -> pa.Table:
+        frs = np.unique(group["b"].to_numpy())
+        k = len(group) - 1  # claims for this node beyond the first
+        # contracted union edges chain the claiming fragments; the node
+        # was counted len(group) times across fragments -> correct by k
+        m = len(frs) - 1  # union edges
+        has_corr = 1 if k > 0 else 0
+        src = list(frs[:-1]) + [None] * has_corr
+        dst = list(frs[1:]) + [None] * has_corr
+        cf = [None] * m + ([int(frs[0])] if has_corr else [])
+        cv = [None] * m + ([k] if has_corr else [])
+        return pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "corr_frag": pa.array(cf, pa.int64()),
+                "corr": pa.array(cv, pa.int64()),
+            }
+        )
+
+    stitched = claims.groupby("a").map_groups(stitch, batch_format="pyarrow").materialize()
+
+    union_edges = stitched.map_batches(
+        lambda t: t.select(["src", "dst"]).drop_null(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def node_stream(batch: pa.Table) -> pa.Table:
+        ns = np.unique(np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()]))
+        return pa.table({"node": pa.array(ns, pa.int64())})
+
+    import ray
+
+    if union_edges.count() > 0:
+        nodes = (
+            union_edges.map_batches(node_stream, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        )
+        cc = components_auto(union_edges, nodes, max_iter=max_iter)
+        cc_tbl = pa.concat_tables(cc.iter_batches(batch_format="pyarrow"))
+        order = np.argsort(cc_tbl["node"].to_numpy(), kind="stable")
+        root_ref = ray.put(
+            (cc_tbl["node"].to_numpy()[order], cc_tbl["lbl"].to_numpy()[order])
+        )
+    else:
+        root_ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+
+    def to_line(col: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            nodes_s, roots = ray.get(root_ref)
+            v = batch[col].to_numpy()
+            if len(nodes_s) and len(v):
+                p = np.clip(np.searchsorted(nodes_s, v), 0, len(nodes_s) - 1)
+                hit = nodes_s[p] == v
+                v = np.where(hit, roots[p], v)
+            return batch.set_column(
+                batch.schema.get_field_index(col), col, pa.array(v, pa.int64())
+            )
+
+        return _f
+
+    lined_stats = stats.map_batches(to_line("a"), batch_format="pyarrow", zero_copy_batch=True)
+    lined_corr = stitched.map_batches(
+        lambda t: t.select(["corr_frag", "corr"]).drop_null(),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(to_line("corr_frag"), batch_format="pyarrow", zero_copy_batch=True)
+
+    # one combined thin stream: per line sum n_nodes, n_edges, corrections
+    stats_rows = lined_stats.map_batches(
+        lambda t: pa.table(
+            {"line": t["a"], "n": t["b"], "e": t["c"],
+             "corr": pa.array(np.zeros(len(t), np.int64), pa.int64())}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    corr_rows = lined_corr.map_batches(
+        lambda t: pa.table(
+            {"line": t["corr_frag"],
+             "n": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+             "e": pa.array(np.zeros(len(t), np.int64), pa.int64()),
+             "corr": t["corr"]}
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    lv_arr = np.asarray(levels, np.int64)
+
+    def rollup(group: pa.Table) -> pa.Table:
+        line = int(group["line"][0].as_py())
+        n = int(np.sum(group["n"].to_numpy())) - int(np.sum(group["corr"].to_numpy()))
+        e = int(np.sum(group["e"].to_numpy()))
+        return pa.table(
+            {
+                "level": pa.array([int(lv_arr[line % nlv])], pa.int64()),
+                "line_id": pa.array([line], pa.int64()),
+                "n_pts": pa.array([n], pa.int64()),
+                "closed": pa.array([e == n], pa.bool_()),
+            }
+        )
+
+    return stats_rows.union(corr_rows).groupby("line").map_groups(
+        rollup, batch_format="pyarrow"
+    )

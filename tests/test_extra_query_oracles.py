@@ -133,6 +133,8 @@ ROWS_ONLY = {
     "raster_polygonize": 100,
     # exact differential: tests/test_focal.py::test_sieve_matches_reference
     "raster_sieve": 1000,
+    # exact differential: tests/test_focal.py::test_contour_polylines_match_reference
+    "raster_contour_lines": 20,
 }
 
 # derive the oracled list from the registry so a new extra query is

@@ -1641,3 +1641,95 @@ def test_focal_median_matches_reference(ray_session, radius, tile_size):
     ok = ref_c > 0
     assert np.array_equal(got_m[ok], ref_m[ok])
     assert np.isnan(got_m[~ok]).all()
+
+
+def _polylines_reference(arr, nodata, levels):
+    """Sequential marching squares (same fixed saddle table) +
+    union-find; returns {(level, line_id, n_pts, closed)}."""
+    from python_rasterstats_ray.stages.focal import _MS_SEGMENTS
+
+    h, w = arr.shape
+    a = arr.astype(np.float64)
+    valid = a != nodata
+    nlv = len(levels)
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if ry < rx:
+                rx, ry = ry, rx
+            parent[ry] = rx
+
+    edges = set()
+    for li, lv in enumerate(levels):
+        for r in range(h - 1):
+            for c in range(w - 1):
+                if not (valid[r, c] and valid[r, c + 1] and valid[r + 1, c] and valid[r + 1, c + 1]):
+                    continue
+                case = (
+                    int(a[r, c] < lv) + 2 * int(a[r, c + 1] < lv)
+                    + 4 * int(a[r + 1, c + 1] < lv) + 8 * int(a[r + 1, c] < lv)
+                )
+                def ekey(e):
+                    if e == "T":
+                        return (r * w + c) * 2
+                    if e == "B":
+                        return ((r + 1) * w + c) * 2
+                    if e == "L":
+                        return (r * w + c) * 2 + 1
+                    return (r * w + c + 1) * 2 + 1
+                for ea, eb in _MS_SEGMENTS[case]:
+                    ka, kb = ekey(ea) * nlv + li, ekey(eb) * nlv + li
+                    for k in (ka, kb):
+                        if k not in parent:
+                            parent[k] = k
+                    union(ka, kb)
+                    edges.add((min(ka, kb), max(ka, kb)))
+    comp_nodes, comp_edges = {}, {}
+    for k in parent:
+        comp_nodes.setdefault(find(k), set()).add(k)
+    for ka, kb in edges:
+        comp_edges[find(ka)] = comp_edges.get(find(ka), 0) + 1
+    out = set()
+    for root, ns in comp_nodes.items():
+        ne = comp_edges.get(root, 0)
+        lid = min(ns)
+        out.add((levels[lid % nlv], lid, len(ns), ne == len(ns)))
+    return out
+
+
+@pytest.mark.parametrize("tile_size", [16, 32, 96])
+def test_contour_polylines_match_reference(ray_session, tile_size):
+    """Closed loop around a bump, open lines hitting the border, a
+    nodata hole cutting a line, cross-tile stitching."""
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import contour_polylines
+
+    h, w = 40, 36
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    # a smooth bump (closed contours) + a linear ramp (open contours)
+    arr = (
+        60.0 * np.exp(-((yy - 20) ** 2 + (xx - 18) ** 2) / 60.0) + xx
+    ).astype(np.float32)
+    arr = np.rint(arr).astype(np.float32)
+    arr[5, 5] = NODATA
+    levels = (20, 45)
+    ref = _polylines_reference(arr, NODATA, levels)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = contour_polylines(tiles, arr.shape, NODATA, levels, tile_size=tile_size)
+    got = {
+        (r["level"], r["line_id"], r["n_pts"], r["closed"])
+        for b in out.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert got == ref
+    assert any(cl for (_l, _i, _n, cl) in ref)      # at least one closed loop
+    assert any(not cl for (_l, _i, _n, cl) in ref)  # and one open line
