@@ -125,6 +125,7 @@ EXTRA_QUERY_ORDER = [
     "docs_dsir_weights",
     "docs_winnow",
     "docs_ppl_buckets",
+    "docs_cdc_chunks",
     "events_running",
     "events_funnel",
     "simhash_signatures",

@@ -2870,6 +2870,60 @@ FROM rk
 """
 
 
+CDC_K, CDC_BASE, CDC_MOD, CDC_DIV, CDC_REM = 8, 31, 1 << 31, 64, 0
+
+
+def q_docs_cdc_chunks(sf_dir: str):
+    """Content-defined chunking over documents (the storage-dedup
+    primitive): Rabin-Karp boundary rule h(window) % 64 == 0, so chunk
+    edges move with the content and shared runs chunk identically across
+    near-duplicates. One stateless scan; (doc_id, chunk_idx, start, len,
+    chunk_md5) per chunk."""
+    from ..stages.text import cdc_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: cdc_chunks(b, k=CDC_K, base=CDC_BASE, mod=CDC_MOD,
+                             div=CDC_DIV, rem=CDC_REM),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_DOCS_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+hs AS (
+  SELECT doc_id, u['i'] AS i, u['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest([{{'i': i,
+                     'h': CAST(list_sum([unicode(substr(text, i + j, 1))
+                                         * CAST({CDC_BASE}**j AS BIGINT)
+                                         for j in range(0, {CDC_K})])
+                          AS BIGINT) % {CDC_MOD}}}
+                   for i in range(1, n - {CDC_K} + 2)]) AS u
+    FROM d WHERE n >= {CDC_K}
+  )
+),
+cutrows AS (
+  SELECT doc_id, i + {CDC_K} - 1 AS cut FROM hs WHERE h % {CDC_DIV} = {CDC_REM}
+  UNION
+  SELECT doc_id, n FROM d
+),
+spans AS (
+  SELECT doc_id,
+         coalesce(lag(cut) OVER (PARTITION BY doc_id ORDER BY cut), 0) AS s,
+         cut AS e,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cut) - 1 AS chunk_idx
+  FROM cutrows
+)
+SELECT sp.doc_id, CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(sp.s AS BIGINT) AS start, CAST(sp.e - sp.s AS BIGINT) AS len,
+       md5(substr(d.text, CAST(sp.s + 1 AS BIGINT), CAST(sp.e - sp.s AS BIGINT))) AS chunk_md5
+FROM spans sp JOIN d USING (doc_id)
+"""
+
+
 WINNOW_K = 3  # words per gram
 WINNOW_W = 4  # grams per winnowing window
 
@@ -4059,6 +4113,7 @@ ORACLE_SQL = {
     "docs_dsir_weights": SQL_DOCS_DSIR_WEIGHTS,
     "docs_winnow": SQL_DOCS_WINNOW,
     "docs_ppl_buckets": SQL_DOCS_PPL_BUCKETS,
+    "docs_cdc_chunks": SQL_DOCS_CDC_CHUNKS,
     "events_running": SQL_EVENTS_RUNNING,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
@@ -4115,6 +4170,7 @@ QUERIES = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winnow": q_docs_winnow,
     "docs_ppl_buckets": q_docs_ppl_buckets,
+    "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_running": q_events_running,
     "events_funnel": q_events_funnel,
     "simhash_dup_pairs": q_simhash_dup_pairs,

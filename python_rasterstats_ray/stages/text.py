@@ -627,3 +627,71 @@ def winnow_fingerprints(
             "fp": pa.array(list(out_fp), pa.string()),
         }
     )
+
+
+# ---------------------------------------------- content-defined chunking
+
+
+def cdc_chunks(
+    batch: pa.Table,
+    text_col: str = "text",
+    k: int = 8,
+    base: int = 31,
+    mod: int = 1 << 31,
+    div: int = 64,
+    rem: int = 0,
+) -> pa.Table:
+    """Content-defined chunking (the Rabin-Karp / FastCDC-family
+    storage-dedup primitive): a chunk boundary falls after byte i+k-1
+    wherever the k-byte polynomial hash
+    ``h(i) = sum_j byte[i+j] * base^j  (mod m)`` satisfies
+    ``h % div == rem`` — so chunk boundaries move WITH the content and
+    shared runs between near-duplicate documents chunk identically no
+    matter how the surrounding bytes shift (the property fixed-size
+    chunking lacks). Positional variant: no min/max clamp, so the rule
+    is closed-form and the DuckDB oracle reproduces it with the same
+    integer arithmetic (ASCII contract: byte == codepoint; the fixture
+    corpus is ASCII).
+
+    Emits (doc_id, chunk_idx, start, len, chunk_md5) per chunk; docs
+    shorter than k are one chunk; empty docs emit nothing. Stateless
+    per-batch scan (vectorized rolling hash per doc; md5 per chunk is
+    the same scalar status as docs_chunk)."""
+    import hashlib
+
+    pows = np.array([base ** j for j in range(k)], dtype=np.int64)
+    did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    texts = batch[text_col].to_pylist()
+    o_doc, o_idx, o_start, o_len, o_md5 = [], [], [], [], []
+    for d, t in zip(did, texts):
+        bs = t.encode("utf-8")
+        n = len(bs)
+        if n == 0:
+            continue
+        cuts = [n]
+        if n >= k:
+            b = np.frombuffer(bs, np.uint8).astype(np.int64)
+            m = n - k + 1
+            h = np.zeros(m, np.int64)
+            for j in range(k):
+                h += b[j : j + m] * pows[j]
+            h %= mod
+            pos = np.nonzero(h % div == rem)[0] + k  # cut AFTER byte i+k-1
+            cuts = sorted(set(pos.tolist()) | {n})
+        start = 0
+        for ci, e in enumerate(cuts):
+            o_doc.append(int(d))
+            o_idx.append(ci)
+            o_start.append(start)
+            o_len.append(e - start)
+            o_md5.append(hashlib.md5(bs[start:e]).hexdigest())
+            start = e
+    return pa.table(
+        {
+            "doc_id": pa.array(o_doc, pa.int64()),
+            "chunk_idx": pa.array(o_idx, pa.int64()),
+            "start": pa.array(o_start, pa.int64()),
+            "len": pa.array(o_len, pa.int64()),
+            "chunk_md5": pa.array(o_md5, pa.string()),
+        }
+    )

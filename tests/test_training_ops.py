@@ -2318,3 +2318,50 @@ def test_events_funnel_partial_paths(ray_session, tmp_path):
     assert got.loc[4, "step_reached"] == 3
     assert got.loc[4, "t1_us"] == 5 * us
     assert got.loc[4, "t2_us"] == 10 * us
+
+
+def test_cdc_chunks_shift_invariance(ray_session):
+    """The content-defined property: a long shared run chunks into the
+    SAME interior chunk hashes even when one doc shifts it by an
+    arbitrary prefix — the fixed-size chunker's failure mode. Also:
+    short docs (< k bytes) are one chunk; empty docs emit nothing;
+    chunks tile the doc exactly."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.text import cdc_chunks
+
+    shared = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 8
+    texts = [
+        shared,
+        "PREFIX-OF-DIFFERENT-LENGTH " + shared,
+        "tiny",
+        "",
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+    out = pa.concat_tables(
+        ray.data.from_arrow(tbl)
+        .map_batches(lambda b: cdc_chunks(b), batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ).to_pandas()
+
+    # tiling: chunks cover each doc exactly, in order
+    for d, t in enumerate(texts):
+        g = out[out["doc_id"] == d].sort_values("chunk_idx")
+        if not t:
+            assert len(g) == 0
+            continue
+        assert g["start"].iloc[0] == 0
+        assert (g["start"] + g["len"]).iloc[-1] == len(t.encode())
+        assert (g["start"].to_numpy()[1:] ==
+                (g["start"] + g["len"]).to_numpy()[:-1]).all()
+    assert out[out["doc_id"] == 2]["len"].tolist() == [4]  # < k: one chunk
+
+    h0 = set(out[out["doc_id"] == 0]["chunk_md5"])
+    h1 = set(out[out["doc_id"] == 1]["chunk_md5"])
+    common = h0 & h1
+    # interior chunks of the shared run realign despite the shift
+    assert len(common) >= max(len(h0), len(h1)) - 2, (h0, h1)
+    assert len(h0) >= 3  # the run actually split into several chunks
