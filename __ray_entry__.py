@@ -128,6 +128,7 @@ EXTRA_QUERY_ORDER = [
     "docs_cdc_chunks",
     "events_running",
     "events_funnel",
+    "events_retention",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

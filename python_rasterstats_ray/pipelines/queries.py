@@ -573,6 +573,78 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Retention cohort analysis: users cohorted by the epoch week of
+    their FIRST event; for every (cohort_week, week_offset), the number
+    of cohort users active that week. All-integer week arithmetic
+    (epoch-us floor-divided by a positive constant, where trunc == floor
+    on both sides). Per 64-user bucket one vectorized pass derives each
+    user's first week and distinct active weeks; buckets partition
+    users, so per-bucket (cohort, offset, n) partials are disjoint and
+    one thin groupby sums them."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
+
+    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+        wk = ts // WEEK_US
+        users = g["user_id"].to_numpy()
+        uw = np.unique(np.stack([users, wk], axis=1), axis=0)  # distinct (user, week)
+        uniq, uidx = np.unique(uw[:, 0], return_inverse=True)
+        first = np.full(len(uniq), np.iinfo(np.int64).max)
+        np.minimum.at(first, uidx, uw[:, 1])
+        cohort = first[uidx]
+        off = uw[:, 1] - cohort
+        key = np.stack([cohort, off], axis=1)
+        cells, cnt = np.unique(key, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {
+                "cohort_week": cells[:, 0],
+                "week_offset": cells[:, 1],
+                "n": cnt.astype(np.int64),
+            }
+        )
+
+    partials = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_kb")
+        .map_groups(cohort_bucket, batch_format="pandas")
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "cohort_week": [int(g["cohort_week"].iloc[0])],
+                "week_offset": [int(g["week_offset"].iloc[0])],
+                "n_users": [int(g["n"].sum())],
+            }
+        )
+
+    return partials.groupby(["cohort_week", "week_offset"]).map_groups(
+        merge, batch_format="pandas"
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH w AS (
+  SELECT user_id, epoch_us(ts) // {WEEK_US} AS wk FROM events
+),
+f AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id),
+act AS (
+  SELECT DISTINCT w.user_id, f.cw, w.wk - f.cw AS off
+  FROM w JOIN f USING (user_id)
+)
+SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(off AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM act GROUP BY cw, off
+"""
+
+
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
@@ -4116,6 +4188,7 @@ ORACLE_SQL = {
     "docs_cdc_chunks": SQL_DOCS_CDC_CHUNKS,
     "events_running": SQL_EVENTS_RUNNING,
     "events_funnel": SQL_EVENTS_FUNNEL,
+    "events_retention": SQL_EVENTS_RETENTION,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4173,6 +4246,7 @@ QUERIES = {
     "docs_cdc_chunks": q_docs_cdc_chunks,
     "events_running": q_events_running,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,
