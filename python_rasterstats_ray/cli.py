@@ -332,6 +332,40 @@ def cmd_polygonize(args) -> int:
     return 0
 
 
+def cmd_contour(args) -> int:
+    """Distributed contour lines: one row per assembled polyline."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.focal import contour_polylines
+
+    ds = ray.data.read_parquet(args.tiles)
+    out = contour_polylines(
+        ds, tuple(args.shape), args.nodata, args.levels, tile_size=args.tile_size
+    )
+    out.write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "levels": args.levels}))
+    _ray_down(ray, owned)
+    return 0
+
+
+def cmd_sieve(args) -> int:
+    """Distributed sieve filter: rewritten tile table."""
+    ray, owned = _ray_up()
+    import ray.data
+
+    from .stages.polygonize import sieve_tiled
+
+    ds = ray.data.read_parquet(args.tiles)
+    out = sieve_tiled(
+        ds, tuple(args.shape), args.nodata, args.threshold, tile_size=args.tile_size
+    )
+    out.write_parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "threshold": args.threshold}))
+    _ray_down(ray, owned)
+    return 0
+
+
 def cmd_mix(args) -> int:
     """Domain-weighted mixture selection: kept (doc_id, domain) parquet.
 
@@ -601,6 +635,24 @@ def build_parser() -> argparse.ArgumentParser:
     pg.add_argument("--tile-size", type=int, default=256)
     pg.add_argument("--nodata", type=float, default=-9999.0)
     pg.set_defaults(fn=cmd_polygonize)
+
+    ct = sub.add_parser("contour", help="contour polylines over a tile-table parquet")
+    ct.add_argument("tiles", help="tile table parquet dir (cell,row_off,...,pixels)")
+    ct.add_argument("out_dir")
+    ct.add_argument("--shape", type=int, nargs=2, required=True, metavar=("H", "W"))
+    ct.add_argument("--tile-size", type=int, default=256)
+    ct.add_argument("--nodata", type=float, default=-9999.0)
+    ct.add_argument("--levels", type=int, nargs="+", required=True)
+    ct.set_defaults(fn=cmd_contour)
+
+    sv = sub.add_parser("sieve", help="remove small regions (gdal_sieve) over a tile-table parquet")
+    sv.add_argument("tiles", help="tile table parquet dir (cell,row_off,...,pixels)")
+    sv.add_argument("out_dir")
+    sv.add_argument("--shape", type=int, nargs=2, required=True, metavar=("H", "W"))
+    sv.add_argument("--tile-size", type=int, default=256)
+    sv.add_argument("--nodata", type=float, default=-9999.0)
+    sv.add_argument("--threshold", type=int, required=True)
+    sv.set_defaults(fn=cmd_sieve)
     return p
 
 

@@ -277,3 +277,64 @@ def test_cli_raster_ops(ray_session, capsys, tmp_path):
     t = pq.read_table(pg_dir)
     assert int(np.asarray(t["px_count"]).sum()) == 40 * 30
     assert t.num_rows > 1
+
+
+def test_cli_contour_and_sieve(ray_session, capsys, tmp_path):
+    """contour / sieve subcommands run end-to-end over a tile table."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+
+    h, w = 32, 28
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    arr = np.rint(
+        50.0 * np.exp(-((yy - 16) ** 2 + (xx - 14) ** 2) / 40.0)
+    ).astype(np.float32)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles_dir = str(tmp_path / "tiles")
+    os.makedirs(tiles_dir)
+    pq.write_table(
+        raster_to_tiles_table(arr, aff, -9999.0, tile_size=16),
+        f"{tiles_dir}/t.parquet",
+    )
+
+    ct_dir = str(tmp_path / "ct_out")
+    rc, out = run_cli(
+        capsys,
+        ["contour", tiles_dir, ct_dir, "--shape", str(h), str(w),
+         "--tile-size", "16", "--levels", "20"],
+    )
+    assert rc == 0 and json.loads(out.strip().splitlines()[-1])["levels"] == [20]
+    t = pq.read_table(ct_dir)
+    assert t.num_rows >= 1  # the bump yields at least one closed ring
+    assert bool(np.asarray(t["closed"]).any())
+
+    # paint a small island to sieve away
+    arr2 = np.zeros((h, w), np.float32)
+    arr2[4:6, 4:6] = 9.0
+    pq.write_table(
+        raster_to_tiles_table(arr2, aff, -9999.0, tile_size=16),
+        f"{tiles_dir}/t.parquet",
+    )
+    sv_dir = str(tmp_path / "sv_out")
+    rc, out = run_cli(
+        capsys,
+        ["sieve", tiles_dir, sv_dir, "--shape", str(h), str(w),
+         "--tile-size", "16", "--threshold", "5"],
+    )
+    assert rc == 0
+    t = pq.read_table(sv_dir)
+    full = np.zeros((h, w), np.float32)
+    for i in range(t.num_rows):
+        r0 = t["row_off"][i].as_py()
+        c0 = t["col_off"][i].as_py()
+        th_ = t["height"][i].as_py()
+        tw_ = t["width"][i].as_py()
+        full[r0 : r0 + th_, c0 : c0 + tw_] = np.frombuffer(
+            t["pixels"][i].as_buffer(), dtype=np.dtype(t["dtype"][i].as_py())
+        ).reshape(th_, tw_)
+    assert (full == 0.0).all()  # the 4-px island was sieved into the sea
