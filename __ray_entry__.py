@@ -179,6 +179,7 @@ EXTRA_QUERY_ORDER = [
     "raster_contour",
     "raster_contour_lines",
     "raster_cost_distance",
+    "raster_downsample_mode",
     "raster_focal_median",
     "raster_crosstab",
     "raster_cost_alloc",

@@ -582,6 +582,17 @@ def q_raster_cost_distance(sf_dir: str):
     return sample_cost_pixels(dist, crop.shape[1], 1)
 
 
+def q_raster_downsample_mode(sf_dir: str):
+    """Factor-8 MODE pooling of the categorical 'classes' raster
+    (gdaladdo -r mode): most frequent valid value per coarse block,
+    ties to the smallest value; thin (ckey, value, cnt) partials merge
+    once. All-nodata blocks keep n_valid 0 / null mode."""
+    from ..stages.focal import downsample_mode
+
+    tiles, _arr, nodata = _tiles_ds("classes")
+    return downsample_mode(tiles, 8, nodata)
+
+
 def q_raster_focal_median(sf_dir: str):
     """5x5 nodata-aware focal median (despeckle filter) over 'holes':
     one sort of the 25 stacked shifted slices per assembled halo window,
@@ -1828,6 +1839,31 @@ GROUP BY crow, ccol
 """
 
 
+# Mode pooling: (coarse block, value) counts ranked (cnt DESC, val ASC).
+SQL_RASTER_DOWNSAMPLE_MODE = f"""
+WITH vc AS (
+  SELECT CAST(floor(row / 8) AS BIGINT) AS crow,
+         CAST(floor(col / 8) AS BIGINT) AS ccol,
+         CAST(val AS BIGINT) AS v, count(*) AS c
+  FROM {_px("classes")} WHERE NOT is_nodata
+  GROUP BY crow, ccol, v
+),
+allb AS (
+  SELECT CAST(floor(row / 8) AS BIGINT) AS crow,
+         CAST(floor(col / 8) AS BIGINT) AS ccol,
+         count(CASE WHEN NOT is_nodata THEN 1 END) AS n_valid
+  FROM {_px("classes")} GROUP BY crow, ccol
+),
+rk AS (
+  SELECT crow, ccol, v,
+         row_number() OVER (PARTITION BY crow, ccol ORDER BY c DESC, v ASC) AS r
+  FROM vc
+)
+SELECT a.crow, a.ccol, CAST(a.n_valid AS BIGINT) AS n_valid, rk.v AS mode_val
+FROM allb a LEFT JOIN rk ON rk.crow = a.crow AND rk.ccol = a.ccol AND rk.r = 1
+"""
+
+
 # zonal aggregate over the DERIVED focal-sum raster: the SQL recomputes
 # the stencil itself (9-offset join over every pixel) and then applies
 # the center rule — both chained operators re-derived with no engine
@@ -2119,6 +2155,7 @@ ZONAL_QUERIES = {
     "raster_contour": q_raster_contour,
     "raster_contour_lines": q_raster_contour_lines,
     "raster_cost_distance": q_raster_cost_distance,
+    "raster_downsample_mode": q_raster_downsample_mode,
     "raster_focal_median": q_raster_focal_median,
     "raster_crosstab": q_raster_crosstab,
     "raster_cost_alloc": q_raster_cost_alloc,
@@ -2168,6 +2205,7 @@ ZONAL_ORACLE_SQL = {
     "raster_quantiles": SQL_RASTER_QUANTILES,
     "raster_contour": SQL_RASTER_CONTOUR,
     "raster_cost_distance": SQL_RASTER_COST_DISTANCE,
+    "raster_downsample_mode": SQL_RASTER_DOWNSAMPLE_MODE,
     "raster_focal_median": SQL_RASTER_FOCAL_MEDIAN,
     "raster_crosstab": SQL_RASTER_CROSSTAB,
     "raster_cost_alloc": SQL_RASTER_COST_ALLOC,

@@ -63,6 +63,7 @@ __all__ = [
     "warp_nearest_tiled",
     "warp_bilinear_tiled",
     "downsample_mean",
+    "downsample_mode",
     "pyramid_levels",
     "raster_calc_tiled",
     "raster_crosstab",
@@ -3065,3 +3066,74 @@ def contour_polylines(
     return stats_rows.union(corr_rows).groupby("line").map_groups(
         rollup, batch_format="pyarrow"
     )
+
+
+def downsample_mode(tiles_ds, factor: int, nodata: float):
+    """Factor-f MODE pooling (the categorical overview level,
+    ``gdaladdo -r mode``): coarse pixel (R, C) = most frequent valid
+    value among fine pixels with row//f == R, col//f == C, ties to the
+    SMALLEST value (the zonal-majority convention). Per-tile
+    (ckey, value, cnt) partials — one row per (coarse block, distinct
+    value) per touching tile — merge in one thin groupby; all-nodata
+    coarse blocks emit cnt 0 / null mode. Returns
+    (crow, ccol, n_valid:int64, mode_val:int64 null)."""
+    f = int(factor)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        keys_o, val_o, cnt_o = [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            a = np.rint(arr.astype(np.float64)).astype(np.int64)
+            gr = (r0 + np.arange(th, dtype=np.int64)).reshape(th, 1) // f
+            gc = (c0 + np.arange(tw, dtype=np.int64)).reshape(1, tw) // f
+            ckey = (np.broadcast_to(gr, (th, tw)) << np.int64(32)) | np.broadcast_to(
+                gc, (th, tw)
+            )
+            valid = arr.astype(np.float64) != float(nodata)
+            trip = np.stack([ckey[valid], a[valid]], axis=1)
+            if len(trip):
+                uniq, cnt = np.unique(trip, axis=0, return_counts=True)
+                keys_o.append(uniq[:, 0])
+                val_o.append(uniq[:, 1])
+                cnt_o.append(cnt.astype(np.int64))
+            # all-nodata coarse blocks this tile touches still emit a row
+            touched = np.unique(ckey)
+            seen = np.unique(ckey[valid]) if valid.any() else np.empty(0, np.int64)
+            empty = np.setdiff1d(touched, seen, assume_unique=True)
+            if len(empty):
+                keys_o.append(empty)
+                val_o.append(np.zeros(len(empty), np.int64))
+                cnt_o.append(np.zeros(len(empty), np.int64))
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "ckey": pa.array(cat(keys_o), pa.int64()),
+                "val": pa.array(cat(val_o), pa.int64()),
+                "cnt": pa.array(cat(cnt_o), pa.int64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        key = int(group["ckey"][0].as_py())
+        vals = group["val"].to_numpy()
+        cnts = group["cnt"].to_numpy()
+        uv, inv = np.unique(vals, return_inverse=True)
+        tot = np.zeros(len(uv), np.int64)
+        np.add.at(tot, inv, cnts)
+        n_valid = int(tot.sum())
+        if n_valid:
+            best = int(np.lexsort((uv, -tot))[0])  # cnt DESC, val ASC
+            mode_val = int(uv[best])
+        else:
+            mode_val = None
+        return pa.table(
+            {
+                "crow": pa.array([key >> 32], pa.int64()),
+                "ccol": pa.array([key & 0xFFFFFFFF], pa.int64()),
+                "n_valid": pa.array([n_valid], pa.int64()),
+                "mode_val": pa.array([mode_val], pa.int64()),
+            }
+        )
+
+    part = tiles_ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+    return part.groupby("ckey").map_groups(merge, batch_format="pyarrow")
