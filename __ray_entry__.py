@@ -183,6 +183,7 @@ EXTRA_QUERY_ORDER = [
     "raster_focal_median",
     "raster_crosstab",
     "raster_cost_alloc",
+    "raster_cost_weighted",
     "raster_polygonize",
     "raster_sieve",
     "raster_pyramid",

@@ -605,6 +605,34 @@ def q_raster_focal_median(sf_dir: str):
     return sample_median_pixels(med, arr.shape[1], 113)
 
 
+def q_raster_cost_weighted(sf_dir: str):
+    """WEIGHTED cost distance (gdal cost-distance semantics) over the
+    96x96 'holes' crop: step a -> b costs value(a) + value(b), exact
+    Dijkstra via the packed-integer min-plus superstep sweep. Rows-only
+    driver check (no SQL oracle exists for weighted shortest paths — a
+    recursive CTE's state space explodes in the distance term);
+    exactness pinned by tests/test_focal.py::
+    test_weighted_cost_distance_matches_dijkstra."""
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.focal import cost_distance_tiled, sample_wcost_pixels
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    crop = arr[:96, :96]
+    tiles = ray.data.from_arrow(raster_to_tiles_table(crop, affine, nodata, tile_size=32))
+    wd = cost_distance_tiled(
+        tiles,
+        crop.shape,
+        nodata,
+        seeds=[(5, 7), (60, 80), (90, 15)],
+        tile_size=32,
+        weighted=True,
+    )
+    return sample_wcost_pixels(wd, crop.shape[1], 1)
+
+
 def q_raster_crosstab(sf_dir: str):
     """Cross-tabulation (GIS combine) of 'holes' x 'terrain': pixel
     counts per distinct value pair where both aligned pixels are valid.
@@ -2159,6 +2187,7 @@ ZONAL_QUERIES = {
     "raster_focal_median": q_raster_focal_median,
     "raster_crosstab": q_raster_crosstab,
     "raster_cost_alloc": q_raster_cost_alloc,
+    "raster_cost_weighted": q_raster_cost_weighted,
     "raster_polygonize": q_raster_polygonize,
     "raster_sieve": q_raster_sieve,
     "raster_pyramid": q_raster_pyramid,

@@ -55,6 +55,7 @@ __all__ = [
     "cost_distance_tiled",
     "sample_cost_pixels",
     "sample_alloc_pixels",
+    "sample_wcost_pixels",
     "reclassify_tiled",
     "flow_direction_tiled",
     "flow_trace",
@@ -2577,6 +2578,8 @@ def contour_crossings(
 # ----------------------------------------------------- cost distance
 
 _COST_INF = np.int64(1) << np.int64(62)
+_WCOST_INF = np.int64(1) << np.int64(54)  # dist portion of the packed int
+_WCOST_MASK = np.int64(127)  # low 7 bits carry the pixel's own weight
 
 
 def cost_distance_tiled(
@@ -2588,6 +2591,7 @@ def cost_distance_tiled(
     passable_fn=None,
     max_rounds: int | None = None,
     allocate: bool = False,
+    weighted: bool = False,
 ):
     """Geodesic (4-connected, unit-step) distance to the nearest seed
     pixel through PASSABLE pixels only — cost distance with obstacles,
@@ -2599,6 +2603,19 @@ def cost_distance_tiled(
     tie-break, and a unit step adds ``n_seeds`` — the identical sweep /
     convergence machinery yields nearest-seed ids with zero extra
     exchanges. Decode with ``sample_alloc_pixels``.
+
+    With ``weighted=True`` (gdal cost-distance semantics; exclusive
+    with ``allocate``) the step a -> b costs ``value(a) + value(b)``
+    and the relaxed quantity is the packed integer
+    ``dist * 128 + value`` — each pixel's own cost rides in the low 7
+    bits (weights must be integers in [0, 127]) so the halo exchange
+    still moves ONE int64 per pixel and the identical min-plus sweep
+    computes exact Dijkstra distances (Bellman-Ford over tiles; the
+    fixpoint of a nonnegative min-plus system is the shortest-path
+    vector). Decode with ``sample_wcost_pixels``. No SQL oracle exists
+    for weighted shortest paths (a recursive CTE's state space explodes
+    in the distance term) — exactness is pinned by the sequential
+    Dijkstra differential in tests/test_focal.py.
 
     Distributed plan: superstep halo iteration (Bellman-Ford over
     tiles, the pagerank-style materialize barrier). Each round the
@@ -2625,6 +2642,8 @@ def cost_distance_tiled(
     """
     import pyarrow.compute as pc
 
+    if allocate and weighted:
+        raise ValueError("allocate and weighted are mutually exclusive packings")
     seeds = list(seeds)
     seed_r = np.asarray([r for r, _ in seeds], dtype=np.int64)
     seed_c = np.asarray([c for _, c in seeds], dtype=np.int64)
@@ -2635,8 +2654,10 @@ def cost_distance_tiled(
     ntr, ntc = _n_tiles(shape, tile_size)
     if max_rounds is None:
         # runaway guard: a geodesic crosses at most (path length) tile
-        # boundaries; h+w dominates every non-adversarial field
-        max_rounds = shape[0] + shape[1] + 2
+        # boundaries; h+w dominates every non-adversarial unit-step
+        # field; a weighted optimal path can recross boundaries up to
+        # its hop count (<= pixel count)
+        max_rounds = (shape[0] * shape[1] + 2) if weighted else (shape[0] + shape[1] + 2)
 
     def init(batch: pa.Table) -> pa.Table:
         cells, fro, fco, fh, fw, dts, payload = [], [], [], [], [], [], []
@@ -2644,13 +2665,21 @@ def cost_distance_tiled(
             th, tw = arr.shape
             valid = arr.astype(np.float64) != float(nodata)
             ok = passable_fn(arr, valid) if passable_fn is not None else valid
-            d = np.where(ok, _COST_INF, np.int64(-1))
             sel = (seed_r >= r0) & (seed_r < r0 + th) & (seed_c >= c0) & (seed_c < c0 + tw)
             sr, sc = seed_r[sel] - r0, seed_c[sel] - c0
             on = ok[sr, sc]
-            # smallest seed index wins a shared pixel (matches the
-            # composite's tie-break)
-            np.minimum.at(d, (sr[on], sc[on]), seed_val[sel][on])
+            if weighted:
+                v = np.rint(arr.astype(np.float64)).astype(np.int64)
+                if bool(((v[ok] < 0) | (v[ok] > _WCOST_MASK)).any()):
+                    raise ValueError("weighted cost distance needs weights in [0, 127]")
+                d = np.where(ok, _WCOST_INF * 128 + v, np.int64(-1))
+                # seed dist 0: packed = value only
+                np.minimum.at(d, (sr[on], sc[on]), v[sr[on], sc[on]])
+            else:
+                d = np.where(ok, _COST_INF, np.int64(-1))
+                # smallest seed index wins a shared pixel (matches the
+                # composite's tie-break)
+                np.minimum.at(d, (sr[on], sc[on]), seed_val[sel][on])
             cells.append(cell)
             fro.append(r0)
             fco.append(c0)
@@ -2686,20 +2715,41 @@ def cost_distance_tiled(
             cc = fc0 - (c0 - 1)
             win[rr : rr + arr.shape[0], cc : cc + arr.shape[1]] = arr
         blocked = win < 0
-        dv = np.where(blocked, _COST_INF, win)
+        inf_pack = (_WCOST_INF * 128 + _WCOST_MASK) if weighted else _COST_INF
+        dv = np.where(blocked, inf_pack, win)
         core_block = blocked[1:-1, 1:-1]
         before = dv[1:-1, 1:-1].copy()
         while True:
-            cand = (
-                np.minimum(
-                    np.minimum(dv[:-2, 1:-1], dv[2:, 1:-1]),
-                    np.minimum(dv[1:-1, :-2], dv[1:-1, 2:]),
+            if weighted:
+                d_all = dv >> np.int64(7)
+                v_all = dv & np.int64(_WCOST_MASK)
+                v_c = v_all[1:-1, 1:-1]
+                cand_d = (
+                    np.minimum(
+                        np.minimum(
+                            d_all[:-2, 1:-1] + v_all[:-2, 1:-1],
+                            d_all[2:, 1:-1] + v_all[2:, 1:-1],
+                        ),
+                        np.minimum(
+                            d_all[1:-1, :-2] + v_all[1:-1, :-2],
+                            d_all[1:-1, 2:] + v_all[1:-1, 2:],
+                        ),
+                    )
+                    + v_c
                 )
-                + step
-            )
+                np.minimum(cand_d, _WCOST_INF, out=cand_d)
+                cand = cand_d * np.int64(128) + v_c
+            else:
+                cand = (
+                    np.minimum(
+                        np.minimum(dv[:-2, 1:-1], dv[2:, 1:-1]),
+                        np.minimum(dv[1:-1, :-2], dv[1:-1, 2:]),
+                    )
+                    + step
+                )
             core = dv[1:-1, 1:-1]
             new = np.minimum(core, cand)
-            new[core_block] = _COST_INF
+            new[core_block] = inf_pack
             if np.array_equal(new, core):
                 break
             dv[1:-1, 1:-1] = new
@@ -2759,6 +2809,36 @@ def sample_cost_pixels(dist_ds, raster_width: int, mod: int):
         )
 
     return dist_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_wcost_pixels(wdist_ds, raster_width: int, mod: int):
+    """Decode a ``cost_distance_tiled(..., weighted=True)`` packed
+    field: (row, col, dist) with dist = packed >> 7 for passable
+    sampled pixels, null where unreachable."""
+
+    def sample(batch: pa.Table) -> pa.Table:
+        rows_o, cols_o, d_o = [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            th, tw = arr.shape
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = ((rr * raster_width + cc) % mod == 0) & (arr >= 0)
+            rows_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            cols_o.append(np.broadcast_to(cc, (th, tw))[pick])
+            d_o.append(arr[pick] >> np.int64(7))
+        rows = np.concatenate(rows_o) if rows_o else np.empty(0, np.int64)
+        cols = np.concatenate(cols_o) if cols_o else np.empty(0, np.int64)
+        d = np.concatenate(d_o) if d_o else np.empty(0, np.int64)
+        unreach = d >= _WCOST_INF
+        return pa.table(
+            {
+                "row": pa.array(rows, pa.int64()),
+                "col": pa.array(cols, pa.int64()),
+                "dist": pa.array(d, pa.int64(), mask=unreach),
+            }
+        )
+
+    return wdist_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def sample_alloc_pixels(alloc_ds, raster_width: int, mod: int, n_seeds: int):

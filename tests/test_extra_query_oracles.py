@@ -135,6 +135,8 @@ ROWS_ONLY = {
     "raster_sieve": 1000,
     # exact differential: tests/test_focal.py::test_contour_polylines_match_reference
     "raster_contour_lines": 20,
+    # exact differential: tests/test_focal.py::test_weighted_cost_distance_matches_dijkstra
+    "raster_cost_weighted": 5000,
 }
 
 # derive the oracled list from the registry so a new extra query is

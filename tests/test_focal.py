@@ -1733,3 +1733,68 @@ def test_contour_polylines_match_reference(ray_session, tile_size):
     assert got == ref
     assert any(cl for (_l, _i, _n, cl) in ref)      # at least one closed loop
     assert any(not cl for (_l, _i, _n, cl) in ref)  # and one open line
+
+
+def test_weighted_cost_distance_matches_dijkstra(ray_session):
+    """weighted=True vs a sequential heapq Dijkstra (edge a->b costs
+    v(a)+v(b)), incl. obstacles, unreachable pockets and layouts that
+    force paths to recross tile boundaries."""
+    import heapq
+
+    import pandas as pd
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.focal import (
+        cost_distance_tiled,
+        sample_wcost_pixels,
+    )
+
+    rng = np.random.default_rng(101)
+    h, w = 40, 36
+    arr = rng.integers(1, 100, size=(h, w)).astype(np.float32)
+    arr[rng.random((h, w)) < 0.08] = NODATA
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    passable = arr != NODATA
+    vals = np.rint(arr.astype(np.float64)).astype(np.int64)
+    seeds = [(2, 3), (35, 30)]
+
+    INF = 1 << 60
+    ref = np.full((h, w), INF, np.int64)
+    pq = []
+    for s in seeds:
+        if passable[s]:
+            ref[s] = 0
+            heapq.heappush(pq, (0, s))
+    while pq:
+        d, (r, c) = heapq.heappop(pq)
+        if d > ref[r, c]:
+            continue
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if 0 <= nr < h and 0 <= nc < w and passable[nr, nc]:
+                nd = d + int(vals[r, c]) + int(vals[nr, nc])
+                if nd < ref[nr, nc]:
+                    ref[nr, nc] = nd
+                    heapq.heappush(pq, (nd, (nr, nc)))
+
+    for tile_size in (16, 48):
+        tiles = ray.data.from_arrow(
+            raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size)
+        )
+        wd = cost_distance_tiled(
+            tiles, arr.shape, NODATA, seeds, tile_size=tile_size, weighted=True
+        )
+        got = (
+            pa.concat_tables(
+                sample_wcost_pixels(wd, w, 1).iter_batches(batch_format="pyarrow")
+            )
+            .to_pandas()
+            .set_index(["row", "col"])
+            .sort_index()
+        )
+        assert len(got) == int(passable.sum())
+        for (r, c), rec in got.iterrows():
+            if ref[r, c] >= INF:
+                assert pd.isna(rec["dist"]), (r, c)
+            else:
+                assert rec["dist"] == ref[r, c], (r, c, rec["dist"], ref[r, c])
