@@ -111,6 +111,7 @@ EXTRA_QUERY_ORDER = [
     "docs_quadkey_rollup",
     "docs_pip_zones",
     "tpch_q10",
+    "tpch_q5",
     "docs_inverted_index",
     "docs_tfidf_top",
     "docs_length_quantiles",

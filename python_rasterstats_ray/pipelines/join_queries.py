@@ -925,3 +925,173 @@ def _fill_shared_oracles():
 
 
 _fill_shared_oracles()
+
+
+Q5_LO = pd.Timestamp("1996-01-01")
+Q5_HI = pd.Timestamp("1997-01-01")
+Q5_REGION = "ASIA"
+
+
+def q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 (local supplier volume): revenue per nation for orders
+    whose customer and line-item supplier share a nation inside one
+    region — the classic 6-table join. Plan by side size:
+
+    - region -> nation (25 rows) and supplier (suppkey -> nationkey)
+      broadcast once via ray.put (small by schema contract);
+    - orders x customer is a native HASH-SHUFFLE join (both corpus-
+      sized at 10^12 rows) after the date filter prunes orders;
+    - lineitem maps s_nationkey in-batch from the broadcast supplier
+      LUT, filters to region nations, pre-aggregates rev4 per
+      (orderkey, nation) — only thin partials reach the second
+      hash join; the equality c_nation == s_nation applies post-join;
+    - revenue sums are exact integer 1e4-scaled (the _rev4 convention),
+      one final float divide.
+    """
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {
+        n: k for k, n in zip(
+            region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()
+        )
+    }[Q5_REGION]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    nk = np.asarray(nation["n_nationkey"].to_pylist(), np.int64)
+    nr = np.asarray(nation["n_regionkey"].to_pylist(), np.int64)
+    nnames = np.asarray(nation["n_name"].to_pylist(), dtype=object)
+    in_region = np.zeros(int(nk.max()) + 1, bool)
+    in_region[nk[nr == rkey]] = True
+    name_lut = np.empty(int(nk.max()) + 1, dtype=object)
+    name_lut[nk] = nnames
+    supplier = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    sk = supplier["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supplier["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    slut = np.full(int(sk.max()) + 1, -1, np.int64)
+    slut[sk] = sn
+    refs = ray.put((in_region, name_lut, slut))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def ofilter(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(batch["o_orderdate"], pa.scalar(Q5_LO)),
+            pc.less(batch["o_orderdate"], pa.scalar(Q5_HI)),
+        )
+        return batch.filter(m).drop_columns(["o_orderdate"])
+
+    orders_f = orders.map_batches(ofilter, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    class CustInRegion:
+        def __init__(self, r=refs):
+            self.in_region, _, _ = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = self.in_region[np.clip(ck, 0, len(self.in_region) - 1)] & (
+                ck < len(self.in_region)
+            )
+            return batch.filter(pa.array(keep))
+
+    cust_f = cust.map_batches(
+        CustInRegion, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
+    )
+    j1 = hash_equi_join(orders_f, cust_f, on=("o_custkey",), right_on=("c_custkey",))
+
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    class LiPartial:
+        def __init__(self, r=refs):
+            self.in_region, _, self.slut = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            snat = self.slut[np.clip(sk, 0, len(self.slut) - 1)]
+            ok = (sk < len(self.slut)) & (snat >= 0)
+            ok &= self.in_region[np.clip(snat, 0, len(self.in_region) - 1)] & (
+                snat < len(self.in_region)
+            )
+            t = batch.filter(pa.array(ok))
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "s_nationkey": pa.array(snat[ok], pa.int64()),
+                        "rev4": pa.array(
+                            _rev4(t["l_extendedprice"], t["l_discount"]), pa.int64()
+                        ),
+                    }
+                )
+                .group_by(["l_orderkey", "s_nationkey"])
+                .aggregate([("rev4", "sum")])
+            )
+            return g.rename_columns(["l_orderkey", "s_nationkey", "rev4"])
+
+    li_p = (
+        li.map_batches(
+            LiPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
+        )
+        .groupby(["l_orderkey", "s_nationkey"])
+        .aggregate(Sum("rev4"))
+    )
+    j2 = hash_equi_join(li_p, j1, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["s_nationkey"], batch["c_nationkey"]))
+        g = (
+            pa.table({"nk": t["s_nationkey"], "rev4": t["sum(rev4)"]})
+            .group_by("nk")
+            .aggregate([("rev4", "sum")])
+        )
+        return g.rename_columns(["nk", "rev4"])
+
+    class Finish:
+        def __init__(self, r=refs):
+            _, self.name_lut, _ = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            nkv = batch["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "n_name": pa.array(list(self.name_lut[nkv]), pa.string()),
+                    "revenue": pa.array(
+                        batch["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4,
+                        pa.float64(),
+                    ),
+                }
+            )
+
+    by_nation = (
+        j2.map_batches(nation_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nk")
+        .aggregate(Sum("rev4"))
+    )
+    return by_nation.map_batches(
+        Finish, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
+    ).sort("revenue", descending=True)
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+JOIN_QUERIES["tpch_q5"] = q_tpch_q5
+JOIN_ORACLE_SQL["tpch_q5"] = SQL_TPCH_Q5
