@@ -187,6 +187,7 @@ EXTRA_QUERY_ORDER = [
     "raster_cost_weighted",
     "raster_polygonize",
     "raster_sieve",
+    "raster_region_group",
     "raster_pyramid",
     "raster_proximity",
     "points_density",

@@ -746,6 +746,19 @@ def q_raster_polygonize(sf_dir: str):
     return polygonize_tiled(tiles, arr.shape, nodata, tile_size=128)
 
 
+def q_raster_region_group(sf_dir: str):
+    """Region-group (ArcGIS RegionGroup) over 'classes': every sampled
+    valid pixel annotated with its 4-connected region id (min flat
+    index) and GLOBAL pixel count. Rows-only driver check (region
+    labeling is transitive closure); exactness pinned by
+    tests/test_focal.py::test_region_group_matches_flood_fill,
+    layout-invariant. (row*W + col) % 29 == 0 sample."""
+    from ..stages.polygonize import region_group_tiled
+
+    tiles, arr, nodata = _tiles_ds("classes")
+    return region_group_tiled(tiles, arr.shape, nodata, tile_size=128, mod=29)
+
+
 def q_raster_sieve(sf_dir: str):
     """gdal_sieve over 'classes': 4-connected regions smaller than 128 px
     take the value of their largest neighbor region (size DESC, region
@@ -2190,6 +2203,7 @@ ZONAL_QUERIES = {
     "raster_cost_weighted": q_raster_cost_weighted,
     "raster_polygonize": q_raster_polygonize,
     "raster_sieve": q_raster_sieve,
+    "raster_region_group": q_raster_region_group,
     "raster_pyramid": q_raster_pyramid,
     "raster_proximity": q_raster_proximity,
     "points_density": q_points_density,

@@ -34,7 +34,7 @@ import pyarrow as pa
 
 from ..sources.tiles import cell_decode, cell_id
 
-__all__ = ["polygonize_tiled", "sieve_tiled"]
+__all__ = ["polygonize_tiled", "sieve_tiled", "region_group_tiled"]
 
 _SENTINEL = np.iinfo(np.int64).max
 
@@ -583,3 +583,188 @@ def sieve_tiled(
         )
 
     return tiles_ds.map_batches(rewrite, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def region_group_tiled(
+    tiles_ds,
+    shape: tuple[int, int],
+    nodata: float,
+    tile_size: int = 256,
+    mod: int = 1,
+):
+    """Region-group (ArcGIS ``RegionGroup`` shape): every valid pixel
+    annotated with its 4-connected equal-value region's id and GLOBAL
+    pixel count — the per-pixel view of polygonize. Same two-level CC
+    contraction (per-tile vectorized labels, edge stitch,
+    components_auto), region sizes merged from per-tile label partials;
+    a second pass re-derives local labels per tile (deterministic) and
+    gathers (region_id, region_px) through two broadcast maps. Output:
+    (row, col, region_id, region_px) for pixels with
+    (row*W + col) % mod == 0."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .focal import _tile_arrays
+    from .graph import components_auto
+
+    h, w = shape
+    ntr = (h + tile_size - 1) // tile_size
+    ntc = (w + tile_size - 1) // tile_size
+
+    def local(batch: pa.Table) -> pa.Table:
+        lab_o, cnt_o = [], []
+        ek_o, pos_o, side_o, bval_o, blab_o = [], [], [], [], []
+        for cell, r0, c0, arr in _tile_arrays(batch):
+            tr, tc = cell_decode(cell)
+            a = np.rint(arr.astype(np.float64)).astype(np.int64)
+            valid = arr != float(nodata)
+            th, tw = a.shape
+            lab = _local_cc(a, valid, r0, c0, w)
+            fl = lab.ravel()
+            ok = fl != _SENTINEL
+            ul, inv = np.unique(fl[ok], return_inverse=True)
+            lab_o.append(ul)
+            cnt_o.append(np.bincount(inv, minlength=len(ul)).astype(np.int64))
+            edges = []
+            if tc + 1 < ntc:
+                edges.append((int(cell_id(tr, tc)) * 2, lab[:, -1], a[:, -1],
+                              valid[:, -1], r0 + np.arange(th, dtype=np.int64), 0))
+            if tc > 0:
+                edges.append((int(cell_id(tr, tc - 1)) * 2, lab[:, 0], a[:, 0],
+                              valid[:, 0], r0 + np.arange(th, dtype=np.int64), 1))
+            if tr + 1 < ntr:
+                edges.append((int(cell_id(tr, tc)) * 2 + 1, lab[-1, :], a[-1, :],
+                              valid[-1, :], c0 + np.arange(tw, dtype=np.int64), 0))
+            if tr > 0:
+                edges.append((int(cell_id(tr - 1, tc)) * 2 + 1, lab[0, :], a[0, :],
+                              valid[0, :], c0 + np.arange(tw, dtype=np.int64), 1))
+            for ekey, elab, eval_, evalid, epos, side in edges:
+                k = int(evalid.sum())
+                if k == 0:
+                    continue
+                ek_o.append(np.full(k, ekey, np.int64))
+                pos_o.append(epos[evalid])
+                side_o.append(np.full(k, side, np.int8))
+                bval_o.append(eval_[evalid])
+                blab_o.append(elab[evalid])
+        cat = lambda xs, dt: np.concatenate(xs) if xs else np.empty(0, dt)  # noqa: E731
+        n_s = sum(len(x) for x in lab_o)
+        n_b = sum(len(x) for x in ek_o)
+
+        def col(vals, before, after, typ):
+            return pa.concat_arrays(
+                [pa.nulls(before, typ), pa.array(vals, typ), pa.nulls(after, typ)]
+            )
+
+        return pa.table(
+            {
+                "kind": pa.array([0] * n_s + [1] * n_b, pa.int8()),
+                "label": col(cat(lab_o, np.int64), 0, n_b, pa.int64()),
+                "cnt": col(cat(cnt_o, np.int64), 0, n_b, pa.int64()),
+                "ekey": col(cat(ek_o, np.int64), n_s, 0, pa.int64()),
+                "pos": col(cat(pos_o, np.int64), n_s, 0, pa.int64()),
+                "side": col(cat(side_o, np.int8), n_s, 0, pa.int8()),
+                "bval": col(cat(bval_o, np.int64), n_s, 0, pa.int64()),
+                "blab": col(cat(blab_o, np.int64), n_s, 0, pa.int64()),
+            }
+        )
+
+    both = tiles_ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    both = both.materialize()
+
+    stats = both.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 0)).select(["label", "cnt"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    border = both.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], 1)).select(
+            ["ekey", "pos", "side", "bval", "blab"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def stitch(group: pa.Table) -> pa.Table:
+        pos = group["pos"].to_numpy()
+        side = group["side"].to_numpy()
+        val = group["bval"].to_numpy()
+        lab = group["blab"].to_numpy()
+        sa, sb = side == 0, side == 1
+        oa = np.argsort(pos[sa], kind="stable")
+        ob = np.argsort(pos[sb], kind="stable")
+        _c, ia, ib = np.intersect1d(pos[sa][oa], pos[sb][ob], return_indices=True)
+        m = val[sa][oa][ia] == val[sb][ob][ib]
+        return pa.table(
+            {
+                "src": pa.array(lab[sa][oa][ia][m], pa.int64()),
+                "dst": pa.array(lab[sb][ob][ib][m], pa.int64()),
+            }
+        )
+
+    edges = border.groupby("ekey").map_groups(stitch, batch_format="pyarrow").materialize()
+
+    def node_stream(batch: pa.Table) -> pa.Table:
+        ns = np.unique(np.concatenate([batch["src"].to_numpy(), batch["dst"].to_numpy()]))
+        return pa.table({"node": pa.array(ns, pa.int64())})
+
+    if edges.count() > 0:
+        nodes = (
+            edges.map_batches(node_stream, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        )
+        cc = components_auto(edges, nodes)
+        cc_tbl = pa.concat_tables(cc.iter_batches(batch_format="pyarrow"))
+        order = np.argsort(cc_tbl["node"].to_numpy(), kind="stable")
+        root_nodes = cc_tbl["node"].to_numpy()[order]
+        root_lbls = cc_tbl["lbl"].to_numpy()[order]
+    else:
+        root_nodes = np.empty(0, np.int64)
+        root_lbls = np.empty(0, np.int64)
+
+    stats_tbl = pa.concat_tables(stats.iter_batches(batch_format="pyarrow"))
+    lab = stats_tbl["label"].to_numpy()
+    if len(root_nodes):
+        p = np.clip(np.searchsorted(root_nodes, lab), 0, len(root_nodes) - 1)
+        hit = root_nodes[p] == lab
+        reg = np.where(hit, root_lbls[p], lab)
+    else:
+        reg = lab
+    ureg, rinv = np.unique(reg, return_inverse=True)
+    rsize = np.zeros(len(ureg), np.int64)
+    np.add.at(rsize, rinv, stats_tbl["cnt"].to_numpy())
+    maps_ref = ray.put((root_nodes, root_lbls, ureg, rsize))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        root_n, root_l, ureg_, rsize_ = ray.get(maps_ref)
+        r_o, c_o, id_o, px_o = [], [], [], []
+        for _cell, r0, c0, arr in _tile_arrays(batch):
+            a = np.rint(arr.astype(np.float64)).astype(np.int64)
+            valid = arr != float(nodata)
+            th, tw = a.shape
+            lab = _local_cc(a, valid, r0, c0, w)
+            rr = r0 + np.arange(th, dtype=np.int64).reshape(th, 1)
+            cc2 = c0 + np.arange(tw, dtype=np.int64).reshape(1, tw)
+            pick = valid & ((rr * w + cc2) % mod == 0)
+            if not pick.any():
+                continue
+            fl = lab[pick]
+            if len(root_n):
+                p = np.clip(np.searchsorted(root_n, fl), 0, len(root_n) - 1)
+                hit = root_n[p] == fl
+                fl = np.where(hit, root_l[p], fl)
+            sz = rsize_[np.searchsorted(ureg_, fl)]
+            r_o.append(np.broadcast_to(rr, (th, tw))[pick])
+            c_o.append(np.broadcast_to(cc2, (th, tw))[pick])
+            id_o.append(fl)
+            px_o.append(sz)
+        cat = lambda xs: np.concatenate(xs) if xs else np.empty(0, np.int64)  # noqa: E731
+        return pa.table(
+            {
+                "row": pa.array(cat(r_o), pa.int64()),
+                "col": pa.array(cat(c_o), pa.int64()),
+                "region_id": pa.array(cat(id_o), pa.int64()),
+                "region_px": pa.array(cat(px_o), pa.int64()),
+            }
+        )
+
+    return tiles_ds.map_batches(sample, batch_format="pyarrow", zero_copy_batch=True)

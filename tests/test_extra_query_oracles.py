@@ -137,6 +137,8 @@ ROWS_ONLY = {
     "raster_contour_lines": 20,
     # exact differential: tests/test_focal.py::test_weighted_cost_distance_matches_dijkstra
     "raster_cost_weighted": 5000,
+    # exact differential: tests/test_focal.py::test_region_group_matches_flood_fill
+    "raster_region_group": 1000,
 }
 
 # derive the oracled list from the registry so a new extra query is

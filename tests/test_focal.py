@@ -1798,3 +1798,48 @@ def test_weighted_cost_distance_matches_dijkstra(ray_session):
                 assert pd.isna(rec["dist"]), (r, c)
             else:
                 assert rec["dist"] == ref[r, c], (r, c, rec["dist"], ref[r, c])
+
+
+@pytest.mark.parametrize("tile_size", [16, 96])
+def test_region_group_matches_flood_fill(ray_session, tile_size):
+    """Per-pixel region sizes match a sequential flood fill; region ids
+    are min flat indices; nodata pixels absent."""
+    from collections import deque
+
+    from python_rasterstats_ray.functions.affine import Affine
+    from python_rasterstats_ray.stages.polygonize import region_group_tiled
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 3, size=(50, 44)).astype(np.float32)
+    arr[rng.random((50, 44)) < 0.05] = NODATA
+    h, w = arr.shape
+    a = np.rint(arr.astype(np.float64)).astype(np.int64)
+    valid = arr != NODATA
+    lab = np.full((h, w), -1, np.int64)
+    size = {}
+    for r in range(h):
+        for c in range(w):
+            if not valid[r, c] or lab[r, c] >= 0:
+                continue
+            rid = r * w + c
+            lab[r, c] = rid
+            n = 1
+            dq = deque([(r, c)])
+            while dq:
+                cr, cc = dq.popleft()
+                for nr, nc in ((cr + 1, cc), (cr - 1, cc), (cr, cc + 1), (cr, cc - 1)):
+                    if (0 <= nr < h and 0 <= nc < w and valid[nr, nc]
+                            and lab[nr, nc] < 0 and a[nr, nc] == a[cr, cc]):
+                        lab[nr, nc] = rid
+                        dq.append((nr, nc))
+                        n += 1
+            size[rid] = n
+
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, float(h))
+    tiles = ray.data.from_arrow(raster_to_tiles_table(arr, aff, NODATA, tile_size=tile_size))
+    out = region_group_tiled(tiles, arr.shape, NODATA, tile_size=tile_size, mod=1)
+    got = pa.concat_tables(out.iter_batches(batch_format="pyarrow")).to_pandas()
+    assert len(got) == int(valid.sum())
+    for rec in got.itertuples():
+        assert lab[rec.row, rec.col] == rec.region_id, (rec.row, rec.col)
+        assert size[rec.region_id] == rec.region_px
