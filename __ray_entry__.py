@@ -130,6 +130,7 @@ EXTRA_QUERY_ORDER = [
     "events_running",
     "events_funnel",
     "events_retention",
+    "events_pivot",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

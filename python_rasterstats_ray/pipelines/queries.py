@@ -573,6 +573,68 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str):
+    """PIVOT + semi-structured extraction in one pass: per user, one
+    column per event type (counts) plus the integer sum of the JSON
+    ``props.k`` field — parsed with ONE vectorized regex per batch (the
+    PII-scrub pattern), never a per-row json.loads. Per-batch partials
+    (factorized users x np.bincount per type) merge in one thin
+    groupby."""
+    import re
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "props"])
+    pat = re.compile(r'"k":\s*(-?\d+)')
+
+    def partial(batch: pa.Table) -> pa.Table:
+        users = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        etype = batch["event_type"].to_numpy(zero_copy_only=False)
+        props = pd.Series(batch["props"].to_pylist(), dtype="object")
+        kvals = (
+            props.str.extract(pat, expand=False).fillna("0").astype(np.int64).to_numpy()
+        )
+        uniq, uidx = np.unique(users, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array(
+                np.bincount(uidx, weights=(etype == t).astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64),
+                pa.int64(),
+            )
+        ksum = np.zeros(len(uniq), np.int64)
+        np.add.at(ksum, uidx, kvals)
+        cols["k_total"] = pa.array(ksum, pa.int64())
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        row = {"user_id": [int(g["user_id"].iloc[0])]}
+        for t in EVENT_TYPES:
+            row[f"n_{t}"] = [int(g[f"n_{t}"].sum())]
+        row["k_total"] = [int(g["k_total"].sum())]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'error') AS n_error,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
+            AS BIGINT) AS k_total
+FROM events GROUP BY user_id
+"""
+
+
 WEEK_US = 7 * 24 * 3600 * 1_000_000
 
 
@@ -4189,6 +4251,7 @@ ORACLE_SQL = {
     "events_running": SQL_EVENTS_RUNNING,
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
+    "events_pivot": SQL_EVENTS_PIVOT,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4247,6 +4310,7 @@ QUERIES = {
     "events_running": q_events_running,
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
+    "events_pivot": q_events_pivot,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

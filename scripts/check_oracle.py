@@ -7,6 +7,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -103,7 +104,8 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False, logging_level="ERROR")
 
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entrymod
