@@ -131,6 +131,7 @@ EXTRA_QUERY_ORDER = [
     "events_funnel",
     "events_retention",
     "events_pivot",
+    "lineitem_corr",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -573,6 +573,79 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Exact distributed Pearson correlation (the statistical-aggregate
+    class): corr(quantity, price) per returnflag from INTEGER moment
+    sums — quantities are integers and prices exact cents, so the five
+    moments are exact; per-batch int64 partials (one row per flag per
+    batch) merge on the driver as Python bigints (no int64 overflow at
+    any scale), and the final float64 expression converts each exact
+    integer once (correctly rounded) then applies the identical IEEE
+    chain as the SQL mirror — bit-exact despite floats."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.rint(batch["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        p = np.rint(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        def acc(v):
+            out = np.zeros(len(uniq), np.int64)
+            np.add.at(out, inv, v)
+            return out
+        return pa.table(
+            {
+                "flag": pa.array(list(uniq), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64), pa.int64()),
+                "sq": pa.array(acc(q), pa.int64()),
+                "sp": pa.array(acc(p), pa.int64()),
+                "sqq": pa.array(acc(q * q), pa.int64()),
+                "spp": pa.array(acc(p * p), pa.int64()),
+                "sqp": pa.array(acc(q * p), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    rows = {"l_returnflag": [], "n": [], "corr_qty_price": []}
+    for flag, g in parts.groupby("flag"):
+        # Python bigints: exact at any corpus size
+        n = int(g["n"].sum())
+        sq = sum(int(x) for x in g["sq"])
+        sp = sum(int(x) for x in g["sp"])
+        sqq = sum(int(x) for x in g["sqq"])
+        spp = sum(int(x) for x in g["spp"])
+        sqp = sum(int(x) for x in g["sqp"])
+        num = float(n * sqp - sq * sp)
+        den = np.sqrt(float(n * sqq - sq * sq)) * np.sqrt(float(n * spp - sp * sp))
+        rows["l_returnflag"].append(flag)
+        rows["n"].append(n)
+        rows["corr_qty_price"].append(num / den if den else None)
+    return pd.DataFrame(rows)
+
+
+SQL_LINEITEM_CORR = """
+WITH s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(l_quantity AS BIGINT)) AS sq,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sp,
+         sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sqq,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS spp,
+         sum(CAST(l_quantity AS BIGINT)
+             * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(n * sqp - sq * sp AS DOUBLE)
+         / (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+            * sqrt(CAST(n * spp - sp * sp AS DOUBLE))) AS corr_qty_price
+FROM s
+"""
+
+
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -4252,6 +4325,7 @@ ORACLE_SQL = {
     "events_funnel": SQL_EVENTS_FUNNEL,
     "events_retention": SQL_EVENTS_RETENTION,
     "events_pivot": SQL_EVENTS_PIVOT,
+    "lineitem_corr": SQL_LINEITEM_CORR,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4311,6 +4385,7 @@ QUERIES = {
     "events_funnel": q_events_funnel,
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
+    "lineitem_corr": q_lineitem_corr,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,
