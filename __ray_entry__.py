@@ -132,6 +132,7 @@ EXTRA_QUERY_ORDER = [
     "events_retention",
     "events_pivot",
     "lineitem_corr",
+    "docs_edit_pairs",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

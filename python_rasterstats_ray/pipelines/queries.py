@@ -2066,6 +2066,70 @@ ORDER BY doc_id
 """
 
 
+def q_docs_edit_pairs(sf_dir: str, max_dist: int = 20, n_base: int = 200):
+    """Near-duplicate pairs by exact EDIT DISTANCE <= 20 (the
+    string-similarity join), found via MinHash-LSH candidates and
+    verified with a vectorized Levenshtein DP (DuckDB ``levenshtein``
+    parity, fuzz-tested). Same determinism argument as
+    docs_jaccard_pairs: every <= 20-edit pair of ~200-char docs has
+    5-gram jaccard far above the 16-band LSH miss regime, so the SQL
+    oracle — all-pairs levenshtein over the same subset — reproduces
+    the result exactly."""
+    import ray
+    import ray.data
+
+    from ..stages.dedup import edit_distance, minhash_lsh_pairs
+
+    base = _small_table(sf_dir, "documents", columns=["doc_id", "text"])
+    base = base.filter(pc.less(base["doc_id"], n_base))
+    texts = dict(zip(base["doc_id"].to_pylist(), base["text"].to_pylist()))
+    tref = ray.put(texts)
+    cands = minhash_lsh_pairs(ray.data.from_arrow(base))
+
+    class Verify:
+        def __init__(self):
+            import ray as _r
+
+            self.texts = _r.get(tref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch["id_a"].to_pylist()
+            b = batch["id_b"].to_pylist()
+            ed = [edit_distance(self.texts[x], self.texts[y]) for x, y in zip(a, b)]
+            keep = [e <= max_dist for e in ed]
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "edit_dist": pa.array(ed, pa.int64()),
+                }
+            )
+            return out.filter(pa.array(keep))
+
+    verified = cands.map_batches(
+        Verify, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
+    )
+    seed = ray.data.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "edit_dist": pa.array([], pa.int64()),
+            }
+        )
+    )
+    return seed.union(verified)
+
+
+SQL_DOCS_EDIT_PAIRS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.text, b.text) <= 20
+"""
+
+
 def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200):
     """Near-duplicate pairs by exact character-5-gram Jaccard >= 0.8,
     found via MinHash-LSH candidate generation and verified with
@@ -4326,6 +4390,7 @@ ORACLE_SQL = {
     "events_retention": SQL_EVENTS_RETENTION,
     "events_pivot": SQL_EVENTS_PIVOT,
     "lineitem_corr": SQL_LINEITEM_CORR,
+    "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4386,6 +4451,7 @@ QUERIES = {
     "events_retention": q_events_retention,
     "events_pivot": q_events_pivot,
     "lineitem_corr": q_lineitem_corr,
+    "docs_edit_pairs": q_docs_edit_pairs,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

@@ -593,3 +593,25 @@ def dedup_against_store(new_ds, store_path: str, n_buckets: int = 64,
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+def edit_distance(a: str, b: str) -> int:
+    """Unit-cost Levenshtein distance (DuckDB ``levenshtein`` parity),
+    vectorized row DP: the insert relaxation ``cur[j] =
+    min(c[j], cur[j-1]+1)`` is a prefix-min of ``c - j`` (so each DP row
+    is pure numpy, no inner Python loop)."""
+    A = np.frombuffer(a.encode("utf-8"), np.uint8)
+    B = np.frombuffer(b.encode("utf-8"), np.uint8)
+    if len(A) == 0:
+        return len(B)
+    if len(B) == 0:
+        return len(A)
+    ar = np.arange(len(B) + 1, dtype=np.int64)
+    prev = ar.copy()
+    for i, ca in enumerate(A, 1):
+        c = np.empty(len(B) + 1, np.int64)
+        c[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + (B != ca), out=c[1:])
+        cur = np.minimum(c, np.minimum.accumulate(c - ar) + ar)
+        prev = cur
+    return int(prev[-1])
