@@ -2365,3 +2365,26 @@ def test_cdc_chunks_shift_invariance(ray_session):
     # interior chunks of the shared run realign despite the shift
     assert len(common) >= max(len(h0), len(h1)) - 2, (h0, h1)
     assert len(h0) >= 3  # the run actually split into several chunks
+
+
+def test_edit_distance_matches_duckdb():
+    """Vectorized Levenshtein DP vs DuckDB's levenshtein on random
+    strings incl. empties and equal strings."""
+    import random
+
+    import duckdb
+
+    from python_rasterstats_ray.stages.dedup import edit_distance
+
+    random.seed(7)
+    con = duckdb.connect()
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same same", "same same")]
+    for _ in range(150):
+        n1, n2 = random.randint(0, 15), random.randint(0, 15)
+        cases.append(
+            ("".join(random.choice("abcd ") for _ in range(n1)),
+             "".join(random.choice("abcd ") for _ in range(n2)))
+        )
+    for a, b in cases:
+        ref = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert edit_distance(a, b) == ref, (a, b)
