@@ -987,19 +987,20 @@ def q_tpch_q5(sf_dir: str):
     orders_f = orders.map_batches(ofilter, batch_format="pyarrow", zero_copy_batch=True)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    class CustInRegion:
-        def __init__(self, r=refs):
-            self.in_region, _, _ = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ck = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = self.in_region[np.clip(ck, 0, len(self.in_region) - 1)] & (
-                ck < len(self.in_region)
-            )
-            return batch.filter(pa.array(keep))
+    # STATELESS task-based kernels (the proven two-join q10 shape): a
+    # plan with two shuffle joins on a small cluster deadlocks when
+    # pinned actor pools idle-hold the CPUs the reads/joins need
+    # (observed at num_cpus=4: 3 idle actors + 2 joins + 2 reads demand
+    # ~6 CPUs, everything backpressured). ray.get of an already-local
+    # broadcast object per batch is a plasma lookup — stateless is free.
+    def cust_in_region(batch: pa.Table) -> pa.Table:
+        in_region, _, _ = ray.get(refs)
+        ck = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = in_region[np.clip(ck, 0, len(in_region) - 1)] & (ck < len(in_region))
+        return batch.filter(pa.array(keep))
 
     cust_f = cust.map_batches(
-        CustInRegion, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
+        cust_in_region, batch_format="pyarrow", zero_copy_batch=True
     )
     j1 = hash_equi_join(orders_f, cust_f, on=("o_custkey",), right_on=("c_custkey",))
 
@@ -1008,16 +1009,13 @@ def q_tpch_q5(sf_dir: str):
         columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
     )
 
-    class LiPartial:
-        def __init__(self, r=refs):
-            self.in_region, _, self.slut = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def li_nation_partial(batch: pa.Table) -> pa.Table:
+            in_region, _, slut = ray.get(refs)
             sk = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-            snat = self.slut[np.clip(sk, 0, len(self.slut) - 1)]
-            ok = (sk < len(self.slut)) & (snat >= 0)
-            ok &= self.in_region[np.clip(snat, 0, len(self.in_region) - 1)] & (
-                snat < len(self.in_region)
+            snat = slut[np.clip(sk, 0, len(slut) - 1)]
+            ok = (sk < len(slut)) & (snat >= 0)
+            ok &= in_region[np.clip(snat, 0, len(in_region) - 1)] & (
+                snat < len(in_region)
             )
             t = batch.filter(pa.array(ok))
             g = (
@@ -1036,9 +1034,7 @@ def q_tpch_q5(sf_dir: str):
             return g.rename_columns(["l_orderkey", "s_nationkey", "rev4"])
 
     li_p = (
-        li.map_batches(
-            LiPartial, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
-        )
+        li.map_batches(li_nation_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_orderkey", "s_nationkey"])
         .aggregate(Sum("rev4"))
     )
@@ -1053,21 +1049,18 @@ def q_tpch_q5(sf_dir: str):
         )
         return g.rename_columns(["nk", "rev4"])
 
-    class Finish:
-        def __init__(self, r=refs):
-            _, self.name_lut, _ = ray.get(r)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            nkv = batch["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "n_name": pa.array(list(self.name_lut[nkv]), pa.string()),
-                    "revenue": pa.array(
-                        batch["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4,
-                        pa.float64(),
-                    ),
-                }
-            )
+    def finish(batch: pa.Table) -> pa.Table:
+        _, name_lut, _ = ray.get(refs)
+        nkv = batch["nk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": pa.array(list(name_lut[nkv]), pa.string()),
+                "revenue": pa.array(
+                    batch["sum(rev4)"].to_numpy(zero_copy_only=False) / 1e4,
+                    pa.float64(),
+                ),
+            }
+        )
 
     by_nation = (
         j2.map_batches(nation_partial, batch_format="pyarrow", zero_copy_batch=True)
@@ -1075,7 +1068,7 @@ def q_tpch_q5(sf_dir: str):
         .aggregate(Sum("rev4"))
     )
     return by_nation.map_batches(
-        Finish, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 2)
+        finish, batch_format="pyarrow", zero_copy_batch=True
     ).sort("revenue", descending=True)
 
 
