@@ -133,6 +133,7 @@ EXTRA_QUERY_ORDER = [
     "events_pivot",
     "lineitem_corr",
     "docs_edit_pairs",
+    "docs_fuzzy_score",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -2130,6 +2130,40 @@ WHERE levenshtein(a.text, b.text) <= 20
 """
 
 
+JW_PROBE = "table scan fast value sort merge batch"
+
+
+def q_docs_fuzzy_score(sf_dir: str, n_base: int = 200):
+    """Query-to-corpus fuzzy match scoring: Jaro-Winkler similarity of
+    every doc (doc_id < 200) against a fixed probe string — the fuzzy
+    record-linkage scalar (name/title matching). No threshold, so the
+    row set is exact and the float similarity compares under the
+    oracle's 1e-9 tolerance (the from-scratch scorer is fuzz-tested to
+    1e-9 against DuckDB's jaro_winkler_similarity over 800 cases).
+    Stateless scan."""
+    from ..stages.dedup import jaro_winkler
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less(batch["doc_id"], n_base))
+        jw = [jaro_winkler(x, JW_PROBE) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "jw": pa.array(jw, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOCS_FUZZY_SCORE = f"""
+SELECT doc_id, jaro_winkler_similarity(text, '{JW_PROBE}') AS jw
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_docs_jaccard_pairs(sf_dir: str, threshold: float = 0.8, n_base: int = 200):
     """Near-duplicate pairs by exact character-5-gram Jaccard >= 0.8,
     found via MinHash-LSH candidate generation and verified with
@@ -4391,6 +4425,7 @@ ORACLE_SQL = {
     "events_pivot": SQL_EVENTS_PIVOT,
     "lineitem_corr": SQL_LINEITEM_CORR,
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
+    "docs_fuzzy_score": SQL_DOCS_FUZZY_SCORE,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4452,6 +4487,7 @@ QUERIES = {
     "events_pivot": q_events_pivot,
     "lineitem_corr": q_lineitem_corr,
     "docs_edit_pairs": q_docs_edit_pairs,
+    "docs_fuzzy_score": q_docs_fuzzy_score,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

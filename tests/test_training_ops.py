@@ -2388,3 +2388,27 @@ def test_edit_distance_matches_duckdb():
     for a, b in cases:
         ref = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
         assert edit_distance(a, b) == ref, (a, b)
+
+
+def test_jaro_winkler_matches_duckdb():
+    """From-scratch Jaro-Winkler vs DuckDB's jaro_winkler_similarity:
+    classic textbook pairs plus 300 random cases, 1e-9 agreement
+    (matched-sequence transposition rule, empty-side -> 0 convention,
+    prefix boost gated at jaro > 0.7)."""
+    import random
+
+    import duckdb
+
+    from python_rasterstats_ray.stages.dedup import jaro_winkler
+
+    random.seed(13)
+    con = duckdb.connect()
+    cases = [("", ""), ("abc", ""), ("martha", "marhta"),
+             ("dwayne", "duane"), ("dixon", "dicksonx"), ("same", "same")]
+    for _ in range(300):
+        n1, n2 = random.randint(0, 16), random.randint(0, 16)
+        cases.append(("".join(random.choice("abcd ") for _ in range(n1)),
+                      "".join(random.choice("abcd ") for _ in range(n2))))
+    for a, b in cases:
+        ref = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - ref) <= 1e-9, (a, b)
