@@ -134,6 +134,7 @@ EXTRA_QUERY_ORDER = [
     "lineitem_corr",
     "docs_edit_pairs",
     "docs_fuzzy_score",
+    "orders_skyline",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -2130,6 +2130,99 @@ WHERE levenshtein(a.text, b.text) <= 20
 """
 
 
+def q_orders_skyline(sf_dir: str):
+    """Distributed 2-D SKYLINE (Pareto front — the multi-objective
+    dominance operator): orders not dominated on (totalprice MAX,
+    orderdate MIN); a dominates b iff price >= AND date <= with at
+    least one strict. Dominance is transitive, so the global skyline is
+    a subset of the union of per-block local skylines — each block
+    prunes to its own front (vectorized: sort by (-price, date), a row
+    survives iff its date is strictly below the running min of all
+    strictly-better-priced rows), and only the tiny candidate union
+    reaches the final exact prune. Prices compare as exact cents.
+    Output: (o_orderkey, price_cents, date_us)."""
+
+    def local_skyline(prices: np.ndarray, dates: np.ndarray, keys: np.ndarray):
+        # vectorized sweep over descending price groups: a row survives
+        # iff its date equals its price-group's min (equal-price rows
+        # with a later date are dominated within the group; ties on BOTH
+        # dims dominate neither way and all survive) AND that group min
+        # beats the running min date of all strictly-higher-price groups
+        order = np.lexsort((dates, -prices))
+        p, d, k = prices[order], dates[order], keys[order]
+        n = len(p)
+        keep = np.zeros(n, bool)
+        best_prev = np.iinfo(np.int64).max
+        i = 0
+        while i < n:
+            j = i
+            while j < n and p[j] == p[i]:
+                j += 1
+            gmin = int(d[i:j].min())
+            if gmin < best_prev:
+                keep[i:j] = d[i:j] == gmin
+                best_prev = gmin
+            i = j
+        return k[keep], p[keep], d[keep]
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prices = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        dates = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64")
+        )
+        keys = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k, p, d = local_skyline(prices, dates, keys)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "price_cents": pa.array(p, pa.int64()),
+                "date_us": pa.array(d, pa.int64()),
+            }
+        )
+
+    cands = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keys = batch["o_orderkey"].to_numpy().astype(np.int64)
+        p = batch["price_cents"].to_numpy().astype(np.int64)
+        d = batch["date_us"].to_numpy().astype(np.int64)
+        k2, p2, d2 = local_skyline(p, d, keys)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k2, pa.int64()),
+                "price_cents": pa.array(p2, pa.int64()),
+                "date_us": pa.array(d2, pa.int64()),
+            }
+        )
+
+    # the candidate union is tiny (skylines shrink fast); one final task
+    return cands.repartition(1).map_batches(
+        finalize, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+
+
+SQL_ORDERS_SKYLINE = """
+WITH o AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         epoch_us(o_orderdate) AS date_us
+  FROM orders
+)
+SELECT o_orderkey, price_cents, CAST(date_us AS BIGINT) AS date_us
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.price_cents >= a.price_cents AND b.date_us <= a.date_us
+    AND (b.price_cents > a.price_cents OR b.date_us < a.date_us)
+)
+"""
+
+
 JW_PROBE = "table scan fast value sort merge batch"
 
 
@@ -4426,6 +4519,7 @@ ORACLE_SQL = {
     "lineitem_corr": SQL_LINEITEM_CORR,
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "docs_fuzzy_score": SQL_DOCS_FUZZY_SCORE,
+    "orders_skyline": SQL_ORDERS_SKYLINE,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4488,6 +4582,7 @@ QUERIES = {
     "lineitem_corr": q_lineitem_corr,
     "docs_edit_pairs": q_docs_edit_pairs,
     "docs_fuzzy_score": q_docs_fuzzy_score,
+    "orders_skyline": q_orders_skyline,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

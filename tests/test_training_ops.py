@@ -2412,3 +2412,40 @@ def test_jaro_winkler_matches_duckdb():
     for a, b in cases:
         ref = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         assert abs(jaro_winkler(a, b) - ref) <= 1e-9, (a, b)
+
+
+def test_orders_skyline_layout_invariant(ray_session, tmp_path):
+    """Skyline edge cases the fixture can't pin: ties on BOTH dims keep
+    all tied rows, within-group later dates are dominated, and the
+    per-block partial prune is layout-invariant (dominance pairs split
+    across blocks still resolve in the final prune)."""
+    import pandas as pd
+
+    from python_rasterstats_ray.pipelines.queries import q_orders_skyline
+
+    rows = [
+        # (orderkey, price, date_day) — pareto front on (price max, date min)
+        (1, 100.00, 5),
+        (2, 100.00, 5),   # exact tie with 1 on both dims: both survive
+        (3, 100.00, 6),   # same price, later date: dominated by 1/2
+        (4, 90.00, 1),    # lower price but earliest date: survives
+        (5, 95.00, 3),    # middle: survives (nothing >=95 with date <=3)
+        (6, 95.00, 4),    # dominated by 5
+        (7, 80.00, 2),    # dominated by 4 (90 >= 80, 1 <= 2, strict)
+        (8, 101.00, 9),   # highest price: survives
+    ]
+    df = pd.DataFrame(rows, columns=["o_orderkey", "o_totalprice", "day"])
+    df["o_orderdate"] = pd.to_datetime("2000-01-01") + pd.to_timedelta(df["day"], unit="D")
+    df["o_custkey"] = 0
+    df["o_orderstatus"] = "O"
+    df["o_orderpriority"] = "1"
+    df = df.drop(columns=["day"])
+    df.to_parquet(str(tmp_path / "orders.parquet"))
+    got = (
+        pa.concat_tables(
+            q_orders_skyline(str(tmp_path)).iter_batches(batch_format="pyarrow")
+        )
+        .to_pandas()
+        .sort_values("o_orderkey")
+    )
+    assert got["o_orderkey"].tolist() == [1, 2, 4, 5, 8]
