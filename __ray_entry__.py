@@ -135,6 +135,7 @@ EXTRA_QUERY_ORDER = [
     "docs_edit_pairs",
     "docs_fuzzy_score",
     "orders_skyline",
+    "docs_pmi_top",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -1088,3 +1088,119 @@ ORDER BY revenue DESC
 
 JOIN_QUERIES["tpch_q5"] = q_tpch_q5
 JOIN_ORACLE_SQL["tpch_q5"] = SQL_TPCH_Q5
+
+
+PMI_MIN_COUNT = 5
+PMI_TOPK = 20
+
+
+def q_docs_pmi_top(sf_dir: str):
+    """Pointwise mutual information for corpus bigrams (the association
+    measure behind collocation discovery / phrase mining): pmi(a, b) =
+    ln(c_ab * N^2 / (NB * c_a * c_b)) floored to int64 micronats — the
+    unigram-LM micronat convention, so the one float chain (two exact
+    int->float conversions, one divide, ln, *1e6, floor) is reproduced
+    verbatim in SQL. Plain space tokens match the LM queries.
+
+    Distributed shape: per-batch (w1, w2) pair-count partials and the
+    token-count partials each collapse in ONE small groupby (<= 1 row
+    per distinct pair/word per block, the hot-key-safe inverted-index
+    shape); the driver joins only pairs with count >= 5 against the
+    vocab (the unigram-LM vocab-fits-driver bound) and emits the top 20
+    by (pmi DESC, bigram ASC)."""
+    from ray.data.aggregate import Sum
+
+    from python_rasterstats_ray.stages.text import token_count_partials
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch["text"], " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = np.asarray(pc.list_flatten(words).to_pylist(), dtype=object)
+        doc = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        if len(flat) < 2:
+            return pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string()),
+                 "c": pa.array([], pa.int64())}
+            )
+        adj = doc[:-1] == doc[1:]
+        g = (
+            pa.table(
+                {
+                    "a": pa.array(list(flat[:-1][adj]), pa.string()),
+                    "b": pa.array(list(flat[1:][adj]), pa.string()),
+                }
+            )
+            .group_by(["a", "b"])
+            .aggregate([("a", "count")])
+        )
+        return g.rename_columns(["a", "b", "c"])
+
+    pair_agg = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Sum("c"))
+    )
+    uni_agg = (
+        ds.map_batches(token_count_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .sum("c")
+    )
+
+    pairs = pa.concat_tables(pair_agg.iter_batches(batch_format="pyarrow")).to_pandas()
+    uni = pa.concat_tables(uni_agg.iter_batches(batch_format="pyarrow")).to_pandas()
+    ucount = dict(zip(uni["token"], (int(x) for x in uni["sum(c)"])))
+    n_tokens = sum(ucount.values())
+    nb_total = int(pairs["sum(c)"].sum())
+    out = []
+    for a, b, c in zip(pairs["a"], pairs["b"], pairs["sum(c)"]):
+        c = int(c)
+        if c < PMI_MIN_COUNT:
+            continue
+        num = c * n_tokens * n_tokens           # exact Python ints
+        den = nb_total * ucount[a] * ucount[b]
+        pmi = int(np.floor(np.log(float(num) / float(den)) * 1_000_000.0))
+        out.append((f"{a} {b}", c, pmi))
+    out.sort(key=lambda r: (-r[2], r[0]))
+    out = out[:PMI_TOPK]
+    return pd.DataFrame(
+        {
+            "bigram": [r[0] for r in out],
+            "n_pair": pd.array([r[1] for r in out], dtype="int64"),
+            "pmi_micronats": pd.array([r[2] for r in out], dtype="int64"),
+        }
+    ).astype({"n_pair": "int64", "pmi_micronats": "int64"})
+
+
+SQL_DOCS_PMI_TOP = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(tl) AS w FROM w) GROUP BY w
+),
+tot AS (SELECT sum(c) AS n FROM uc),
+bg AS (
+  SELECT u['a'] AS a, u['b'] AS b
+  FROM (SELECT unnest([{{'a': tl[i], 'b': tl[i + 1]}}
+                       for i in range(1, len(tl))]) AS u FROM w)
+),
+bc AS (SELECT a, b, count(*) AS c FROM bg GROUP BY a, b),
+btot AS (SELECT sum(c) AS nb FROM bc)
+SELECT bc.a || ' ' || bc.b AS bigram,
+       CAST(bc.c AS BIGINT) AS n_pair,
+       CAST(floor(ln(CAST(bc.c * tot.n * tot.n AS DOUBLE)
+                     / CAST(btot.nb * ua.c * ub.c AS DOUBLE)) * 1000000)
+            AS BIGINT) AS pmi_micronats
+FROM bc
+JOIN uc ua ON ua.w = bc.a
+JOIN uc ub ON ub.w = bc.b
+CROSS JOIN tot CROSS JOIN btot
+WHERE bc.c >= {PMI_MIN_COUNT}
+ORDER BY pmi_micronats DESC, bigram
+LIMIT {PMI_TOPK}
+"""
+
+JOIN_QUERIES["docs_pmi_top"] = q_docs_pmi_top
+JOIN_ORACLE_SQL["docs_pmi_top"] = SQL_DOCS_PMI_TOP
