@@ -136,6 +136,7 @@ EXTRA_QUERY_ORDER = [
     "docs_fuzzy_score",
     "orders_skyline",
     "docs_pmi_top",
+    "docs_convex_hull",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

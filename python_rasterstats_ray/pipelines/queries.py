@@ -3148,6 +3148,34 @@ ORDER BY k.doc_id
 """
 
 
+def q_docs_convex_hull(sf_dir: str):
+    """Strict convex hull of the synthetic doc geotags (integer
+    milli-degree residues, the docs_geocells derivation): the geometry
+    instance of algebraic aggregation — hull(S ∪ T) = hull(hull(S) ∪
+    hull(T)), so each block reduces to its local hull and only hull
+    vertices cross the exchange. Rows-only driver check (hull membership
+    is not SQL-expressible without geometry functions); exactness pinned
+    by tests/test_training_ops.py::test_convex_hull_properties
+    (convexity, containment of every input point, extremality of every
+    vertex, hand-built shapes with collinear edge points,
+    layout-invariance)."""
+    from ..stages.ordering import convex_hull_points
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "x": pa.array((ids * 2654435761) % 360000, pa.int64()),
+                "y": pa.array((ids * 40503) % 120000, pa.int64()),
+            }
+        )
+
+    pts = ds.map_batches(to_points, batch_format="pyarrow", zero_copy_batch=True)
+    return convex_hull_points(pts)
+
+
 def q_docs_ppl_buckets(sf_dir: str):
     """CCNet-style perplexity bucketing: score every document with the
     corpus unigram LM (the q_docs_unigram_lm pipeline), normalize to an
@@ -4583,6 +4611,7 @@ QUERIES = {
     "docs_edit_pairs": q_docs_edit_pairs,
     "docs_fuzzy_score": q_docs_fuzzy_score,
     "orders_skyline": q_orders_skyline,
+    "docs_convex_hull": q_docs_convex_hull,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_select_top": q_docs_select_top,

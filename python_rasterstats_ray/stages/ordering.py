@@ -369,3 +369,96 @@ def select_top_exact(
         )
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True).sort(id_col)
+
+
+# ------------------------------------------------------- convex hull
+
+
+def _hull_chain(pts: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain over int64 (x, y) rows, STRICT hull
+    (collinear edge-interior points excluded). ``pts`` must be
+    lexicographically sorted and unique. Exact integer cross products."""
+    n = len(pts)
+    if n <= 2:
+        return pts
+
+    def build(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                ax, ay = out[-2]
+                bx, by = out[-1]
+                if (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append((int(p[0]), int(p[1])))
+        return out
+
+    lower = build(pts)
+    upper = build(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.int64)
+
+
+def _extreme_prune(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Vectorized pre-prune: only the min/max y per distinct x can be
+    hull vertices, so the sequential chain runs on <= 2 * distinct_x
+    points (unique+scatter, no Python over raw rows)."""
+    ux, inv = np.unique(x, return_inverse=True)
+    big = np.iinfo(np.int64).max
+    ymin = np.full(len(ux), big)
+    ymax = np.full(len(ux), -big)
+    np.minimum.at(ymin, inv, y)
+    np.maximum.at(ymax, inv, y)
+    cand = np.unique(
+        np.concatenate(
+            [np.stack([ux, ymin], axis=1), np.stack([ux, ymax], axis=1)]
+        ),
+        axis=0,
+    )
+    return cand
+
+
+def convex_hull_points(ds, x_col: str = "x", y_col: str = "y"):
+    """Distributed STRICT convex hull of an integer point set — the
+    geometry instance of algebraic aggregation: hull(S ∪ T) =
+    hull(hull(S) ∪ hull(T)), so each block reduces to its local hull
+    (a vectorized min/max-y-per-x prune, then the monotone chain over
+    the tiny candidate set) and only hull vertices cross the exchange;
+    the driver merges the candidate union with one final chain. Returns
+    a pyarrow Table (x, y) of hull vertices sorted lexicographically.
+    Exactness: int64 coordinates make every cross product exact, and
+    the strict (no collinear) rule makes the vertex set unique."""
+    import pyarrow as pa
+
+    def local(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(x) == 0:
+            return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+        cand = _extreme_prune(x, y)
+        hull = _hull_chain(cand)
+        return pa.table(
+            {"x": pa.array(hull[:, 0], pa.int64()), "y": pa.array(hull[:, 1], pa.int64())}
+        )
+
+    parts = [
+        b for b in ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow") if len(b)
+    ]
+    if not parts:
+        return pa.table({"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())})
+    allc = pa.concat_tables(parts)
+    pts = np.unique(
+        np.stack(
+            [allc["x"].to_numpy().astype(np.int64), allc["y"].to_numpy().astype(np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    hull = _hull_chain(_extreme_prune(pts[:, 0], pts[:, 1]))
+    order = np.lexsort((hull[:, 1], hull[:, 0]))
+    hull = hull[order]
+    return pa.table(
+        {"x": pa.array(hull[:, 0], pa.int64()), "y": pa.array(hull[:, 1], pa.int64())}
+    )

@@ -139,6 +139,8 @@ ROWS_ONLY = {
     "raster_cost_weighted": 5000,
     # exact differential: tests/test_focal.py::test_region_group_matches_flood_fill
     "raster_region_group": 1000,
+    # exact differential: tests/test_training_ops.py::test_convex_hull_properties
+    "docs_convex_hull": 4,
 }
 
 # derive the oracled list from the registry so a new extra query is

@@ -2449,3 +2449,66 @@ def test_orders_skyline_layout_invariant(ray_session, tmp_path):
         .sort_values("o_orderkey")
     )
     assert got["o_orderkey"].tolist() == [1, 2, 4, 5, 8]
+
+
+def test_convex_hull_properties(ray_session):
+    """Distributed strict hull: hand-built shape with collinear edge
+    points (excluded), plus property checks on a random integer set —
+    every vertex is an input point, the polygon is strictly convex, all
+    inputs lie inside-or-on it, every vertex is extreme (removing it
+    shrinks the hull), and the result is layout-invariant."""
+    import ray.data
+
+    from python_rasterstats_ray.stages.ordering import convex_hull_points
+
+    def hull_of(arr, nblocks):
+        tbl = pa.table(
+            {"x": pa.array(arr[:, 0], pa.int64()), "y": pa.array(arr[:, 1], pa.int64())}
+        )
+        out = convex_hull_points(ray.data.from_arrow(tbl).repartition(nblocks))
+        return np.stack(
+            [out["x"].to_numpy().astype(np.int64), out["y"].to_numpy().astype(np.int64)],
+            axis=1,
+        )
+
+    # hand case: unit square scaled, with edge midpoints (collinear ->
+    # excluded) and interior points
+    sq = np.array([[0, 0], [0, 10], [10, 0], [10, 10],
+                   [5, 0], [0, 5], [10, 5], [5, 10],  # edge midpoints
+                   [3, 4], [7, 2], [5, 5]])           # interior
+    got = hull_of(sq, 3)
+    assert sorted(map(tuple, got)) == [(0, 0), (0, 10), (10, 0), (10, 10)]
+
+    rng = np.random.default_rng(23)
+    pts = rng.integers(0, 1000, size=(500, 2)).astype(np.int64)
+
+    def inside_or_on(hull_ccw, p):
+        n = len(hull_ccw)
+        for i in range(n):
+            ax, ay = hull_ccw[i]
+            bx, by = hull_ccw[(i + 1) % n]
+            if (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) < 0:
+                return False
+        return True
+
+    def ccw_order(h):
+        c = h.mean(axis=0)
+        ang = np.arctan2(h[:, 1] - c[1], h[:, 0] - c[0])
+        return h[np.argsort(ang)]
+
+    for nblocks in (1, 4):
+        h = hull_of(pts, nblocks)
+        hs = {tuple(v) for v in h}
+        assert hs <= {tuple(p) for p in pts}          # vertices are inputs
+        hc = ccw_order(h)
+        n = len(hc)
+        for i in range(n):  # strict convexity: every turn strictly left
+            a, b, c = hc[i], hc[(i + 1) % n], hc[(i + 2) % n]
+            assert (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0]) > 0
+        for p in pts:
+            assert inside_or_on(hc, p)
+        for i in range(n):  # extremality: dropping a vertex shrinks the hull
+            rest = np.array([p for p in pts if tuple(p) != tuple(hc[i])])
+            h2 = hull_of(rest, 1)
+            assert tuple(hc[i]) not in {tuple(v) for v in h2}
+    assert {tuple(v) for v in hull_of(pts, 1)} == {tuple(v) for v in hull_of(pts, 4)}
