@@ -137,6 +137,7 @@ EXTRA_QUERY_ORDER = [
     "orders_skyline",
     "docs_pmi_top",
     "docs_convex_hull",
+    "orders_daily_ma",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

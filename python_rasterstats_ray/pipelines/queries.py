@@ -2130,6 +2130,84 @@ WHERE levenshtein(a.text, b.text) <= 20
 """
 
 
+DAY_US = 24 * 3600 * 1_000_000
+
+
+def q_orders_daily_ma(sf_dir: str):
+    """Calendar gap-fill + trailing moving window (time-series
+    densification): daily order-revenue totals in exact cents, densified
+    over EVERY day between the corpus min and max (missing days = 0,
+    n_orders 0) and annotated with the 7-day trailing moving sum. The
+    distributed part is the thin per-day pre-aggregation (one row per
+    day per block enters the shuffle); the dense day axis and the
+    integer window run vectorized on the driver-side result (one row per
+    calendar day — bounded by time, not data)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["o_orderdate"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").view("int64") // DAY_US
+        )
+        cents = np.rint(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        ud, inv = np.unique(days, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {
+                "day": pa.array(ud, pa.int64()),
+                "n": pa.array(np.bincount(inv, minlength=len(ud)).astype(np.int64), pa.int64()),
+                "cents": pa.array(tot, pa.int64()),
+            }
+        )
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day")
+        .sum(["n", "cents"])
+        .to_pandas()
+    )
+    days = parts["day"].to_numpy().astype(np.int64)
+    lo, hi = int(days.min()), int(days.max())
+    dense_n = np.zeros(hi - lo + 1, np.int64)
+    dense_c = np.zeros(hi - lo + 1, np.int64)
+    dense_n[days - lo] = parts["sum(n)"].to_numpy().astype(np.int64)
+    dense_c[days - lo] = parts["sum(cents)"].to_numpy().astype(np.int64)
+    cum = np.concatenate([[0], np.cumsum(dense_c)])
+    ma7 = cum[1:] - cum[np.maximum(np.arange(len(dense_c)) - 6, 0)]
+    return pd.DataFrame(
+        {
+            "day": np.arange(lo, hi + 1, dtype=np.int64),
+            "n_orders": dense_n,
+            "cents": dense_c,
+            "ma7_cents": ma7.astype(np.int64),
+        }
+    )
+
+
+SQL_ORDERS_DAILY_MA = f"""
+WITH daily AS (
+  SELECT epoch_us(o_orderdate) // {DAY_US} AS day,
+         count(*) AS n,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY day
+),
+bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+dense AS (
+  SELECT unnest(generate_series(lo, hi)) AS day FROM bounds
+)
+SELECT CAST(d.day AS BIGINT) AS day,
+       CAST(coalesce(da.n, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(da.cents, 0) AS BIGINT) AS cents,
+       CAST(sum(coalesce(da.cents, 0)) OVER (
+            ORDER BY d.day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS ma7_cents
+FROM dense d LEFT JOIN daily da ON da.day = d.day
+"""
+
+
 def q_orders_skyline(sf_dir: str):
     """Distributed 2-D SKYLINE (Pareto front — the multi-objective
     dominance operator): orders not dominated on (totalprice MAX,
@@ -4548,6 +4626,7 @@ ORACLE_SQL = {
     "docs_edit_pairs": SQL_DOCS_EDIT_PAIRS,
     "docs_fuzzy_score": SQL_DOCS_FUZZY_SCORE,
     "orders_skyline": SQL_ORDERS_SKYLINE,
+    "orders_daily_ma": SQL_ORDERS_DAILY_MA,
     "simhash_dup_pairs": SQL_PLANTED_DUP_PAIRS,
 }
 
@@ -4611,6 +4690,7 @@ QUERIES = {
     "docs_edit_pairs": q_docs_edit_pairs,
     "docs_fuzzy_score": q_docs_fuzzy_score,
     "orders_skyline": q_orders_skyline,
+    "orders_daily_ma": q_orders_daily_ma,
     "docs_convex_hull": q_docs_convex_hull,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
