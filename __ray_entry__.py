@@ -138,6 +138,7 @@ EXTRA_QUERY_ORDER = [
     "docs_pmi_top",
     "docs_convex_hull",
     "orders_daily_ma",
+    "doc_triangles",
     "simhash_signatures",
     "knn_ivf",
     "knn_pq",

@@ -1204,3 +1204,108 @@ LIMIT {PMI_TOPK}
 
 JOIN_QUERIES["docs_pmi_top"] = q_docs_pmi_top
 JOIN_ORACLE_SQL["docs_pmi_top"] = SQL_DOCS_PMI_TOP
+
+
+def q_doc_triangles(sf_dir: str):
+    """Triangle counting on the undirected doc link graph (the global
+    clustering-coefficient numerator): canonical a < b edges dedupe in
+    one groupby, WEDGES come from one hash-shuffle self-join on the
+    shared low endpoint (b < c kills mirror duplicates), and each wedge
+    closes iff (b, c) is itself an edge — membership via a broadcast
+    sorted packed-key array (one int64 per edge; documented bound: the
+    edge KEY set fits workers — the escape hatch is a second hash join
+    of wedges against edges). Output: one exact row (n_edges,
+    n_triangles)."""
+    import pyarrow.parquet as _pq
+    import ray
+
+    from python_rasterstats_ray.stages.graph import synth_edges
+    from python_rasterstats_ray.stages.joins import hash_equi_join
+
+    n_nodes = _pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    nodes = _read(sf_dir, "documents", columns=["doc_id"])
+    edges = synth_edges(nodes, n_nodes)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src"].to_numpy().astype(np.int64)
+        d = batch["dst"].to_numpy().astype(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        u = np.unique(np.stack([a, b], axis=1), axis=0)
+        return pa.table(
+            {"a": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())}
+        )
+
+    eu = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .materialize()
+    )
+    n_edges = eu.count()
+
+    # broadcast edge membership keys (a * n_nodes + b, sorted)
+    keys = np.sort(
+        np.concatenate(
+            [
+                b["a"].to_numpy().astype(np.int64) * n_nodes
+                + b["b"].to_numpy().astype(np.int64)
+                for b in eu.iter_batches(batch_format="pyarrow")
+            ]
+        )
+    )
+    kref = ray.put(keys)
+
+    right = eu.map_batches(
+        lambda t: t.rename_columns(["a2", "c"]), batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    wedges = hash_equi_join(eu, right, on=("a",), right_on=("a2",))
+
+    def close_partial(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        b = batch["b"].to_numpy().astype(np.int64)
+        c = batch["c"].to_numpy().astype(np.int64)
+        m = b < c
+        key = b[m] * n_nodes + c[m]
+        p = np.clip(np.searchsorted(ks, key), 0, len(ks) - 1)
+        hits = int((ks[p] == key).sum()) if len(key) else 0
+        return pa.table({"t": pa.array([hits], pa.int64())})
+
+    parts = wedges.map_batches(close_partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = sum(
+        int(x) for b in parts.iter_batches(batch_format="pyarrow") for x in b["t"].to_pylist()
+    )
+    return pd.DataFrame({"n_edges": [int(n_edges)], "n_triangles": [int(total)]}).astype(
+        {"n_edges": "int64", "n_triangles": "int64"}
+    )
+
+
+def _triangles_sql() -> str:
+    from python_rasterstats_ray.stages.graph import EDGE_A, EDGE_B
+
+    sel = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id AS src, ({a} * doc_id + {b}) % (SELECT count(*) FROM documents) AS dst\n"
+        f"  FROM documents WHERE doc_id % 4 >= {k}"
+        for k, (a, b) in enumerate(zip(EDGE_A, EDGE_B))
+    )
+    return f"""
+WITH e0 AS (
+  {sel}
+),
+eu AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src != dst
+)
+SELECT (SELECT count(*) FROM eu) AS n_edges,
+       (SELECT count(*)
+        FROM eu e1
+        JOIN eu e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN eu e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles
+"""
+
+
+JOIN_QUERIES["doc_triangles"] = q_doc_triangles
+JOIN_ORACLE_SQL["doc_triangles"] = _triangles_sql()
