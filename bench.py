@@ -527,10 +527,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     t_warm = time.time()
     warm_zonal_broadcast()  # see its docstring
     # The first full pass IS the cold run (every worker faults the mmap'd
-    # raster pages). Publish BOTH numbers: cold first-pass and the
-    # steady-state timed pass below (VERDICT r2 asked for the pair).
+    # raster pages); the timed("zonal_broadcast") pass below is the
+    # steady-state measurement. Exactly one key per measurement.
     extras["zonal_broadcast_cold_sec"] = round(time.time() - t_warm, 3)
-    extras["zonal_broadcast_warmup_sec"] = extras["zonal_broadcast_cold_sec"]
     timed("zonal_broadcast", bench_zonal_broadcast)
     extras["zonal_broadcast_zones_per_sec"] = round(
         n_zones / timings["zonal_broadcast"], 2

@@ -590,6 +590,12 @@ def q_lineitem_corr(sf_dir: str):
             batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
         ).astype(np.int64)
         flags = batch["l_returnflag"].to_numpy(zero_copy_only=False)
+        # int64-overflow guard for the np.add.at partials: the largest
+        # single addend is max(p)^2; the explicit batch_size below keeps
+        # rows-per-batch bounded, and this assert makes the bound
+        # load-bearing rather than an accident of Ray defaults.
+        worst = max(int(np.abs(p).max(initial=0)), int(np.abs(q).max(initial=0))) ** 2
+        assert worst * len(q) < 2**62, "corr partial would overflow int64; shrink batch_size"
         uniq, inv = np.unique(flags, return_inverse=True)
         def acc(v):
             out = np.zeros(len(uniq), np.int64)
@@ -607,7 +613,9 @@ def q_lineitem_corr(sf_dir: str):
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=4096
+    ).to_pandas()
     rows = {"l_returnflag": [], "n": [], "corr_qty_price": []}
     for flag, g in parts.groupby("flag"):
         # Python bigints: exact at any corpus size
@@ -702,8 +710,9 @@ SELECT user_id,
        count(*) FILTER (event_type = 'purchase') AS n_purchase,
        count(*) FILTER (event_type = 'signup') AS n_signup,
        count(*) FILTER (event_type = 'view') AS n_view,
-       CAST(sum(CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT))
-            AS BIGINT) AS k_total
+       CAST(sum(coalesce(
+                TRY_CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT),
+                0)) AS BIGINT) AS k_total
 FROM events GROUP BY user_id
 """
 

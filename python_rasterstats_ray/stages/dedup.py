@@ -599,7 +599,11 @@ def edit_distance(a: str, b: str) -> int:
     """Unit-cost Levenshtein distance (DuckDB ``levenshtein`` parity),
     vectorized row DP: the insert relaxation ``cur[j] =
     min(c[j], cur[j-1]+1)`` is a prefix-min of ``c - j`` (so each DP row
-    is pure numpy, no inner Python loop)."""
+    is pure numpy, no inner Python loop). Operates on UTF-8 BYTES —
+    deliberately: DuckDB 1.0.0's ``levenshtein`` is byte-oriented
+    (``levenshtein('日','a') = 3``), and the non-ASCII fuzz cases in
+    tests/test_training_ops.py pin that parity. On codepoint-oriented
+    engines, decode to utf-32 arrays instead."""
     A = np.frombuffer(a.encode("utf-8"), np.uint8)
     B = np.frombuffer(b.encode("utf-8"), np.uint8)
     if len(A) == 0:
@@ -622,7 +626,10 @@ def jaro_winkler(a: str, b: str) -> float:
     parity: match window floor(max/2)-1, transpositions/2, Winkler
     prefix boost p=0.1 up to 4 chars when jaro > 0.7) — the fuzzy-match
     scalar for name/title matching. Vectorized per candidate row with
-    numpy over byte arrays; fuzz-tested bit-close against DuckDB."""
+    numpy over UTF-8 BYTE arrays — deliberately: DuckDB 1.0.0's
+    ``jaro_winkler_similarity`` is byte-oriented (verified:
+    ``('日本語','日本') = 0.9333...`` = the 9-vs-6-byte jaro), and the
+    non-ASCII fuzz cases pin that parity bit-close."""
     A = np.frombuffer(a.encode("utf-8"), np.uint8)
     B = np.frombuffer(b.encode("utf-8"), np.uint8)
     la, lb = len(A), len(B)

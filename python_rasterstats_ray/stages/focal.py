@@ -2654,10 +2654,10 @@ def cost_distance_tiled(
     ntr, ntc = _n_tiles(shape, tile_size)
     if max_rounds is None:
         # runaway guard: a geodesic crosses at most (path length) tile
-        # boundaries; h+w dominates every non-adversarial unit-step
-        # field; a weighted optimal path can recross boundaries up to
-        # its hop count (<= pixel count)
-        max_rounds = (shape[0] * shape[1] + 2) if weighted else (shape[0] + shape[1] + 2)
+        # boundaries, and an optimal path never revisits a pixel
+        # (non-negative step costs), so #rounds <= h*w always — even on
+        # adversarial serpentine mazes where h+w would false-trip.
+        max_rounds = shape[0] * shape[1] + 2
 
     def init(batch: pa.Table) -> pa.Table:
         cells, fro, fco, fh, fw, dts, payload = [], [], [], [], [], [], []

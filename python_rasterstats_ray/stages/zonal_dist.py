@@ -1177,6 +1177,42 @@ def attach_zone_columns(stats_ds, zones_ds, columns: list[str], zone_col: str = 
     return stats_ds.map_batches(attach, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _json_col_fragments(name: str, col) -> np.ndarray:
+    """Vectorized ``"name": value`` JSON fragments for one pyarrow column
+    (json.dumps-compatible text: shortest-repr floats, null for NaN/None).
+    Only string-ish / nested types fall back to per-value json.dumps —
+    number columns (the zonal-stats hot case) stay pure numpy."""
+    import json
+
+    t = col.type
+    key = json.dumps(name) + ": "
+    if pa.types.is_floating(t):
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        # str(np.float64) == repr(float): shortest round-trip repr,
+        # byte-identical to json.dumps output for finite values
+        s = v.astype("U32")
+        s[~np.isfinite(v)] = "null"
+    elif pa.types.is_integer(t) and col.null_count == 0:
+        s = col.to_numpy(zero_copy_only=False).astype("U24")
+    elif pa.types.is_boolean(t) and col.null_count == 0:
+        s = np.where(col.to_numpy(zero_copy_only=False), "true", "false")
+    else:
+        s = np.array([json.dumps(x) for x in col.to_pylist()], dtype=object).astype("U")
+    return np.char.add(key, s.astype("U"))
+
+
+def _props_fragments(tbl: pa.Table, cols) -> np.ndarray:
+    """Join per-column fragments into one properties-body string per row
+    (no braces) — ``"a": 1, "b": 2.5`` — all numpy char ops."""
+    frags = None
+    for c in cols:
+        piece = _json_col_fragments(c, tbl[c])
+        frags = piece if frags is None else np.char.add(np.char.add(frags, ", "), piece)
+    if frags is None:
+        return np.full(len(tbl), "", dtype="U1")
+    return frags
+
+
 def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
                       geom_col: str = "geom_wkb"):
     """The ``geojson_out=True`` equivalent for distributed outputs
@@ -1184,43 +1220,58 @@ def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
     the (small) zone side via one broadcast map and emit a serialized
     GeoJSON Feature per stats row, stats merged into ``properties``.
 
+    The zone side is pre-serialized ONCE on the driver (per-zone attrs
+    fragment + geometry JSON, small side by contract) and gathered per
+    batch with the same sorted-key searchsorted used by
+    ``attach_zone_columns`` — no per-row dict build; stat columns
+    serialize via vectorized numpy char ops (json.dumps-identical text).
+
     Output: one ``feature_json`` string column. The zones table is the
     small side by design; stats rows stream — no shuffle."""
     import json
 
     import ray
 
-    ztbl = zones_ds.to_pandas()
+    ztbl = zones_ds.to_pandas().sort_values(zone_col).reset_index(drop=True)
     attr_cols = [c for c in ztbl.columns if c not in (zone_col, geom_col)]
-    zmap = {
-        int(r[zone_col]): (r[geom_col], {c: r[c] for c in attr_cols})
-        for r in ztbl.to_dict("records")
-    }
-    ref = ray.put(zmap)
+    zkeys = ztbl[zone_col].to_numpy().astype(np.int64)
+    zattrs = _props_fragments(
+        pa.Table.from_pandas(ztbl[attr_cols], preserve_index=False)
+        if attr_cols else pa.table({"_": pa.array([None] * len(ztbl))}),
+        attr_cols,
+    ).astype("U")
+    if attr_cols:
+        zattrs = np.char.add(zattrs, ", ")  # stats always follow
+    geom_json = np.array(
+        [json.dumps(from_wkb(w).to_geojson()) for w in ztbl[geom_col]], dtype=object
+    ).astype("U")
+    ref = ray.put((zkeys, zattrs, geom_json))
 
     def emit(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        zkeys, zattrs, geom_json = ray.get(ref)
         stat_cols = [c for c in batch.column_names if c != zone_col]
-        data = {c: batch[c].to_pylist() for c in batch.column_names}
-        feats = []
-        for i in range(len(batch)):
-            zid = int(data[zone_col][i])
-            wkb, attrs = m[zid]
-            props = dict(attrs)
-            props.update({c: data[c][i] for c in stat_cols})
-            feats.append(
-                json.dumps(
-                    {
-                        "type": "Feature",
-                        "properties": props,
-                        "geometry": from_wkb(wkb).to_geojson(),
-                    }
-                )
-            )
+        zids = batch[zone_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(zkeys) == 0:
+            if len(zids):
+                raise KeyError(f"zone_id(s) absent from zone table: {zids[:5]}")
+            pos = np.zeros(0, dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(zkeys, zids), 0, len(zkeys) - 1)
+            if not bool((zkeys[pos] == zids).all()):
+                missing = zids[zkeys[pos] != zids]
+                raise KeyError(f"zone_id(s) absent from zone table: {missing[:5]}")
+        props = np.char.add(zattrs[pos], _props_fragments(batch, stat_cols).astype("U"))
+        feats = np.char.add(
+            np.char.add(
+                np.char.add('{"type": "Feature", "properties": {', props),
+                np.char.add('}, "geometry": ', geom_json[pos]),
+            ),
+            "}",
+        )
         return pa.table(
             {
                 zone_col: batch[zone_col],
-                "feature_json": pa.array(feats, pa.string()),
+                "feature_json": pa.array(feats.tolist(), pa.string()),
             }
         )
 

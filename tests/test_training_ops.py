@@ -2378,12 +2378,22 @@ def test_edit_distance_matches_duckdb():
 
     random.seed(7)
     con = duckdb.connect()
-    cases = [("", ""), ("", "abc"), ("abc", ""), ("same same", "same same")]
+    cases = [("", ""), ("", "abc"), ("abc", ""), ("same same", "same same"),
+             # non-ASCII: codepoint (not byte) semantics — DuckDB parity
+             ("naïve", "naive"), ("héllo wörld", "hello world"),
+             ("日本語テキスト", "日本語のテキスト"), ("αβγδ", "αβζδ"),
+             ("éclair", "éclair")]  # combining mark vs precomposed
     for _ in range(150):
         n1, n2 = random.randint(0, 15), random.randint(0, 15)
         cases.append(
             ("".join(random.choice("abcd ") for _ in range(n1)),
              "".join(random.choice("abcd ") for _ in range(n2)))
+        )
+    for _ in range(80):
+        n1, n2 = random.randint(0, 12), random.randint(0, 12)
+        cases.append(
+            ("".join(random.choice("abé日χ ") for _ in range(n1)),
+             "".join(random.choice("abé日χ ") for _ in range(n2)))
         )
     for a, b in cases:
         ref = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
@@ -2404,11 +2414,17 @@ def test_jaro_winkler_matches_duckdb():
     random.seed(13)
     con = duckdb.connect()
     cases = [("", ""), ("abc", ""), ("martha", "marhta"),
-             ("dwayne", "duane"), ("dixon", "dicksonx"), ("same", "same")]
+             ("dwayne", "duane"), ("dixon", "dicksonx"), ("same", "same"),
+             ("naïve", "naive"), ("日本語テキスト", "日本語のテキスト"),
+             ("αβγδ", "αβζδ")]
     for _ in range(300):
         n1, n2 = random.randint(0, 16), random.randint(0, 16)
         cases.append(("".join(random.choice("abcd ") for _ in range(n1)),
                       "".join(random.choice("abcd ") for _ in range(n2))))
+    for _ in range(100):
+        n1, n2 = random.randint(0, 12), random.randint(0, 12)
+        cases.append(("".join(random.choice("abé日χ ") for _ in range(n1)),
+                      "".join(random.choice("abé日χ ") for _ in range(n2))))
     for a, b in cases:
         ref = con.execute("SELECT jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
         assert abs(jaro_winkler(a, b) - ref) <= 1e-9, (a, b)
