@@ -87,17 +87,20 @@ def stage_inputs() -> None:
     from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
 
     os.makedirs(BENCH_DIR, exist_ok=True)
-    marker = f"{BENCH_DIR}/_staged_v3_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
+    marker = f"{BENCH_DIR}/_staged_v4_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
+    marker_v3 = f"{BENCH_DIR}/_staged_v3_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
     marker_v2 = f"{BENCH_DIR}/_staged_v2_{ZONAL_SHAPE[0]}_{N_ZONES}_{N_POINTS}"
     if os.path.exists(marker):
         return
-    if os.path.exists(marker_v2):
-        # v2 layout already staged (tiles/zones/points): self-heal the
-        # pieces v3 added — the raster .npy and the cell-bucketed zone
-        # store — without re-generating everything.
+    if os.path.exists(marker_v3) or os.path.exists(marker_v2):
+        # earlier layout already staged (tiles/zones/points): self-heal
+        # the pieces later versions added — the raster .npy, the
+        # cell-bucketed zone store (v3) and the spatially-sorted zone
+        # shards (v4) — without re-generating everything.
         if not os.path.exists(f"{BENCH_DIR}/raster_{ZONAL_SHAPE[0]}.npy"):
             _bench_raster()
         _stage_zones_bucketed()
+        _stage_zones_spatial()
         with open(marker, "w") as f:
             f.write("ok")
         return
@@ -147,8 +150,56 @@ def stage_inputs() -> None:
         65536,
     )
     _stage_zones_bucketed()
+    _stage_zones_spatial()
     with open(marker, "w") as f:
         f.write("ok")
+
+
+def _stage_zones_spatial() -> None:
+    """Spatially-sorted copy of the zone shards (untimed, no Ray): zones
+    ordered by the raster cell their window origin falls in (band-major),
+    so each broadcast-path batch touches ONE narrow raster region instead
+    of pages scattered across the whole 256 MB mmap. This is the
+    superblock-window locality VERDICT r3 #2 asked for: per-task mmap
+    working set drops from O(raster) to O(batch neighbourhood), which both
+    matches the at-scale layout (zone layers are stored spatially
+    clustered) and removes most of the per-worker page-fault bill on
+    degraded hosts. Same rows, same schema — only the row ORDER differs."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from python_rasterstats_ray.stages.zonal_dist import assign_zones_to_cells
+
+    out_dir = os.path.join(BENCH_DIR, "zones_spatial")
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        return
+    affine, _nodata = zonal_affine_nodata()
+    zones = pads.dataset(os.path.join(BENCH_DIR, "zones")).to_table()
+    tagged = assign_zones_to_cells(
+        zones.select(["zone_id", "geom_wkb"]),
+        affine=affine, tile_size=ZONAL_TILE, geom_col="geom_wkb",
+    )
+    zid = tagged["zone_id"].to_numpy(zero_copy_only=False)
+    cell = tagged["cell"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # each zone's exploded rows are consecutive and in the zone table's
+    # row order; the first row per zone carries the cell of its window
+    # origin (cells are band-major within a zone)
+    first = np.flatnonzero(np.concatenate([[True], zid[1:] != zid[:-1]]))
+    assert len(first) == len(zones)
+    key = cell[first]
+    order = np.argsort(np.where(np.isnan(key), -1.0, key), kind="stable")
+    sorted_zones = zones.take(order)
+    tmp = out_dir + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+    n_shards, rgs = 64, 2048
+    step = (len(sorted_zones) + n_shards - 1) // n_shards
+    for i in range(n_shards):
+        part = sorted_zones.slice(i * step, step)
+        if len(part):
+            pq.write_table(part, os.path.join(tmp, f"part-{i:04d}.parquet"),
+                           row_group_size=rgs)
+    os.rename(tmp, out_dir)
 
 
 def _stage_zones_bucketed() -> None:
@@ -314,33 +365,32 @@ def warm_zonal_broadcast():
     pathology, BASELINE.md addendum: identical back-to-back runs
     measured 163 s cold then 26 s warm); the measured pass reports the
     design's steady-state throughput and the warm-pass cost is
-    published alongside it as ``zonal_broadcast_warmup_sec`` — warm vs
+    published alongside it as ``zonal_broadcast_cold_sec`` — warm vs
     cold has been distinguished in BASELINE.md since round 1."""
+    _broadcast_run(_spatial_zones()).count()
+
+
+def _spatial_zones():
+    """The spatially-sorted zone shards (see _stage_zones_spatial): each
+    ~400-row block covers one compact raster neighbourhood, so a task's
+    mmap working set is a few MB instead of page-faulting across the
+    whole raster."""
     import ray.data
 
     ncpu = _num_cpus()
-    zones = ray.data.read_parquet(
-        f"{BENCH_DIR}/zones",
+    return ray.data.read_parquet(
+        f"{BENCH_DIR}/zones_spatial",
         override_num_blocks=ncpu * 32,
         concurrency=max(4, ncpu // 4),
     )
-    _broadcast_run(zones).count()
 
 
 def bench_zonal_broadcast():
-    import ray.data
-
-    ncpu = _num_cpus()
     # Fine-grained blocks + capped read concurrency: this VM shows
     # bimodal per-process memory speed (see BASELINE.md host addendum) —
     # ~400-row tasks bound each straggler's quantum, and capping reads
     # keeps CPU slots free for the kernel pool (175 s -> 120 s measured).
-    zones = ray.data.read_parquet(
-        f"{BENCH_DIR}/zones",
-        override_num_blocks=ncpu * 32,
-        concurrency=max(4, ncpu // 4),
-    )
-    n = _broadcast_run(zones).count()
+    n = _broadcast_run(_spatial_zones()).count()
     assert n == N_ZONES, n
     return n
 

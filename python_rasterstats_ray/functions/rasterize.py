@@ -88,8 +88,17 @@ def _fill_polygon_evenodd(rings_px: list[np.ndarray], h: int, w: int) -> np.ndar
     if not idx_parts:
         return np.zeros((h, w), dtype=bool)
     idx = idx_parts[0] if len(idx_parts) == 1 else np.concatenate(idx_parts)
-    acc = np.bincount(idx, minlength=h * (w + 1)).reshape(h, w + 1)
-    return (np.cumsum(acc[:, :w], axis=1) & 1).astype(bool)
+    # Even-odd fill = XOR-parity prefix along each row: a uint8 toggle
+    # scatter (K crossings, K << h*w) + one uint8 XOR-prefix pass.
+    # Identical output to the former bincount+cumsum&1 (xor of the
+    # multiplicity == parity of the count) at ~3 bytes of memory traffic
+    # per window pixel instead of ~25 int64 bytes — the difference
+    # between compute-bound and bandwidth-bound on mega-zone windows.
+    par = np.zeros(h * (w + 1), dtype=np.uint8)
+    np.bitwise_xor.at(par, idx, np.uint8(1))
+    return np.bitwise_xor.accumulate(
+        par.reshape(h, w + 1)[:, :w], axis=1
+    ).view(bool)
 
 
 def _burn_bresenham(paths_px: list[np.ndarray], out: np.ndarray) -> None:

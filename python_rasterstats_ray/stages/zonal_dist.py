@@ -95,6 +95,12 @@ def unpack_mini_raster(row: dict):
     )
 
 
+# Fast-path zone windows above this pixel count process in row-band
+# chunks (see BroadcastZonalKernel._chunked_accumulators): bounds every
+# numpy temp to a few MB so glibc reuses heap pages instead of paying an
+# mmap+page-zero per mega-zone, and caps per-task resident footprint.
+_ZONE_CHUNK_PX = 1 << 21
+
 _MINI_FIELDS = [
     ("mini_raster_array", pa.binary()),
     ("mini_raster_mask", pa.binary()),
@@ -200,7 +206,12 @@ class BroadcastZonalKernel:
     ):
         import ray
 
-        if isinstance(raster_ref, tuple) and raster_ref and raster_ref[0] == "npy":
+        if (
+            isinstance(raster_ref, tuple)
+            and raster_ref
+            and isinstance(raster_ref[0], str)
+            and raster_ref[0] == "npy"
+        ):
             import numpy as _np
 
             _, path, affine, nodata = raster_ref
@@ -215,6 +226,9 @@ class BroadcastZonalKernel:
                 arr.base.madvise(_mmap.MADV_WILLNEED)
             except (AttributeError, ValueError, OSError):
                 pass
+        elif isinstance(raster_ref, tuple) and len(raster_ref) == 3:
+            # direct (arr, affine, nodata) — local/test use, no object store
+            arr, affine, nodata = raster_ref
         else:
             arr, affine, nodata = ray.get(raster_ref)
         self.rast = Raster(arr, affine=affine, nodata=nodata)
@@ -238,13 +252,25 @@ class BroadcastZonalKernel:
         aff = window_affine(win, self.rast.affine)
         (r0, r1), (c0, c1) = win
         shape = (r1 - r0, c1 - c0)
-        rv_array = rasterize_geom(geom, shape=shape, affine=aff, all_touched=self.all_touched)
 
         if self.zone_func is None and self.add_stats is None and not self.raster_out:
             # fast path: plain-numpy accumulators on the extracted values
-            # (zero-copy window view when fully in-extent)
-            block = window_view(self.rast.array, win, nodata)
-            acc = zone_accumulators(block, rv_array, nodata)
+            # (zero-copy window view when fully in-extent). Mega-zone
+            # windows process in bounded row-band chunks: every temp stays
+            # a few MB (allocator-reused heap pages instead of a fresh
+            # >32 MB mmap+zero per zone — the memory-bandwidth bill that
+            # made whole-window megas the broadcast path's straggler),
+            # and the chunk partials combine exactly (they're the same
+            # mergeable accumulators the tiled plan ships between nodes).
+            npx = shape[0] * shape[1]
+            if npx > _ZONE_CHUNK_PX and shape[0] > 1:
+                acc = self._chunked_accumulators(geom, win, nodata)
+            else:
+                rv_array = rasterize_geom(
+                    geom, shape=shape, affine=aff, all_touched=self.all_touched
+                )
+                block = window_view(self.rast.array, win, nodata)
+                acc = zone_accumulators(block, rv_array, nodata)
             out, pixel_count = finalize_stats(
                 self.stats,
                 self.run_count or self.categorical,
@@ -265,6 +291,9 @@ class BroadcastZonalKernel:
             return out
 
         # oracle path (zone_func / add_stats need the assembled MaskedArray)
+        rv_array = rasterize_geom(
+            geom, shape=shape, affine=aff, all_touched=self.all_touched
+        )
         fsrc = self.rast.read(bounds=geom.bounds, boundless=True)
         isnodata = fsrc.array == fsrc.nodata
         has_nan = np.issubdtype(fsrc.array.dtype, np.floating) and np.isnan(
@@ -300,6 +329,58 @@ class BroadcastZonalKernel:
         if self.raster_out:
             out["_mini"] = _mini_raster_values(masked, tuple(fsrc.affine), fsrc.nodata)
         return out
+
+    def _chunked_accumulators(self, geom, win, nodata) -> dict:
+        """Row-band-chunked equivalent of ``zone_accumulators`` over one
+        zone window: rasterize + accumulate per ≤``_ZONE_CHUNK_PX`` band,
+        combine the partials. Exact for every stat — value arrays are
+        collected only when a vals-needing stat (median / percentile /
+        majority / minority / unique / categorical) asks for them."""
+        (r0, r1), (c0, c1) = win
+        width = c1 - c0
+        band = max(1, _ZONE_CHUNK_PX // max(width, 1))
+        need_vals = (
+            self.run_count
+            or self.categorical
+            or "median" in self.stats
+            or any(s.startswith("percentile_") for s in self.stats)
+        )
+        tot = dict(
+            count=0, sum_f=0.0, sum_i=0, sumsq=0.0, min=None, max=None,
+            nodata=0, nan_cnt=0, has_nan=False, is_int=True, vals=None,
+        )
+        vals_parts: list[np.ndarray] = []
+        for a in range(r0, r1, band):
+            b = min(a + band, r1)
+            sub = ((a, b), (c0, c1))
+            rv = rasterize_geom(
+                geom,
+                shape=(b - a, width),
+                affine=window_affine(sub, self.rast.affine),
+                all_touched=self.all_touched,
+            )
+            part = zone_accumulators(
+                window_view(self.rast.array, sub, nodata), rv, nodata
+            )
+            tot["count"] += part["count"]
+            tot["sum_f"] += part["sum_f"]
+            tot["sum_i"] += part["sum_i"]
+            tot["sumsq"] += part["sumsq"]
+            tot["nodata"] += part["nodata"]
+            tot["nan_cnt"] += part["nan_cnt"]
+            tot["has_nan"] = tot["has_nan"] or part["has_nan"]
+            tot["is_int"] = part["is_int"]
+            if part["min"] is not None:
+                tot["min"] = part["min"] if tot["min"] is None else min(tot["min"], part["min"])
+                tot["max"] = part["max"] if tot["max"] is None else max(tot["max"], part["max"])
+            if need_vals and part["count"]:
+                vals_parts.append(part["vals"])
+        if need_vals:
+            tot["vals"] = (
+                np.concatenate(vals_parts) if vals_parts
+                else np.zeros(0, dtype=self.rast.array.dtype)
+            )
+        return tot
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         wkbs = batch[self.geom_col].to_pylist()

@@ -316,3 +316,39 @@ def test_zone_func_tiled(ray_session, class_inputs):
                 assert got is None or np.isnan(got), (i, k)
             else:
                 assert got == pytest.approx(want, rel=1e-12), (i, k, got, want)
+
+
+def test_chunked_accumulators_match_whole_window(monkeypatch):
+    """Row-band-chunked mega-zone fast path (zonal_dist._ZONE_CHUNK_PX)
+    vs the whole-window kernel: every stat equal (exact for count / min /
+    max / nodata / nan / median / percentiles / majority / unique,
+    ~1e-12 rel for the float64-accumulated mean/sum/std) on in-extent,
+    straddling and beyond-extent windows, all_touched both ways."""
+    import python_rasterstats_ray.stages.zonal_dist as zd
+    from python_rasterstats_ray.stages.zonal_dist import BroadcastZonalKernel
+
+    arr, affine, nodata = generate_raster((160, 180), kind="holes", seed=21)
+    zones = generate_zones(
+        12, extent=(-40.0, -40.0, 220.0, 200.0), seed=23, mega_every=3, n_vertices=24
+    )
+    stats = "count min max mean sum std median percentile_25 majority unique nodata nan"
+    for all_touched in (False, True):
+        whole = BroadcastZonalKernel(
+            (arr, affine, nodata), stats=stats, all_touched=all_touched
+        )
+        out_whole = whole(zones).to_pandas()
+        monkeypatch.setattr(zd, "_ZONE_CHUNK_PX", 97)  # force many bands
+        chunked = BroadcastZonalKernel(
+            (arr, affine, nodata), stats=stats, all_touched=all_touched
+        )
+        out_chunked = chunked(zones).to_pandas()
+        monkeypatch.undo()
+        for col in out_whole.columns:
+            a, b = out_whole[col], out_chunked[col]
+            for i in range(len(a)):
+                if a[i] is None or (isinstance(a[i], float) and np.isnan(a[i])):
+                    assert b[i] is None or np.isnan(b[i]), (col, i)
+                elif isinstance(a[i], float):
+                    assert b[i] == pytest.approx(a[i], rel=1e-12), (col, i)
+                else:
+                    assert a[i] == b[i], (col, i)
