@@ -1,7 +1,8 @@
 """Minimal pure-Python GeoTIFF reader (stdlib struct + numpy only).
 
 Supports the subset of baseline TIFF 6.0 needed for conformance fixtures:
-striped or tiled layout, uncompressed or LZW (with horizontal predictor),
+striped or tiled layout, uncompressed, PackBits, or LZW/deflate (with
+horizontal predictor),
 single- or multi-sample, uint8/16/32, int8/16/32, float32/64, plus the
 GeoTIFF georeferencing tags (ModelPixelScale + ModelTiepoint or
 ModelTransformation) and GDAL's ASCII nodata tag. Internal mask IFDs
@@ -25,6 +26,24 @@ from ..functions.affine import Affine
 
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+
+def _packbits_decode(raw: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: control byte n in [0,127] copies n+1 literal
+    bytes; n in [129,255] repeats the next byte 257-n times; 128 is a
+    no-op. Loop is O(runs), not O(bytes)."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        i += 1
+        if b < 128:
+            out += raw[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            out += raw[i : i + 1] * (257 - b)
+            i += 1
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes) -> bytes:
@@ -150,7 +169,7 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
     planar = int(ifd.value(284, 1))
     if planar != 1 and spp > 1:
         raise NotImplementedError("planar configuration 2 not supported")
-    if compression not in (1, 5, 8, 32946):
+    if compression not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
 
     def _decompress(raw: bytes) -> bytes:
@@ -158,6 +177,8 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
             return _lzw_decode(raw)
         if compression in (8, 32946):
             return zlib.decompress(raw)
+        if compression == 32773:
+            return _packbits_decode(raw)
         return raw
 
     if bps < 8:

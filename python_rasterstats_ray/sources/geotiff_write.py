@@ -1,7 +1,7 @@
 """From-scratch GeoTIFF WRITER (counterpart to sources/geotiff.py).
 
 Writes classic little-endian TIFF, single- or multi-band (contiguous),
-striped, deflate-compressed (or uncompressed), with GeoTIFF georeference
+striped, deflate- or PackBits-compressed (or uncompressed), with GeoTIFF georeference
 tags (ModelPixelScale + ModelTiepoint for north-up affines,
 ModelTransformation for general ones) and the GDAL_NODATA ascii tag —
 the subset our reader (and rasterio/GDAL) understands. Used to export
@@ -42,6 +42,33 @@ def _tag(tag: int, typ: int, values) -> tuple[int, int, list]:
     return (tag, typ, list(values))
 
 
+def _packbits_encode_row(row: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits encoder for ONE row (the spec forbids packing
+    across row boundaries). Runs of >=2 identical bytes become a replicate
+    record (257-run, byte); everything else accumulates into <=128-byte
+    literal records."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        j = i + 1
+        while j < n and j - i < 128 and row[j] == row[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(row[i])
+            i = j
+            continue
+        lit = i
+        i += 1
+        while i < n and i - lit < 128:
+            if i + 1 < n and row[i] == row[i + 1]:
+                break
+            i += 1
+        out.append(i - lit - 1)
+        out += row[lit:i]
+    return bytes(out)
+
+
 def write_geotiff(
     path: str,
     array: np.ndarray,
@@ -59,9 +86,9 @@ def write_geotiff(
     bands, h, w = arr.shape
     if arr.dtype.kind not in _SAMPLE_FORMAT:
         raise NotImplementedError(f"dtype {arr.dtype} not supported")
-    if compression not in ("deflate", "none"):
+    if compression not in ("deflate", "packbits", "none"):
         raise NotImplementedError(f"compression {compression!r} not supported")
-    comp_code = 8 if compression == "deflate" else 1
+    comp_code = {"deflate": 8, "packbits": 32773, "none": 1}[compression]
     bits = arr.dtype.itemsize * 8
     fmt_code = _SAMPLE_FORMAT[arr.dtype.kind]
 
@@ -69,10 +96,21 @@ def write_geotiff(
     pix = np.ascontiguousarray(np.moveaxis(arr, 0, -1))  # (h, w, bands)
     if pix.dtype.byteorder == ">":
         pix = pix.astype(pix.dtype.newbyteorder("<"))
+    row_bytes = w * bands * arr.dtype.itemsize
     strips = []
     for r0 in range(0, h, rows_per_strip):
         raw = pix[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw, 6) if comp_code == 8 else raw)
+        if comp_code == 8:
+            strips.append(zlib.compress(raw, 6))
+        elif comp_code == 32773:
+            strips.append(
+                b"".join(
+                    _packbits_encode_row(raw[p : p + row_bytes])
+                    for p in range(0, len(raw), row_bytes)
+                )
+            )
+        else:
+            strips.append(raw)
 
     # ---- tags ------------------------------------------------------
     north_up = affine.b == 0.0 and affine.d == 0.0 and affine.a > 0 and affine.e < 0

@@ -81,3 +81,49 @@ def test_write_zone_rasters_sink(ray_session, tmp_path):
         assert (got[valid] == np.asarray(masked)[valid]).all()
         # masked cells were filled with nodata
         assert (got[~valid] == np.asarray(nod, dtype=got.dtype)).all()
+
+
+def test_packbits_decode_spec_vector():
+    """The worked example from TIFF 6.0 §9 (Apple PackBits)."""
+    from python_rasterstats_ray.sources.geotiff import _packbits_decode
+
+    packed = bytes.fromhex("FEAA0280002AFDAA038000 2A22F7AA".replace(" ", ""))
+    want = bytes.fromhex("AAAAAA80002AAAAAAAAA80002A22" + "AA" * 10)
+    assert _packbits_decode(packed) == want
+
+
+def test_packbits_encode_decode_fuzz():
+    from python_rasterstats_ray.sources.geotiff import _packbits_decode
+    from python_rasterstats_ray.sources.geotiff_write import _packbits_encode_row
+
+    rng = np.random.RandomState(42)
+    for trial in range(60):
+        n = int(rng.randint(0, 700))
+        # mix long runs and noise so both record types get exercised
+        row = rng.choice([0, 0, 0, 7, 255], size=n).astype(np.uint8)
+        if n and trial % 3 == 0:
+            row[: n // 2] = 9  # one big run (can exceed 128)
+        b = row.tobytes()
+        assert _packbits_decode(_packbits_encode_row(b)) == b
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "uint16", "float32"])
+def test_roundtrip_packbits(tmp_path, dtype):
+    rng = np.random.RandomState(3)
+    arr = (rng.randint(0, 5, size=(41, 29)) * 11).astype(dtype)
+    aff = Affine(10.0, 0.0, 0.0, 0.0, -10.0, 410.0)
+    p = str(tmp_path / "pb.tif")
+    write_geotiff(p, arr, aff, nodata=0.0, compression="packbits")
+    g = read_geotiff(p)
+    assert g.array.dtype == arr.dtype
+    assert (g.array[0] == arr).all()
+    assert g.affine == aff
+
+
+def test_roundtrip_packbits_multiband(tmp_path):
+    arr = np.random.RandomState(5).randint(0, 3, size=(2, 33, 17)).astype(np.uint8)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 33.0)
+    p = str(tmp_path / "pb2.tif")
+    write_geotiff(p, arr, aff, compression="packbits")
+    g = read_geotiff(p)
+    assert (g.array == arr).all()
