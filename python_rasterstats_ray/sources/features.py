@@ -1,6 +1,6 @@
 """Polymorphic vector feature input (parity: io.py:48-146 of the reference).
 
-Accepts: path to .shp or GeoJSON file, GeoJSON string (Feature /
+Accepts: path to .shp, .gpkg (GeoPackage) or GeoJSON file, GeoJSON string (Feature /
 FeatureCollection / bare geometry), WKT string, WKB bytes (or hex string),
 GeoJSON-like Mapping, any object with ``__geo_interface__`` (incl.
 GeoDataFrame-likes), or an iterable of any of the above. Unparseable input
@@ -69,6 +69,10 @@ def list_layers(path: str) -> list[str]:
         return sorted(
             os.path.splitext(f)[0] for f in os.listdir(path) if f.lower().endswith(".shp")
         )
+    if path.lower().endswith(".gpkg"):
+        from .geopackage import list_gpkg_layers
+
+        return list_gpkg_layers(path)
     return [os.path.splitext(os.path.basename(path))[0]]
 
 
@@ -94,6 +98,10 @@ def _file_features(path: str, layer=0):
     """Read features from a .shp or GeoJSON file (or a directory
     datasource with ``layer`` selection by index or name)."""
     lower = path.lower()
+    if lower.endswith(".gpkg"):
+        from .geopackage import read_geopackage
+
+        return read_geopackage(path, layer)
     if os.path.isdir(path) or lower.endswith(".shp"):
         return read_shapefile(_resolve_layer(path, layer))
     with open(path) as f:
