@@ -1906,6 +1906,21 @@ def zonal_stats_tiled_from_store(
 
     Pixel-carrying features (add_stats / zone_func / raster_out) are not
     offered here — use zonal_stats_tiled for those.
+
+    ``checkpoint_before_shuffle`` (default True) materializes the partial
+    rows into the object store before the zone-aggregate exchange. The
+    tradeoff: Ray's sort-based all-to-all samples its input and then
+    re-executes it, so WITHOUT the checkpoint every cell task (bucket
+    read + rasterize + fused stats) runs TWICE; WITH it the partials are
+    pinned once and the sort reads them back. Partials are thin (one row
+    per (zone, cell) pair — 77 MB at sf0.1's 400k zones), so pinning is
+    the right default up to ~10^10 zone-cell pairs. Beyond that (10^12
+    zones on a 256-node cluster) the pinned copy itself becomes an
+    object-store-sized commitment that forces spilling; pass ``False``
+    to stream the partials straight into the exchange and pay the
+    recompute instead — CPU (re-rasterize) is usually cheaper than
+    spill-to-disk I/O at that scale. Both modes are bit-identical
+    (tests/test_distributed.py::test_tiled_from_store_streaming_shuffle).
     """
     import os
 

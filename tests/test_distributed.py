@@ -160,6 +160,41 @@ def test_tiled_from_store_identical(ray_session, fixture_inputs, tmp_path):
                 assert a[c].equals(b[c]), c
 
 
+def test_tiled_from_store_streaming_shuffle(ray_session, fixture_inputs, tmp_path):
+    """checkpoint_before_shuffle=False (stream partials straight into the
+    zone-aggregate exchange, paying recompute instead of pinning — the
+    10^12-zone mode documented on zonal_stats_tiled_from_store) must be
+    bit-identical to the default pinned mode."""
+    import ray.data
+    from python_rasterstats_ray.stages.zonal_dist import (
+        write_zones_bucketed,
+        zonal_stats_tiled_from_store,
+    )
+
+    arr, affine, nodata, zones = fixture_inputs
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    store = write_zones_bucketed(
+        ray.data.from_arrow(zones), str(tmp_path / "zstore_s"), affine, tile_size=128
+    )
+    kw = dict(
+        affine=affine,
+        nodata=nodata,
+        raster_dtype=str(arr.dtype),
+        stats=STATS,
+        tile_size=128,
+        concurrency=(1, 2),
+    )
+    a = zonal_stats_tiled_from_store(
+        store, ray.data.from_arrow(tiles), checkpoint_before_shuffle=True, **kw
+    ).to_pandas().reset_index(drop=True)
+    b = zonal_stats_tiled_from_store(
+        store, ray.data.from_arrow(tiles), checkpoint_before_shuffle=False, **kw
+    ).to_pandas().reset_index(drop=True)
+    assert list(a.columns) == list(b.columns)
+    for c in a.columns:
+        assert a[c].equals(b[c]), c
+
+
 def test_tiled_all_touched_and_categorical(ray_session):
     import ray.data
     from python_rasterstats_ray.stages.zonal_dist import zonal_stats_tiled
