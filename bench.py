@@ -63,6 +63,20 @@ def warm_cluster(num_cpus: int) -> None:
     ).materialize()
 
 
+def host_probe_sec() -> float:
+    """256 MB first-touch probe: the host-health canary documented in
+    BASELINE.md (0.07 s healthy; 19-42 s in the degraded mode that
+    inflates the memory-bandwidth-bound stages). Published with every
+    suite/scaling JSON so each recorded number carries its own weather
+    report."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.zeros(256 * 1024 * 1024 // 8)
+    a[::512] = 1.0
+    return round(time.time() - t0, 3)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     import re
 
@@ -569,6 +583,7 @@ def bench_point_query():
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
+    probe_start = host_probe_sec()
     stage_inputs()
     ray.init(
         address="local",
@@ -643,6 +658,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "num_cpus": num_cpus,
+        "host_probe_start_sec": probe_start,
+        "host_probe_end_sec": host_probe_sec(),
         **extras,
     }
 
@@ -662,7 +679,9 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
     if workload == "headroom":
         # compute-dominated 1M-zone job (staging untimed; marker-cached)
         results = {}
+        probes = {}
         for n in (cpus_lo, cpus_hi):
+            probes[f"host_probe_{n}cpu_sec"] = host_probe_sec()
             out = subprocess.run(
                 [sys.executable, os.path.join(repo, "scripts", "headroom.py"), str(n)],
                 capture_output=True, text=True, cwd=repo,
@@ -687,6 +706,7 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
             "throughput_lo_zones_per_sec": lo["zones_per_sec"],
             "throughput_hi_zones_per_sec": hi["zones_per_sec"],
             "cpus": [cpus_lo, cpus_hi],
+            **probes,
         }
     stage_inputs()
     results = {}
@@ -764,7 +784,9 @@ def run_scaling_control(cpus_lo: int, cpus_hi: int) -> dict:
 
     stage_inputs()
     out = {}
+    probes = {}
     for n in (cpus_lo, cpus_hi):
+        probes[f"host_probe_{n}cpu_sec"] = host_probe_sec()
         t0 = time.time()
         with mp.get_context("fork").Pool(n) as pool:
             total = sum(
@@ -790,6 +812,7 @@ def run_scaling_control(cpus_lo: int, cpus_hi: int) -> dict:
         "throughput_lo_zones_per_sec": out[cpus_lo]["zones_per_sec"],
         "throughput_hi_zones_per_sec": out[cpus_hi]["zones_per_sec"],
         "cpus": [cpus_lo, cpus_hi],
+        **probes,
     }
 
 

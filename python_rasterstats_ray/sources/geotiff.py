@@ -28,6 +28,23 @@ _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 
 _TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
 
 
+def _jpeg_merge_tables(tables: bytes | None, raw: bytes) -> bytes:
+    """New-style JPEG-in-TIFF: prepend the JPEGTables-tag stream's table
+    segments (an abbreviated SOI..EOI stream) to a strip/tile stream so
+    abbreviated strips decode standalone. A complete strip stream passes
+    through unchanged (tables then repeat, which JFIF permits)."""
+    if not tables or len(tables) <= 4:
+        return raw
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("JPEG strip missing SOI")
+    t = bytes(tables)
+    if t[:2] == b"\xff\xd8":
+        t = t[2:]
+    if t[-2:] == b"\xff\xd9":
+        t = t[:-2]
+    return b"\xff\xd8" + t + raw[2:]
+
+
 def _packbits_decode(raw: bytes) -> bytes:
     """TIFF 6.0 §9 PackBits: control byte n in [0,127] copies n+1 literal
     bytes; n in [129,255] repeats the next byte 257-n times; 128 is a
@@ -169,8 +186,16 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
     planar = int(ifd.value(284, 1))
     if planar != 1 and spp > 1:
         raise NotImplementedError("planar configuration 2 not supported")
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
+    if compression == 7 and bps != 8:
+        raise NotImplementedError("JPEG-in-TIFF only supported at 8-bit depth")
+    # New-style JPEG (comp 7): shared tables live in the JPEGTables tag
+    # (347) as an abbreviated SOI..EOI stream; each strip/tile is its own
+    # (possibly abbreviated) JPEG stream that inherits them.
+    jpeg_tables = ifd.values(347) if compression == 7 else None
+    if isinstance(jpeg_tables, (list, tuple)):
+        jpeg_tables = bytes(jpeg_tables)
 
     def _decompress(raw: bytes) -> bytes:
         if compression == 5:
@@ -179,6 +204,17 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
             return zlib.decompress(raw)
         if compression == 32773:
             return _packbits_decode(raw)
+        if compression == 7:
+            from .jpeg import jpeg_decode
+
+            img = jpeg_decode(_jpeg_merge_tables(jpeg_tables, raw))
+            if img.ndim == 2:
+                img = img[:, :, None]
+            if img.shape[2] != spp:
+                raise ValueError(
+                    f"JPEG strip has {img.shape[2]} components, IFD says {spp}"
+                )
+            return np.ascontiguousarray(img).tobytes()
         return raw
 
     if bps < 8:

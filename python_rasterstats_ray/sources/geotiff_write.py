@@ -76,8 +76,13 @@ def write_geotiff(
     nodata: float | None = None,
     compression: str = "deflate",
     rows_per_strip: int = 64,
+    jpeg_quality: int = 90,
 ) -> str:
-    """Write ``array`` ((h, w) or (bands, h, w)) as a striped GeoTIFF."""
+    """Write ``array`` ((h, w) or (bands, h, w)) as a striped GeoTIFF.
+
+    ``compression="jpeg"`` (LOSSY, uint8 1- or 3-band only) writes each
+    strip as a complete baseline JFIF stream (new-style TIFF comp 7,
+    4:4:4 so band values survive within quantization error)."""
     arr = np.asarray(array)
     if arr.ndim == 2:
         arr = arr[None, :, :]
@@ -86,9 +91,11 @@ def write_geotiff(
     bands, h, w = arr.shape
     if arr.dtype.kind not in _SAMPLE_FORMAT:
         raise NotImplementedError(f"dtype {arr.dtype} not supported")
-    if compression not in ("deflate", "packbits", "none"):
+    if compression not in ("deflate", "packbits", "jpeg", "none"):
         raise NotImplementedError(f"compression {compression!r} not supported")
-    comp_code = {"deflate": 8, "packbits": 32773, "none": 1}[compression]
+    if compression == "jpeg" and (arr.dtype != np.uint8 or bands not in (1, 3)):
+        raise NotImplementedError("jpeg compression needs uint8, 1 or 3 bands")
+    comp_code = {"deflate": 8, "packbits": 32773, "jpeg": 7, "none": 1}[compression]
     bits = arr.dtype.itemsize * 8
     fmt_code = _SAMPLE_FORMAT[arr.dtype.kind]
 
@@ -99,6 +106,18 @@ def write_geotiff(
     row_bytes = w * bands * arr.dtype.itemsize
     strips = []
     for r0 in range(0, h, rows_per_strip):
+        if comp_code == 7:
+            from .jpeg import jpeg_encode
+
+            block = pix[r0 : r0 + rows_per_strip]
+            strips.append(
+                jpeg_encode(
+                    block[:, :, 0] if bands == 1 else block,
+                    quality=jpeg_quality,
+                    subsampling="4:4:4",
+                )
+            )
+            continue
         raw = pix[r0 : r0 + rows_per_strip].tobytes()
         if comp_code == 8:
             strips.append(zlib.compress(raw, 6))
@@ -119,7 +138,9 @@ def write_geotiff(
         _tag(257, _TYPE_CODES["long"], [h]),
         _tag(258, _TYPE_CODES["short"], [bits] * bands),
         _tag(259, _TYPE_CODES["short"], [comp_code]),
-        _tag(262, _TYPE_CODES["short"], [1]),  # BlackIsZero
+        # photometric: RGB for 3-band jpeg (the decoded image is RGB),
+        # BlackIsZero otherwise
+        _tag(262, _TYPE_CODES["short"], [2 if comp_code == 7 and bands == 3 else 1]),
         # 273/279 strip offsets+counts patched below
         _tag(277, _TYPE_CODES["short"], [bands]),
         _tag(278, _TYPE_CODES["long"], [rows_per_strip]),

@@ -127,3 +127,79 @@ def test_roundtrip_packbits_multiband(tmp_path):
     write_geotiff(p, arr, aff, compression="packbits")
     g = read_geotiff(p)
     assert (g.array == arr).all()
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Split a complete JFIF stream into (tables_stream, abbreviated) the
+    way GDAL's JPEGTables tag does: DQT/DHT segments move to an
+    SOI..EOI tables stream; the strip keeps everything else."""
+    import struct as _s
+
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    while pos + 4 <= len(stream):
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: header + entropy data to EOI stays
+            rest += stream[pos:]
+            break
+        (seglen,) = _s.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seglen]
+        (tables if marker in (0xDB, 0xC4) else rest).extend(seg)
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def test_jpeg_in_tiff_roundtrip_gray(tmp_path):
+    y, x = np.mgrid[0:70, 0:53]
+    arr = (100 + 40 * np.sin(y / 9.0) + 30 * np.cos(x / 7.0)).astype(np.uint8)
+    aff = Affine(5.0, 0.0, 0.0, 0.0, -5.0, 350.0)
+    p = str(tmp_path / "jp.tif")
+    write_geotiff(p, arr, aff, nodata=255.0, compression="jpeg", jpeg_quality=95)
+    g = read_geotiff(p)
+    assert g.array.shape == (1, 70, 53)
+    assert g.affine == aff and g.nodata == 255.0
+    d = np.abs(g.array[0].astype(int) - arr.astype(int))
+    assert d.max() <= 4 and d.mean() < 1.0  # lossy, smooth field
+
+
+def test_jpeg_in_tiff_roundtrip_rgb(tmp_path):
+    y, x = np.mgrid[0:40, 0:64]
+    base = (120 + 60 * np.sin((y + x) / 11.0)).astype(np.uint8)
+    rgb = np.stack([base, base // 2 + 30, 255 - base], 0).astype(np.uint8)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 40.0)
+    p = str(tmp_path / "jp3.tif")
+    write_geotiff(p, rgb, aff, compression="jpeg", jpeg_quality=95)
+    g = read_geotiff(p)
+    assert g.array.shape == (3, 40, 64)
+    d = np.abs(g.array.astype(int) - rgb.astype(int))
+    assert d.max() <= 12 and d.mean() < 2.0  # YCbCr roundtrip + quant
+
+
+def test_jpeg_tables_merge_abbreviated():
+    """_jpeg_merge_tables must reassemble a decodable stream from a
+    JPEGTables-style split (shared tables + abbreviated strip)."""
+    from python_rasterstats_ray.sources.geotiff import _jpeg_merge_tables
+    from python_rasterstats_ray.sources.jpeg import jpeg_decode, jpeg_encode
+
+    y, x = np.mgrid[0:24, 0:31]
+    img = (90 + 50 * np.sin(x / 5.0) + 20 * np.cos(y / 3.0)).astype(np.uint8)
+    full = jpeg_encode(img, quality=92)
+    tables, abbreviated = _split_jpeg_tables(full)
+    assert b"\xff\xdb" not in abbreviated[:200]  # DQT really moved out
+    merged = _jpeg_merge_tables(tables, abbreviated)
+    assert (jpeg_decode(merged) == jpeg_decode(full)).all()
+    # complete stream passes through untouched when no tables tag
+    assert _jpeg_merge_tables(None, full) == full
+
+
+def test_jpeg_in_tiff_rejects_unsupported():
+    with pytest.raises(NotImplementedError):
+        write_geotiff(
+            "/tmp/never.tif",
+            np.zeros((5, 5), np.float32),
+            Affine(1.0, 0.0, 0.0, 0.0, -1.0, 5.0),
+            compression="jpeg",
+        )
