@@ -201,6 +201,7 @@ EXTRA_QUERY_ORDER = [
     "raster_pyramid",
     "raster_proximity",
     "points_density",
+    "docs_bm25_top",
 ]
 
 

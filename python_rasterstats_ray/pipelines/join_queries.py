@@ -1458,3 +1458,123 @@ SELECT (SELECT count(*) FROM eu) AS n_edges,
 
 JOIN_QUERIES["doc_triangles"] = q_doc_triangles
 JOIN_ORACLE_SQL["doc_triangles"] = _triangles_sql()
+
+
+# ----------------------------------------------------------- BM25 retrieval
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("join", "hash", "stream", "vector")
+BM25_TOPK = 20
+
+
+def q_docs_bm25_top(sf_dir: str):
+    """BM25 top-{BM25_TOPK} ranked retrieval for the fixed query
+    {BM25_QUERY} (Robertson/Sparck-Jones idf, k1={BM25_K1}, b={BM25_B}).
+
+    100-TB shape — contrast q_docs_tfidf_top, whose pass 1 ships the
+    whole vocabulary through a term-key exchange: BM25 retrieval only
+    needs |Q| document frequencies plus the corpus length stats, so
+    pass 1 reduces each block to ONE O(|Q|)-width partial row (docs are
+    rows, never split across batches, so per-block distinct-doc counts
+    sum exactly) and the driver folds #blocks rows — no exchange at
+    all. Pass 2 closes over the |Q| idf weights (broadcast-by-closure,
+    4 floats), scores each block vectorized (bincount tf over the
+    unique-doc inverse), and emits a per-block top-K partial; the
+    final merge sorts #blocks*K candidate rows on the driver — the
+    same documented candidate-sized reduction the kNN family uses.
+    """
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    qset = pa.array(list(BM25_QUERY), pa.string())
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        doc, terms = _explode_terms(batch)
+        out = {
+            "n_docs": [int(len(np.unique(doc)))],
+            "n_tokens": [int(len(doc))],
+        }
+        isq = pc.is_in(terms, value_set=qset).to_numpy(zero_copy_only=False)
+        tarr = np.asarray(terms.to_pylist(), dtype=object)[isq]
+        darr = doc[isq]
+        for i, qt in enumerate(BM25_QUERY):
+            out[f"df_{i}"] = [int(len(np.unique(darr[tarr == qt])))]
+        return pa.table(out)
+
+    folded = (
+        ds.map_batches(stats_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # one row per block: O(#blocks), documented tiny
+        .sum()
+    )
+    n = float(folded["n_docs"])
+    avgdl = float(folded["n_tokens"]) / n
+    idf = np.array(
+        [
+            np.log(1.0 + (n - float(folded[f"df_{i}"]) + 0.5) / (float(folded[f"df_{i}"]) + 0.5))
+            for i in range(len(BM25_QUERY))
+        ]
+    )
+
+    def score_topk(batch: pa.Table) -> pa.Table:
+        doc, terms = _explode_terms(batch)
+        udoc, inv, counts = np.unique(doc, return_inverse=True, return_counts=True)
+        dl = counts.astype(np.float64)
+        denom_base = BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        score = np.zeros(len(udoc))
+        for i, qt in enumerate(BM25_QUERY):
+            m = pc.equal(terms, qt).to_numpy(zero_copy_only=False)
+            tf = np.bincount(inv[m], minlength=len(udoc)).astype(np.float64)
+            score += idf[i] * (tf * (BM25_K1 + 1.0)) / (tf + denom_base)
+        pos = (score > 0.0).nonzero()[0]  # oracle's inner join: >=1 query term
+        pos = pos[np.lexsort((udoc[pos], -score[pos]))][:BM25_TOPK]
+        return pa.table(
+            {
+                "doc_id": pa.array(udoc[pos], pa.int64()),
+                "score": pa.array(score[pos], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # <= #blocks * K candidate rows
+    cand = cand.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    top = cand.head(BM25_TOPK).reset_index(drop=True)
+    top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '{TOKEN_SPLIT_RE}')) AS term
+  FROM documents
+), filt AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+dl AS (SELECT doc_id, count(*) AS dl FROM filt GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+qdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM filt
+  WHERE term IN ({terms}) GROUP BY term
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM filt
+  WHERE term IN ({terms}) GROUP BY doc_id, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (corpus.n - qdf.df + 0.5) / (qdf.df + 0.5))
+             * (tf.tf * ({BM25_K1} + 1.0))
+             / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / corpus.avgdl))) AS score
+  FROM tf JOIN qdf USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+FROM scored
+ORDER BY rnk
+LIMIT {BM25_TOPK}
+"""
+
+
+JOIN_QUERIES["docs_bm25_top"] = q_docs_bm25_top
+JOIN_ORACLE_SQL["docs_bm25_top"] = _bm25_sql()
