@@ -18,30 +18,45 @@ from .text import md5_batch
 # ------------------------------------------------------------ exact dedup
 
 
+_HEX2 = [f"{i:02x}" for i in range(256)]
+
+
+def _md5_prefix_bucket(batch: pa.Table) -> pa.Table:
+    """Append a 256-way coarse partition keyed on the md5 hex prefix —
+    a pure function of the group key, so every md5 group lands whole in
+    one bucket and per-bucket processing can reduce MANY groups in one
+    vectorized pass (per-md5 map_groups would pay a Python call per
+    distinct text: hours at 10^9 groups)."""
+    if len(batch) == 0:
+        return batch.append_column("bucket", pa.array([], pa.int32()))
+    pre = pc.utf8_slice_codeunits(batch["text_md5"], 0, 2)
+    return batch.append_column("bucket", pc.index_in(pre, pa.array(_HEX2)))
+
+
 def exact_dedup_groups(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
     """Hash-partitioned exact dedup: md5(text) groupby -> one row per
     distinct text with representative (min id) and duplicate count.
 
     Only (text_md5, id) cross the shuffle — payload stays columnar in the
-    upstream blocks.
-    """
+    upstream blocks. The exchange is bucketed on the md5 prefix and each
+    bucket reduces all its md5 groups in ONE Arrow group_by (no per-group
+    Python)."""
 
     def hash_project(batch: pa.Table) -> pa.Table:
         b = md5_batch(batch, text_col=text_col)
-        return b.select([id_col, "text_md5"])
+        return _md5_prefix_bucket(b.select([id_col, "text_md5"]))
 
     hashed = docs_ds.map_batches(hash_project, batch_format="pyarrow", zero_copy_batch=True)
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "text_md5": pa.array([group["text_md5"][0].as_py()], pa.string()),
-                "rep_doc_id": pa.array([pc.min(group[id_col]).as_py()], pa.int64()),
-                "dup_count": pa.array([len(group)], pa.int64()),
-            }
+    def reduce_bucket(group: pa.Table) -> pa.Table:
+        t = (
+            group.select(["text_md5", id_col])
+            .group_by("text_md5")
+            .aggregate([(id_col, "min"), (id_col, "count")])
         )
+        return t.rename_columns(["text_md5", "rep_doc_id", "dup_count"])
 
-    return hashed.groupby("text_md5").map_groups(reduce_group, batch_format="pyarrow")
+    return hashed.groupby("bucket").map_groups(reduce_bucket, batch_format="pyarrow")
 
 
 def exact_dedup_keep_first(docs_ds, text_col: str = "text", id_col: str = "doc_id"):
@@ -61,21 +76,40 @@ def exact_dedup_filter(
 
     def hash_project(batch: pa.Table) -> pa.Table:
         b = md5_batch(batch, text_col=text_col)
-        return b.select([id_col, *keep_cols, "text_md5"])
+        return _md5_prefix_bucket(b.select([id_col, *keep_cols, "text_md5"]))
 
     hashed = docs_ds.map_batches(hash_project, batch_format="pyarrow", zero_copy_batch=True)
 
-    def pick_rep(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        i = int(np.argmin(ids))
-        return group.slice(i, 1).select([id_col, *keep_cols])
+    def pick_reps(group: pa.Table) -> pa.Table:
+        # all md5 groups of the bucket at once: sort (md5, id), keep the
+        # first row of each md5 run (= the min-id representative)
+        idx = pc.sort_indices(
+            group, sort_keys=[("text_md5", "ascending"), (id_col, "ascending")]
+        )
+        s = group.take(idx)
+        md5 = s["text_md5"]
+        first = np.concatenate(
+            (
+                [True],
+                pc.not_equal(md5.slice(1), md5.slice(0, len(s) - 1)).to_numpy(
+                    zero_copy_only=False
+                ),
+            )
+        )
+        return s.filter(pa.array(first)).select([id_col, *keep_cols])
 
-    return hashed.groupby("text_md5").map_groups(pick_rep, batch_format="pyarrow")
+    return hashed.groupby("bucket").map_groups(pick_reps, batch_format="pyarrow")
 
 
 # ------------------------------------------------------- shingle/minhash
 
 _MERSENNE = (1 << 61) - 1
+
+# coarse partition count (2^bits) for the bucketed vectorized group
+# stages in minhash_lsh_pairs: enough groups to spread across a large
+# cluster's reduce tasks, few enough that per-group Python dispatch is
+# negligible at any scale
+_NPART_BITS = 8
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -127,10 +161,88 @@ class MinHashKernel:
         vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    # byte budget per vectorized sub-chunk: bounds the (n_windows, k)
+    # uint64 sliding-window matrix to ~64 MB regardless of doc sizes
+    _CHUNK_BYTES = 64 * 1024 * 1024
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """All signatures of a batch in a few numpy passes (bit-identical
+        to per-doc ``signature``: same dtypes, same op order, same
+        mod-2^64 wraparound before the Mersenne reduction). Docs are
+        concatenated into one byte stream per sub-chunk; windows that
+        straddle doc boundaries are dropped by position; per-doc shingle
+        dedup is a lexsort; the per-permutation min is a reduceat over
+        doc segments — no per-doc Python in the hot path."""
+        k = self.k
+        enc = [t.encode("utf-8") for t in texts]
+        enc = [e if len(e) >= k else e + b" " * (k - len(e)) for e in enc]
+        sigs = np.empty((len(enc), self.num_perm), dtype=np.uint64)
+        base = np.uint64(1000003)
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        with np.errstate(over="ignore"):
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * base
+        rpow = powers[::-1].copy()
+        mers = np.uint64(_MERSENNE)
+        budget = max(self._CHUNK_BYTES // (k * 8), 4 * k)
+        lo = 0
+        while lo < len(enc):
+            hi, nbytes = lo, 0
+            while hi < len(enc) and (hi == lo or nbytes + len(enc[hi]) <= budget):
+                nbytes += len(enc[hi])
+                hi += 1
+            chunk = enc[lo:hi]
+            lens = np.fromiter((len(e) for e in chunk), np.int64, len(chunk))
+            data = np.frombuffer(b"".join(chunk), dtype=np.uint8)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h_all = (windows * rpow).sum(axis=1, dtype=np.uint64)
+            n_i = lens - k + 1  # windows per doc (>=1: short docs padded)
+            total = int(n_i.sum())
+            doc_of = np.repeat(np.arange(len(chunk), dtype=np.int64), n_i)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_i)[:-1])), n_i
+            )
+            h = h_all[starts[:-1].repeat(n_i) + within]
+            # per-doc unique shingles (== np.unique per doc)
+            order = np.lexsort((h, doc_of))
+            d_s, h_s = doc_of[order], h[order]
+            keep = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]))
+            )
+            d_u, h_u = d_s[keep], h_s[keep]
+            seg = np.concatenate(([0], np.flatnonzero(np.diff(d_u)) + 1))
+            # hash/min in cache-sized slabs: all num_perm rows x ~8k
+            # shingles (~4 MB of temporaries) so the three elementwise
+            # temps stay in LLC instead of streaming DRAM. Slab cuts land
+            # on doc-segment boundaries so reduceat segments stay whole.
+            out = np.empty((len(chunk), self.num_perm), dtype=np.uint64)
+            a = self.a[:, None]
+            b = self.b[:, None]
+            target = 8192
+            s0 = 0
+            while s0 < len(seg):
+                s1 = int(
+                    np.searchsorted(seg, seg[s0] + target, side="left")
+                )
+                s1 = max(s1, s0 + 1)
+                end = seg[s1] if s1 < len(seg) else len(h_u)
+                with np.errstate(over="ignore"):
+                    vals = (h_u[None, seg[s0] : end] * a + b) % mers
+                out[s0:s1] = np.minimum.reduceat(
+                    vals, seg[s0:s1] - seg[s0], axis=1
+                ).T
+                s0 = s1
+            sigs[lo:hi] = out
+            lo = hi
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         texts = batch[self.text_col].to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts])
+        sigs = self.signatures_batch(texts)
         # band key: hash of the band's signature rows, salted by band index
         out_id, out_band, out_key = [], [], []
         for bi in range(self.bands):
@@ -181,28 +293,87 @@ def minhash_lsh_pairs(
         zero_copy_batch=True,
     )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        if len(ids) > max_bucket_size:
-            # hot-bucket cap (degenerate boilerplate collapses many docs
-            # into one band bucket -> O(n^2) pair explosion): emit only the
-            # sorted-consecutive chain. Connected components — what a
-            # dedup clustering consumes — are preserved; only redundant
-            # intra-cluster edges are dropped.
-            a, b = ids[:-1], ids[1:]
-        else:
-            ia, ib = np.triu_indices(len(ids), k=1)
-            a, b = ids[ia], ids[ib]
+    # Bucket-count for the two exchanges below. Per-band-key map_groups
+    # would call Python once per bucket (~40 us each — hours at 10^9
+    # buckets); instead band keys are hash-folded into _NPART coarse
+    # partitions and each partition processes ALL its buckets in one
+    # vectorized pass (lexsort + run arithmetic). Same exchange volume,
+    # O(_NPART) Python calls total.
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        k = batch["band_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((k * golden) >> np.uint64(64 - _NPART_BITS)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def bucket_pairs_vec(group: pa.Table) -> pa.Table:
+        """All band buckets of one coarse partition, vectorized: unique
+        (band_key, id), run-length split, then all-pairs (runs <= cap,
+        the repeat/tail-index construction) or the sorted-consecutive
+        chain (hot runs > cap — connected components are preserved,
+        only redundant intra-cluster edges drop)."""
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        if len(group) == 0:
+            return empty
+        key = group["band_key"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, key))
+        k_s, i_s = key[order], ids[order]
+        keep = np.concatenate(
+            ([True], (k_s[1:] != k_s[:-1]) | (i_s[1:] != i_s[:-1]))
+        )
+        k_u, i_u = k_s[keep], i_s[keep]
+        starts = np.concatenate(([0], np.flatnonzero(k_u[1:] != k_u[:-1]) + 1))
+        lens = np.diff(np.concatenate((starts, [len(k_u)])))
+        outs_a, outs_b = [], []
+        big = lens > max_bucket_size
+        if big.any():
+            s, n = starts[big], lens[big]
+            tot = int((n - 1).sum())
+            base = np.repeat(s, n - 1)
+            within = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n - 1)[:-1])), n - 1
+            )
+            ai = base + within
+            outs_a.append(i_u[ai])
+            outs_b.append(i_u[ai + 1])
+        small = (~big) & (lens >= 2)
+        if small.any():
+            s, n = starts[small], lens[small]
+            tot_e = int(n.sum())
+            base = np.repeat(s, n)
+            loc = np.arange(tot_e, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(n)[:-1])), n
+            )
+            gidx = base + loc
+            reps = np.repeat(n, n) - 1 - loc  # tail length per element
+            a_idx = np.repeat(gidx, reps)
+            npairs = int(reps.sum())
+            ofs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+            b_idx = np.repeat(gidx + 1, reps) + (
+                np.arange(npairs, dtype=np.int64) - np.repeat(ofs, reps)
+            )
+            outs_a.append(i_u[a_idx])
+            outs_b.append(i_u[b_idx])
+        if not outs_a:
+            return empty
         return pa.table(
-            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+            {
+                "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+                "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+            }
         )
 
-    pairs = banded.groupby("band_key").map_groups(bucket_pairs, batch_format="pyarrow")
-
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
+    pairs = (
+        banded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs_vec, batch_format="pyarrow")
+    )
 
     def block_distinct(batch: pa.Table) -> pa.Table:
         # pre-distinct inside each block before the exchange: the same
@@ -215,11 +386,32 @@ def minhash_lsh_pairs(
             )
         return batch.group_by(["id_a", "id_b"]).aggregate([])
 
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                }
+            )
+        a = batch["id_a"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch["id_b"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = ((a * golden + b) * golden) >> np.uint64(64 - _NPART_BITS)
+        return batch.append_column("bucket", pa.array(h.astype(np.int64), pa.int64()))
+
+    def distinct_vec(group: pa.Table) -> pa.Table:
+        return (
+            group.select(["id_a", "id_b"]).group_by(["id_a", "id_b"]).aggregate([])
+        )
+
     # distinct (id_a, id_b): same pair may collide in several bands
     return (
         pairs.map_batches(block_distinct, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["id_a", "id_b"])
-        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .map_batches(add_pair_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(distinct_vec, batch_format="pyarrow")
     )
 
 
