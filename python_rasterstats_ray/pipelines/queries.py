@@ -1171,28 +1171,37 @@ def q_url_canonical_dedup(sf_dir: str):
         canon = pc.replace_substring_regex(
             pa.array(all_urls.tolist(), pa.string()), r"[?#].*$", ""
         )
-        return (
+        t = (
             pa.table({"canonical_url": canon})
             .group_by("canonical_url")
             .aggregate([("canonical_url", "count")])
             .rename_columns(["canonical_url", "n_variants"])
         )
+        # coarse bucket = pure function of the group key, so each URL
+        # group lands whole in one bucket and the merge below reduces
+        # ALL its URL groups in one Arrow group_by (per-URL map_groups
+        # would pay a Python call per distinct URL)
+        b = _sha_hash64(np.asarray(t["canonical_url"].to_pylist())) % np.uint64(256)
+        return t.append_column("bucket", pa.array(b.astype(np.int64), pa.int64()))
 
     partials = ds.map_batches(
         plant_and_canon, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def final(g: pa.Table) -> pa.Table:
+        t = (
+            g.select(["canonical_url", "n_variants"])
+            .group_by("canonical_url")
+            .aggregate([("n_variants", "sum")])
+        )
         return pa.table(
             {
-                "canonical_url": pa.array([g["canonical_url"][0].as_py()], pa.string()),
-                "n_variants": pa.array(
-                    [pc.sum(g["n_variants"]).cast(pa.int64()).as_py()], pa.int64()
-                ),
+                "canonical_url": t["canonical_url"],
+                "n_variants": t["n_variants_sum"].cast(pa.int64()),
             }
         )
 
-    return partials.groupby("canonical_url").map_groups(final, batch_format="pyarrow")
+    return partials.groupby("bucket").map_groups(final, batch_format="pyarrow")
 
 
 def _url_canonical_sql() -> str:
@@ -1992,18 +2001,27 @@ def q_simhash_dup_pairs(sf_dir: str):
         SimHashKernel, batch_format="pyarrow", concurrency=pool(divisor=2), zero_copy_batch=True
     )
 
-    def sig_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pa.table(
-            {"id_a": pa.array(ids[ia], pa.int64()), "id_b": pa.array(ids[ib], pa.int64())}
-        )
+    from ..stages.dedup import grouped_pairs_table
 
-    pairs = sigs.groupby("simhash").map_groups(sig_pairs, batch_format="pyarrow")
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        k = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = ((k * golden) >> np.uint64(56)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(b, pa.int64()))
+
+    def sig_pairs_vec(group: pa.Table) -> pa.Table:
+        # all signature groups of the coarse partition in one pass
+        return grouped_pairs_table(group, "simhash", "doc_id")
+
+    pairs = (
+        sigs.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sig_pairs_vec, batch_format="pyarrow")
+    )
     return _md5_verified_pairs(pairs, base, dup)
 
 

@@ -112,6 +112,70 @@ _MERSENNE = (1 << 61) - 1
 _NPART_BITS = 8
 
 
+def grouped_pairs_table(
+    group: pa.Table, key_col: str, id_col: str, cap: int | None = None
+) -> pa.Table:
+    """(key, id) rows -> distinct unordered id pairs within each key
+    group, ALL groups of the table in one vectorized pass: lexsort,
+    unique (key, id), run-length split, then all-pairs via the
+    repeat/tail-index construction — or, when ``cap`` is set and a run
+    exceeds it, the sorted-consecutive chain (connected components are
+    preserved; only redundant intra-cluster edges drop). Replaces
+    per-group map_groups, whose one-Python-call-per-group dispatch is
+    hours at 10^9 buckets."""
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    if len(group) == 0:
+        return empty
+    key = group[key_col].to_numpy(zero_copy_only=False)
+    ids = group[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, key))
+    k_s, i_s = key[order], ids[order]
+    keep = np.concatenate(([True], (k_s[1:] != k_s[:-1]) | (i_s[1:] != i_s[:-1])))
+    k_u, i_u = k_s[keep], i_s[keep]
+    starts = np.concatenate(([0], np.flatnonzero(k_u[1:] != k_u[:-1]) + 1))
+    lens = np.diff(np.concatenate((starts, [len(k_u)])))
+    outs_a, outs_b = [], []
+    big = lens > cap if cap is not None else np.zeros(len(lens), dtype=bool)
+    if big.any():
+        s, n = starts[big], lens[big]
+        tot = int((n - 1).sum())
+        base = np.repeat(s, n - 1)
+        within = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n - 1)[:-1])), n - 1
+        )
+        ai = base + within
+        outs_a.append(i_u[ai])
+        outs_b.append(i_u[ai + 1])
+    small = (~big) & (lens >= 2)
+    if small.any():
+        s, n = starts[small], lens[small]
+        tot_e = int(n.sum())
+        base = np.repeat(s, n)
+        loc = np.arange(tot_e, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n)[:-1])), n
+        )
+        gidx = base + loc
+        reps = np.repeat(n, n) - 1 - loc  # tail length per element
+        a_idx = np.repeat(gidx, reps)
+        npairs = int(reps.sum())
+        ofs = np.concatenate(([0], np.cumsum(reps)[:-1]))
+        b_idx = np.repeat(gidx + 1, reps) + (
+            np.arange(npairs, dtype=np.int64) - np.repeat(ofs, reps)
+        )
+        outs_a.append(i_u[a_idx])
+        outs_b.append(i_u[b_idx])
+    if not outs_a:
+        return empty
+    return pa.table(
+        {
+            "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
+            "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
+        }
+    )
+
+
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     """Rolling 64-bit hashes of character k-shingles (vectorized)."""
     data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
@@ -310,64 +374,9 @@ def minhash_lsh_pairs(
         return batch.append_column("bucket", pa.array(b, pa.int64()))
 
     def bucket_pairs_vec(group: pa.Table) -> pa.Table:
-        """All band buckets of one coarse partition, vectorized: unique
-        (band_key, id), run-length split, then all-pairs (runs <= cap,
-        the repeat/tail-index construction) or the sorted-consecutive
-        chain (hot runs > cap — connected components are preserved,
-        only redundant intra-cluster edges drop)."""
-        empty = pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-        if len(group) == 0:
-            return empty
-        key = group["band_key"].to_numpy(zero_copy_only=False)
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ids, key))
-        k_s, i_s = key[order], ids[order]
-        keep = np.concatenate(
-            ([True], (k_s[1:] != k_s[:-1]) | (i_s[1:] != i_s[:-1]))
-        )
-        k_u, i_u = k_s[keep], i_s[keep]
-        starts = np.concatenate(([0], np.flatnonzero(k_u[1:] != k_u[:-1]) + 1))
-        lens = np.diff(np.concatenate((starts, [len(k_u)])))
-        outs_a, outs_b = [], []
-        big = lens > max_bucket_size
-        if big.any():
-            s, n = starts[big], lens[big]
-            tot = int((n - 1).sum())
-            base = np.repeat(s, n - 1)
-            within = np.arange(tot, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(n - 1)[:-1])), n - 1
-            )
-            ai = base + within
-            outs_a.append(i_u[ai])
-            outs_b.append(i_u[ai + 1])
-        small = (~big) & (lens >= 2)
-        if small.any():
-            s, n = starts[small], lens[small]
-            tot_e = int(n.sum())
-            base = np.repeat(s, n)
-            loc = np.arange(tot_e, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(n)[:-1])), n
-            )
-            gidx = base + loc
-            reps = np.repeat(n, n) - 1 - loc  # tail length per element
-            a_idx = np.repeat(gidx, reps)
-            npairs = int(reps.sum())
-            ofs = np.concatenate(([0], np.cumsum(reps)[:-1]))
-            b_idx = np.repeat(gidx + 1, reps) + (
-                np.arange(npairs, dtype=np.int64) - np.repeat(ofs, reps)
-            )
-            outs_a.append(i_u[a_idx])
-            outs_b.append(i_u[b_idx])
-        if not outs_a:
-            return empty
-        return pa.table(
-            {
-                "id_a": pa.array(np.concatenate(outs_a), pa.int64()),
-                "id_b": pa.array(np.concatenate(outs_b), pa.int64()),
-            }
-        )
+        """All band buckets of one coarse partition in one vectorized
+        pass (see grouped_pairs_table)."""
+        return grouped_pairs_table(group, "band_key", id_col, cap=max_bucket_size)
 
     pairs = (
         banded.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
