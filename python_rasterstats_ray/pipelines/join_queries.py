@@ -1383,14 +1383,29 @@ def q_doc_triangles(sf_dir: str):
         a = np.minimum(s, d)
         b = np.maximum(s, d)
         u = np.unique(np.stack([a, b], axis=1), axis=0)
+        # coarse bucket on the edge key so the distinct below reduces
+        # all its edge groups in one Arrow group_by per bucket (per-edge
+        # map_groups would pay a Python call per distinct edge)
+        g = np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            bk = (
+                (u[:, 0].astype(np.uint64) * g + u[:, 1].astype(np.uint64)) * g
+            ) >> np.uint64(56)
         return pa.table(
-            {"a": pa.array(u[:, 0], pa.int64()), "b": pa.array(u[:, 1], pa.int64())}
+            {
+                "a": pa.array(u[:, 0], pa.int64()),
+                "b": pa.array(u[:, 1], pa.int64()),
+                "bucket": pa.array(bk.astype(np.int64), pa.int64()),
+            }
         )
+
+    def distinct_edges(group: pa.Table) -> pa.Table:
+        return group.select(["a", "b"]).group_by(["a", "b"]).aggregate([])
 
     eu = (
         edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(distinct_edges, batch_format="pyarrow")
         .materialize()
     )
     n_edges = eu.count()
