@@ -2528,3 +2528,65 @@ def test_convex_hull_properties(ray_session):
             h2 = hull_of(rest, 1)
             assert tuple(hc[i]) not in {tuple(v) for v in h2}
     assert {tuple(v) for v in hull_of(pts, 1)} == {tuple(v) for v in hull_of(pts, 4)}
+
+
+def test_minhash_signatures_batch_bit_identical():
+    """signatures_batch must equal the per-doc reference path bitwise,
+    including multi-chunk splits, padded short docs, and empty text."""
+    import random
+    import string
+
+    import numpy as np
+
+    from python_rasterstats_ray.stages.dedup import MinHashKernel
+
+    k = MinHashKernel()
+    rnd = random.Random(7)
+    texts = ["", "ab", "hello world " * 3] + [
+        "".join(rnd.choices(string.ascii_lowercase + " ", k=rnd.randint(1, 300)))
+        for _ in range(120)
+    ]
+    ref = np.stack([k.signature(t) for t in texts])
+    assert (k.signatures_batch(texts) == ref).all()
+    k._CHUNK_BYTES = 256  # force many sub-chunks incl. single-doc ones
+    assert (k.signatures_batch(texts) == ref).all()
+    assert k.signatures_batch([]).shape == (0, k.num_perm)
+
+
+def test_grouped_pairs_table_matches_per_group_reference():
+    """Vectorized within-group pair generation == per-group triu/chain."""
+    import numpy as np
+    import pyarrow as pa
+
+    from python_rasterstats_ray.stages.dedup import grouped_pairs_table
+
+    rng = np.random.default_rng(3)
+    key = rng.integers(0, 40, size=600).astype(np.int64)
+    ids = rng.integers(0, 80, size=600).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "doc_id": pa.array(ids)})
+    for cap in (None, 4):
+        got = grouped_pairs_table(t, "k", "doc_id", cap=cap)
+        got_set = set(zip(got["id_a"].to_pylist(), got["id_b"].to_pylist()))
+        want = set()
+        for kk in np.unique(key):
+            u = np.unique(ids[key == kk])
+            if len(u) < 2:
+                continue
+            if cap is not None and len(u) > cap:
+                want |= set(zip(u[:-1].tolist(), u[1:].tolist()))
+            else:
+                ia, ib = np.triu_indices(len(u), k=1)
+                want |= set(zip(u[ia].tolist(), u[ib].tolist()))
+        assert got_set == want
+        # within ONE key group no pair repeats (cross-group repeats are
+        # expected — the same pair may collide under several keys, and
+        # the downstream distinct handles them, as with LSH bands)
+        one = pa.table(
+            {"k": pa.array(np.zeros(600, np.int64)), "doc_id": pa.array(ids)}
+        )
+        g1 = grouped_pairs_table(one, "k", "doc_id", cap=cap)
+        assert len(g1) == len(
+            set(zip(g1["id_a"].to_pylist(), g1["id_b"].to_pylist()))
+        )
+    empty = grouped_pairs_table(t.slice(0, 0), "k", "doc_id")
+    assert len(empty) == 0 and empty.column_names == ["id_a", "id_b"]
