@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .similarity import emb_matrix
 from .text import md5_batch
 
 # ------------------------------------------------------------ exact dedup
@@ -527,7 +528,7 @@ def embedding_neardup_pairs(
     projections; exact cosine computed inside each bucket only."""
 
     def project(batch: pa.Table) -> pa.Table:
-        embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+        embs = emb_matrix(batch[emb_col])
         dim = embs.shape[1]
         rng = np.random.default_rng(seed)
         planes = rng.standard_normal((dim, n_planes))
@@ -550,7 +551,7 @@ def embedding_neardup_pairs(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
                  "cosine": pa.array([], pa.float64())}
             )
-        embs = np.stack(group[emb_col].to_pylist()).astype(np.float64)
+        embs = emb_matrix(group[emb_col])
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = embs / norms
@@ -656,7 +657,7 @@ def semantic_dedup(
         cluster = int(group["cluster_id"][0].as_py())
         keep = np.ones(len(ids), bool)
         if len(ids) > 1:
-            embs = np.stack(group[emb_col].to_pylist()).astype(np.float64)[order]
+            embs = emb_matrix(group[emb_col])[order]
             norms = np.linalg.norm(embs, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             unit = embs / norms

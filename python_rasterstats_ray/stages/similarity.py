@@ -36,6 +36,22 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / norms
 
 
+def emb_matrix(col, dtype=np.float64) -> np.ndarray:
+    """list<float> column -> (n, d) ndarray via the flat values buffer
+    (zero-copy from Arrow, then one cast) instead of np.stack over
+    to_pylist(), which boxes every float through Python. Assumes the
+    fixed-width no-null layout the embeddings tables use — same contract
+    np.stack enforced (it would raise on ragged rows too)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if hasattr(col, "flatten"):
+        flat = col.flatten()
+    else:  # fixed_size_list
+        flat = col.values
+    return np.asarray(flat).astype(dtype, copy=False).reshape(n, -1)
+
+
 class TopKKernel:
     """map_batches kernel: batch embeddings x broadcast queries -> local
     per-query top-k (query_id, id, cosine) rows."""
@@ -52,7 +68,7 @@ class TopKKernel:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        embs = _unit_rows(np.stack(batch[self.emb_col].to_pylist()).astype(np.float64))
+        embs = _unit_rows(emb_matrix(batch[self.emb_col]))
         sims = embs @ self.qmat  # (n, nq)
         k = min(self.k, len(ids))
         out_q, out_id, out_sim = [], [], []
@@ -152,7 +168,7 @@ def ivf_assign(emb_ds, centroids: np.ndarray, id_col: str = "vec_id",
             self.cents = ray.get(cref).T
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = _unit_rows(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+            embs = _unit_rows(emb_matrix(batch[emb_col]))
             part = np.argmax(embs @ self.cents, axis=1)
             return batch.append_column("ivf_list", pa.array(part.astype(np.int64)))
 
@@ -252,7 +268,7 @@ def _probe_topk(assigned_ds, qids, qunit, probes, k, id_col, emb_col):
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False)
             lists = batch["ivf_list"].to_numpy(zero_copy_only=False)
-            embs = _unit_rows(np.stack(batch[emb_col].to_pylist()).astype(np.float64))
+            embs = _unit_rows(emb_matrix(batch[emb_col]))
             out_q, out_id, out_sim = [], [], []
             for i, qid in enumerate(self.qids):
                 mask = np.isin(lists, list(self.probe_sets[int(qid)]))
@@ -303,7 +319,7 @@ KMEANS_SCALE = 1_000_000  # micro-fixed-point (the pagerank/unigram-LM trick)
 
 
 def _micro_block(batch: pa.Table, emb_col: str) -> np.ndarray:
-    x = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+    x = emb_matrix(batch[emb_col])
     xm = np.round(x * KMEANS_SCALE).astype(np.int64)
     if xm.size:
         # int64 headroom for the distance scores: |c_sq - 2 x.c| is at
@@ -712,7 +728,7 @@ def ivfpq_write_partitioned(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ns, nc, dsub = self.books.shape
-            embs = np.stack(batch[emb_col].to_pylist()).astype(np.float64)
+            embs = emb_matrix(batch[emb_col])
             part = np.argmax(_unit_rows(embs) @ self.cents, axis=1)
             x = _micro_block(batch, emb_col)
             codes = np.zeros((len(batch), ns), np.uint8)
