@@ -108,7 +108,18 @@ def q_tpch_q3(sf_dir: str):
         OrderFilter, batch_format="pyarrow", zero_copy_batch=True, concurrency=pool()
     )
 
-    joined = hash_equi_join(li_agg, orders_f, on=("l_orderkey",), right_on=("o_orderkey",))
+    # partitions sized to the thin post-agg join volume (~2 rows per
+    # order), not the CPU count: see join_partitions_for_rows
+    from python_rasterstats_ray.stages.joins import join_partitions_for_rows
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    joined = hash_equi_join(
+        li_agg,
+        orders_f,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=join_partitions_for_rows(2 * n_orders),
+    )
 
     def local_top(batch: pa.Table) -> pa.Table:
         rev4 = batch["sum(rev4)"].to_numpy(zero_copy_only=False).astype(np.int64)
