@@ -219,7 +219,16 @@ def q_tpch_q10(sf_dir: str):
 
     orders_f = orders.map_batches(orders_filter, batch_format="pyarrow", zero_copy_batch=True)
 
-    j1 = hash_equi_join(li_agg, orders_f, on=("l_orderkey",), right_on=("o_orderkey",))
+    from python_rasterstats_ray.stages.joins import join_partitions_for_rows
+
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    j1 = hash_equi_join(
+        li_agg,
+        orders_f,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+        num_partitions=join_partitions_for_rows(2 * n_orders),
+    )
 
     def cust_partial(batch: pa.Table) -> pa.Table:
         g = (
@@ -238,7 +247,14 @@ def q_tpch_q10(sf_dir: str):
     cust = _read(
         sf_dir, "customer", columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
     )
-    j2 = hash_equi_join(rev_by_cust, cust, on=("o_custkey",), right_on=("c_custkey",))
+    n_cust = pq.read_metadata(f"{sf_dir}/customer.parquet").num_rows
+    j2 = hash_equi_join(
+        rev_by_cust,
+        cust,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=join_partitions_for_rows(2 * n_cust),
+    )
 
     class Finish:
         def __init__(self, ref=nation_ref):
