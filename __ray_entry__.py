@@ -202,6 +202,7 @@ EXTRA_QUERY_ORDER = [
     "raster_proximity",
     "points_density",
     "docs_bm25_top",
+    "events_anomaly",
 ]
 
 

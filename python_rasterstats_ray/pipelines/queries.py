@@ -4730,3 +4730,106 @@ QUERIES = {
     "docs_customer_bbox_join": q_docs_customer_bbox_join,
     "docs_bbox_overlap_area": q_docs_bbox_overlap_area,
 }
+
+
+# --------------------------------------------------------- event anomalies
+
+
+ANOMALY_Z = 3.0
+
+
+def q_events_anomaly(sf_dir: str):
+    """Per-event-type z-score outliers (|z| > {ANOMALY_Z}) — the
+    streaming anomaly-detection primitive over an unbounded event log.
+
+    100-TB shape: pass 1 reduces each block to ONE exact-integer moment
+    row per event type (n, sum cents, sum cents² — int64 within a block,
+    Python-bigint driver fold across blocks: the lineitem_corr pattern,
+    overflow-free at any scale since per-block sums are bounded by
+    block rows × 2.5e9 << 2^63). The per-type (mean, sd) table —
+    O(#event types) — broadcasts by closure and pass 2 is a stateless
+    vectorized filter. Zero shuffles."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = _cents(batch["value"])
+        g = (
+            pa.table(
+                {
+                    "event_type": batch["event_type"],
+                    "n": pa.array(np.ones(len(c), np.int64)),
+                    "s": pa.array(c, pa.int64()),
+                    "sq": pa.array(c * c, pa.int64()),
+                }
+            )
+            .group_by("event_type")
+            .aggregate([("n", "sum"), ("s", "sum"), ("sq", "sum")])
+        )
+        return g.rename_columns(["event_type", "n", "s", "sq"])
+
+    pdf = (
+        ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(#event_types x #blocks), documented tiny
+    )
+    types, means, sds = [], [], []
+    for ty, grp in pdf.groupby("event_type"):
+        n = int(grp["n"].sum())
+        s = int(grp["s"].sum())
+        sq = int(grp["sq"].sum())
+        mean = s / 100.0 / n
+        var = (sq / 10000.0 - n * mean * mean) / (n - 1)
+        types.append(ty)
+        means.append(mean)
+        sds.append(math.sqrt(var))
+    t_arr = np.asarray(types, dtype=object)
+    order = np.argsort(t_arr)
+    t_arr, m_arr, s_arr = t_arr[order], np.asarray(means)[order], np.asarray(sds)[order]
+
+    def flag(batch: pa.Table) -> pa.Table:
+        ty = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        pos = np.searchsorted(t_arr, ty)
+        v = _cents(batch["value"]) / 100.0
+        z = (v - m_arr[pos]) / s_arr[pos]
+        keep = np.abs(z) > ANOMALY_Z
+        return pa.table(
+            {
+                "event_id": batch["event_id"].filter(pa.array(keep)),
+                "event_type": batch["event_type"].filter(pa.array(keep)),
+                "z": pa.array(z[keep], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).sort(
+        "event_id"
+    )
+
+
+SQL_EVENTS_ANOMALY = f"""
+WITH c AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+m AS (
+  SELECT event_type, count(*) AS n,
+         sum(cents) AS s, sum(cents * cents) AS sq
+  FROM c GROUP BY event_type
+),
+st AS (
+  SELECT event_type,
+         s / 100.0 / n AS mean,
+         sqrt((sq / 10000.0 - n * (s / 100.0 / n) * (s / 100.0 / n)) / (n - 1)) AS sd
+  FROM m
+)
+SELECT c.event_id, c.event_type,
+       (c.cents / 100.0 - st.mean) / st.sd AS z
+FROM c JOIN st USING (event_type)
+WHERE abs((c.cents / 100.0 - st.mean) / st.sd) > {ANOMALY_Z}
+ORDER BY c.event_id
+"""
+
+
+QUERIES["events_anomaly"] = q_events_anomaly
+ORACLE_SQL["events_anomaly"] = SQL_EVENTS_ANOMALY
