@@ -203,6 +203,7 @@ EXTRA_QUERY_ORDER = [
     "points_density",
     "docs_bm25_top",
     "events_anomaly",
+    "docs_weighted_sample",
 ]
 
 

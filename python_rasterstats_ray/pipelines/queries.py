@@ -4833,3 +4833,50 @@ ORDER BY c.event_id
 
 QUERIES["events_anomaly"] = q_events_anomaly
 ORACLE_SQL["events_anomaly"] = SQL_EVENTS_ANOMALY
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+
+
+WSAMPLE_K = 10
+
+
+def q_docs_weighted_sample(sf_dir: str):
+    """Per-language deterministic weighted sample (k={WSAMPLE_K}, weight
+    = whitespace token count) via Efraimidis-Spirakis keys on splitmix64
+    uniforms — see ``stages/ordering.py::weighted_sample`` (bounded
+    partial-top-k exchange, payload never moves)."""
+    from python_rasterstats_ray.stages.ordering import weighted_sample
+
+    return weighted_sample(
+        _read(sf_dir, "documents", columns=["doc_id", "lang", "text"]),
+        k=WSAMPLE_K,
+        seed=EPOCH_SEED,
+    )
+
+
+SQL_DOCS_WEIGHTED_SAMPLE = f"""
+WITH {_splitmix_key_cte(EPOCH_SEED)},
+w AS (
+  SELECT doc_id, lang,
+         greatest(len(regexp_extract_all(text, '\\S+')), 1) AS w
+  FROM documents
+),
+a AS (
+  SELECT w.doc_id, w.lang,
+         ln((CAST(k.skey AS DOUBLE) + 1) / 18446744073709551616.0) / w.w AS wkey
+  FROM w JOIN k USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, wkey,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id)
+              AS BIGINT) AS rk
+  FROM a
+)
+SELECT doc_id, lang, wkey, rk FROM r WHERE rk <= {WSAMPLE_K}
+ORDER BY lang, rk
+"""
+
+
+QUERIES["docs_weighted_sample"] = q_docs_weighted_sample
+ORACLE_SQL["docs_weighted_sample"] = SQL_DOCS_WEIGHTED_SAMPLE

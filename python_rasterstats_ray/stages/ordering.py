@@ -462,3 +462,76 @@ def convex_hull_points(ds, x_col: str = "x", y_col: str = "y"):
     return pa.table(
         {"x": pa.array(hull[:, 0], pa.int64()), "y": pa.array(hull[:, 1], pa.int64())}
     )
+
+
+# -------------------------------------------------- weighted sampling (A-ES)
+
+
+_TWO64 = 18446744073709551616.0
+
+
+def weighted_sample(
+    ds,
+    k: int = 10,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    text_col: str = "text",
+):
+    """Deterministic weighted sampling WITHOUT replacement, k per group:
+    Efraimidis-Spirakis A-ES with weight = whitespace token count, i.e.
+    keep each group's k largest u^(1/w) — computed as ln(u)/w (ties
+    doc_id ascending) with u = (splitmix64(id+seed) + 1) / 2^64. The
+    curation primitive "sample docs proportional to length/quality,
+    reproducibly from (id, seed) alone" — no RNG state, so any worker
+    can score any row.
+
+    Physical plan: stateless pass computes (id, group, wkey) + per-batch
+    PARTIAL top-k per group (the exchange is bounded at #blocks x k x
+    #groups regardless of corpus size) -> groupby(group) of those thin
+    partials -> final top-k per group. Payload never moves.
+    """
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        grp = np.asarray(batch[group_col].to_pylist(), dtype=object)
+        w = (
+            pc.count_substring_regex(batch[text_col], r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        w = np.maximum(w, 1.0)  # empty doc: weight floor (oracle: greatest(w,1))
+        u = (shuffle_keys(ids, seed).astype(np.float64) + 1.0) / _TWO64
+        akey = np.log(u) / w
+        order = np.lexsort((ids, -akey, grp))
+        g_s, a_s, i_s = grp[order], akey[order], ids[order]
+        starts = np.concatenate(([0], np.flatnonzero(g_s[1:] != g_s[:-1]) + 1))
+        rk = np.arange(len(g_s)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(g_s)])))
+        )
+        keep = rk < k
+        return pa.table(
+            {
+                id_col: pa.array(i_s[keep], pa.int64()),
+                group_col: pa.array(list(g_s[keep]), pa.string()),
+                "wkey": pa.array(a_s[keep], pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        a = group["wkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -a))[:k]
+        return pa.table(
+            {
+                id_col: pa.array(ids[order], pa.int64()),
+                group_col: group[group_col].take(pa.array(order)),
+                "wkey": pa.array(a[order], pa.float64()),
+                "rk": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(final, batch_format="pyarrow")
