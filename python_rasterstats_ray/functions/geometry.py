@@ -83,7 +83,8 @@ class Geom:
         if self.paths is not None:
             return all(len(p) == 0 for p in self.paths) or not self.paths
         if self.polys is not None:
-            return not self.polys
+            # no polygons, or every polygon has no rings / only empty rings
+            return not any(len(r) for rings in self.polys for r in rings)
         return True
 
     @property

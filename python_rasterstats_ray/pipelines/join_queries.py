@@ -933,11 +933,18 @@ def q_tpch_q3_store(sf_dir: str, store_root: str | None = None,
         }
     )
 
+    if len(keep) == 0:
+        # no BUILDING customers at all: the whole fleet of bucket reads
+        # would filter to nothing — short-circuit before launching any task
+        return ray.data.from_arrow(empty)
+
     def bucket_task(batch: pa.Table) -> pa.Table:
         import ray as _r
 
         bk = _r.get(bkeys_ref)
         outs = []
+        if len(bk) == 0:  # defensive; the driver short-circuits this case
+            return empty
         for bucket in batch["bucket"].to_pylist():
             od = os.path.join(store_root, "orders", f"bucket={bucket}")
             ld = os.path.join(store_root, "lineitem", f"bucket={bucket}")
@@ -947,8 +954,6 @@ def q_tpch_q3_store(sf_dir: str, store_root: str | None = None,
                 od, columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"]
             )
             o = o.filter(pc.less(o["o_orderdate"], pa.scalar(Q3_CUTOFF)))
-            if len(bk) == 0:
-                continue
             ck = o["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
             pos = np.searchsorted(bk, ck)
             pos[pos >= len(bk)] = 0

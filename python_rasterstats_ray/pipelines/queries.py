@@ -4778,21 +4778,38 @@ def q_events_anomaly(sf_dir: str):
         n = int(grp["n"].sum())
         s = int(grp["s"].sum())
         sq = int(grp["sq"].sum())
+        if n < 2:
+            continue  # sd undefined for a single event — no anomalies possible
         mean = s / 100.0 / n
-        var = (sq / 10000.0 - n * mean * mean) / (n - 1)
+        # clamp: float rounding of sq/1e4 - n*mean² can dip below 0 for a
+        # constant-valued type; sd==0 types are dropped below (z undefined)
+        var = max((sq / 10000.0 - n * mean * mean) / (n - 1), 0.0)
+        sd = math.sqrt(var)
+        if sd == 0.0:
+            continue
         types.append(ty)
         means.append(mean)
-        sds.append(math.sqrt(var))
+        sds.append(sd)
     t_arr = np.asarray(types, dtype=object)
     order = np.argsort(t_arr)
     t_arr, m_arr, s_arr = t_arr[order], np.asarray(means)[order], np.asarray(sds)[order]
 
     def flag(batch: pa.Table) -> pa.Table:
         ty = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        pos = np.searchsorted(t_arr, ty)
+        if len(t_arr) == 0:
+            return pa.table(
+                {
+                    "event_id": pa.array([], pa.int64()),
+                    "event_type": pa.array([], pa.string()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        pos = np.minimum(np.searchsorted(t_arr, ty), len(t_arr) - 1)
+        known = t_arr[pos] == ty  # types dropped above (n<2 or sd==0) flag nothing
         v = _cents(batch["value"]) / 100.0
-        z = (v - m_arr[pos]) / s_arr[pos]
-        keep = np.abs(z) > ANOMALY_Z
+        with np.errstate(invalid="ignore"):
+            z = (v - m_arr[pos]) / s_arr[pos]
+        keep = known & (np.abs(z) > ANOMALY_Z)
         return pa.table(
             {
                 "event_id": batch["event_id"].filter(pa.array(keep)),
@@ -4818,15 +4835,19 @@ m AS (
   FROM c GROUP BY event_type
 ),
 st AS (
-  SELECT event_type,
-         s / 100.0 / n AS mean,
-         sqrt((sq / 10000.0 - n * (s / 100.0 / n) * (s / 100.0 / n)) / (n - 1)) AS sd
-  FROM m
+  SELECT event_type, mean, sqrt(var) AS sd FROM (
+    SELECT event_type,
+           s / 100.0 / n AS mean,
+           greatest((sq / 10000.0 - n * (s / 100.0 / n) * (s / 100.0 / n))
+                    / (n - 1), 0.0) AS var
+    FROM m WHERE n > 1
+  )
 )
 SELECT c.event_id, c.event_type,
        (c.cents / 100.0 - st.mean) / st.sd AS z
 FROM c JOIN st USING (event_type)
-WHERE abs((c.cents / 100.0 - st.mean) / st.sd) > {ANOMALY_Z}
+WHERE st.sd > 0
+  AND abs((c.cents / 100.0 - st.mean) / st.sd) > {ANOMALY_Z}
 ORDER BY c.event_id
 """
 

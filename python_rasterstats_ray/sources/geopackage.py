@@ -43,8 +43,14 @@ def gpb_decode(blob: bytes | None) -> Geom | None:
         raise ValueError(f"Invalid GPB envelope indicator {env_ind}")
     if flags & 0b100000:
         raise ValueError("Extended GPB geometry types not supported")
-    if flags & 0b10000:  # empty-geometry flag
-        return None
+    if flags & 0b10000:  # empty-geometry flag: the trailing WKB encodes an
+        # EMPTY geometry (e.g. zero-ring Polygon); OGR/fiona surface it as an
+        # empty geometry object, NOT geometry: null — decode rather than
+        # conflate with a NULL blob (None is reserved strictly for NULL).
+        wkb = blob[8 + env_len :]
+        if not wkb:  # writer omitted the mandatory WKB — only then NULL
+            return None
+        return from_wkb(wkb)
     return from_wkb(blob[8 + env_len :])
 
 

@@ -1321,8 +1321,7 @@ def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
         if attr_cols else pa.table({"_": pa.array([None] * len(ztbl))}),
         attr_cols,
     ).astype("U")
-    if attr_cols:
-        zattrs = np.char.add(zattrs, ", ")  # stats always follow
+    has_attrs = bool(attr_cols)
     geom_json = np.array(
         [json.dumps(from_wkb(w).to_geojson()) for w in ztbl[geom_col]], dtype=object
     ).astype("U")
@@ -1341,7 +1340,10 @@ def zonal_geojson_out(stats_ds, zones_ds, zone_col: str = "zone_id",
             if not bool((zkeys[pos] == zids).all()):
                 missing = zids[zkeys[pos] != zids]
                 raise KeyError(f"zone_id(s) absent from zone table: {missing[:5]}")
-        props = np.char.add(zattrs[pos], _props_fragments(batch, stat_cols).astype("U"))
+        za = zattrs[pos]
+        if has_attrs and stat_cols:  # separator only when both sides present
+            za = np.char.add(za, ", ")
+        props = np.char.add(za, _props_fragments(batch, stat_cols).astype("U"))
         feats = np.char.add(
             np.char.add(
                 np.char.add('{"type": "Feature", "properties": {', props),

@@ -284,6 +284,25 @@ def test_zonal_geojson_out_joined_matches_broadcast(ray_session, class_inputs):
     assert list(a["feature_json"]) == list(b["feature_json"])
 
 
+def test_zonal_geojson_out_no_stat_cols(ray_session, class_inputs):
+    """Stats dataset carrying ONLY zone_col: the emitted properties object
+    must still be valid JSON (regression: a trailing comma used to be
+    appended after the zone attrs assuming stat columns always follow)."""
+    import json
+
+    import ray.data
+
+    from python_rasterstats_ray.stages.zonal_dist import zonal_geojson_out
+
+    arr, affine, nodata, zones = class_inputs
+    stats = ray.data.from_arrow(zones.select(["zone_id"]))
+    out = zonal_geojson_out(stats, ray.data.from_arrow(zones)).to_pandas()
+    assert len(out) == len(zones)
+    for s in out["feature_json"]:
+        feat = json.loads(s)  # raises on the trailing-comma bug
+        assert "zcat" in feat["properties"]
+
+
 def test_zone_func_tiled(ray_session, class_inputs):
     """zone_func on the tiled path: stats are recomputed from the
     transformed assembled window, matching the oracle exactly."""

@@ -83,9 +83,15 @@ def test_gpb_envelope_and_big_endian():
     blob = hdr + env + wkb_le
     out = gpb_decode(blob)
     assert out.gtype == "Point" and tuple(out.pts[0]) == (7.0, -2.0)
-    # empty-geometry flag wins
-    empty = b"GP\x00" + bytes([0b10001]) + struct.pack("<i", 0) + wkb_le
-    assert gpb_decode(empty) is None
+    # empty-geometry flag: the trailing WKB (here a zero-ring POLYGON —
+    # 'POLYGON EMPTY') is decoded to an EMPTY geometry object, NOT None;
+    # OGR/fiona surface empty geometries, reserving null for NULL blobs
+    wkb_empty_poly = b"\x01\x03\x00\x00\x00\x00\x00\x00\x00"
+    empty = b"GP\x00" + bytes([0b10001]) + struct.pack("<i", 0) + wkb_empty_poly
+    out = gpb_decode(empty)
+    assert out is not None and out.gtype == "Polygon" and out.is_empty
+    # empty flag with the mandatory WKB omitted entirely -> NULL
+    assert gpb_decode(b"GP\x00" + bytes([0b10001]) + struct.pack("<i", 0)) is None
     # raw WKB fallback
     assert gpb_decode(wkb_le).gtype == "Point"
 

@@ -2320,6 +2320,35 @@ def test_events_funnel_partial_paths(ray_session, tmp_path):
     assert got.loc[4, "t2_us"] == 10 * us
 
 
+def test_events_anomaly_degenerate_types(ray_session, tmp_path):
+    """Degenerate event types must not crash the moment fold (regression:
+    n==1 divided by zero; a constant type's float-rounded variance could go
+    negative into sqrt; sd==0 produced inf z). Single-event and
+    constant-valued types flag nothing; a genuine outlier still flags."""
+    import pandas as pd
+
+    from python_rasterstats_ray.pipelines.queries import q_events_anomaly
+
+    us = 1_000_000
+    rows = [
+        (1, "solo", 42.0),            # n == 1: sd undefined
+        (2, "const", 7.77), (3, "const", 7.77), (4, "const", 7.77),  # sd == 0
+    ]
+    # 'normal': 20 values at 10.0 plus one far outlier
+    rows += [(10 + i, "normal", 10.0 + (i % 2) * 0.02) for i in range(20)]
+    rows += [(99, "normal", 1000.0)]
+    df = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    df["ts"] = pd.to_datetime(df["event_id"] * us, unit="us")
+    df["user_id"] = 0
+    df["props"] = ""
+    df.to_parquet(str(tmp_path / "events.parquet"))
+
+    got = q_events_anomaly(str(tmp_path)).to_pandas()
+    assert list(got["event_id"]) == [99]
+    assert got["event_type"].iloc[0] == "normal"
+    assert got["z"].iloc[0] > 3.0
+
+
 def test_cdc_chunks_shift_invariance(ray_session):
     """The content-defined property: a long shared run chunks into the
     SAME interior chunk hashes even when one doc shifts it by an
