@@ -204,6 +204,8 @@ EXTRA_QUERY_ORDER = [
     "docs_bm25_top",
     "events_anomaly",
     "docs_weighted_sample",
+    "point_query_tiled",
+    "point_query_tiled_store",
 ]
 
 

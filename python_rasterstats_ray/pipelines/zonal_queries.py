@@ -282,6 +282,63 @@ def q_point_query_nearest(sf_dir: str):
     return _point_query("nearest")
 
 
+def q_point_query_tiled(sf_dir: str):
+    """Bilinear point query through the NON-broadcastable-raster plan
+    (stages/point_dist.py::point_query_tiled): tiles pinned via the zonal
+    refmap, points shuffled to their owning cell, per-cell vectorized
+    gather. Same points / raster / closed-form SQL oracle as
+    point_query_synthetic — the plans are bit-identical by construction
+    (shared interp_values) and by pytest differential."""
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.point_dist import point_query_tiled
+
+    arr, affine, nodata = oracle_raster("holes")
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    out = point_query_tiled(
+        _points_ds(), ray.data.from_arrow(tiles), affine, nodata,
+        interpolate="bilinear", tile_size=128,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["pt_id", "value"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_point_query_tiled_store(sf_dir: str):
+    """Bilinear point query over the write_tiles_bucketed parquet store
+    (pay-once staged layout, zero exchange + zero object-store pin at
+    query time): each cell group is two targeted partition reads. Same
+    oracle as point_query_synthetic."""
+    import os
+
+    import ray.data
+
+    from ..sources.tiles import raster_to_tiles_table
+    from ..stages.focal import write_tiles_bucketed
+    from ..stages.point_dist import point_query_from_store
+
+    ensure_fixtures()
+    arr, affine, nodata = oracle_raster("holes")
+    store = os.path.join(ORACLE_DIR, "tiles_bucketed_holes_128")
+    if not os.path.isdir(store):
+        tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+        write_tiles_bucketed(
+            ray.data.from_arrow(tiles), store, arr.shape, 128, radius=1
+        )
+    out = point_query_from_store(
+        _points_ds(), store, arr.shape, affine, nodata,
+        interpolate="bilinear", tile_size=128,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["pt_id", "value"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_point_query_features(sf_dir: str):
     """Per-feature vertex bilinear query over the 'main' rect WKB rings,
     exploded to (zone_id, vertex_idx, value) rows for SQL comparison."""
@@ -2171,6 +2228,8 @@ ZONAL_QUERIES = {
     "point_query_synthetic": q_point_query_bilinear,
     "point_query_nearest": q_point_query_nearest,
     "point_query_features": q_point_query_features,
+    "point_query_tiled": q_point_query_tiled,
+    "point_query_tiled_store": q_point_query_tiled_store,
     "raster_focal_mean": q_raster_focal_mean,
     "raster_downsample": q_raster_downsample,
     "raster_calc_ndvi": q_raster_calc_ndvi,
@@ -2224,6 +2283,8 @@ ZONAL_ORACLE_SQL = {
     "point_query_synthetic": SQL_POINT_BILINEAR,
     "point_query_nearest": SQL_POINT_NEAREST,
     "point_query_features": SQL_POINT_FEATURES,
+    "point_query_tiled": SQL_POINT_BILINEAR,
+    "point_query_tiled_store": SQL_POINT_BILINEAR,
     "raster_focal_mean": SQL_RASTER_FOCAL_MEAN,
     "raster_downsample": SQL_RASTER_DOWNSAMPLE,
     "raster_calc_ndvi": SQL_RASTER_CALC_NDVI,

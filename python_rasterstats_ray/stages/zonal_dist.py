@@ -618,30 +618,15 @@ class CellKernel:
         # so the merge stage can assemble the zone's mini-raster
         # (distributed raster_out / add_stats, reference main.py:304-321)
         self.carry_px = carry_px
-        self._refmap = None
-        self._sb_cache: dict[int, tuple[pa.Table, np.ndarray]] = {}
+        self._reader = None
 
     def _lookup_tile(self, cell: int):
         """cell id -> (array view, row_off, col_off) | None via the
         O(#superblocks) range refmap + searchsorted (no per-cell index)."""
-        import ray
-
-        if self._refmap is None:
-            self._refmap = ray.get(self.refmap_ref)
-        lo, hi, sb_refs = self._refmap
-        sbi = int(np.searchsorted(lo, cell, side="right")) - 1
-        if sbi < 0 or cell > hi[sbi]:
-            return None
-        ent = self._sb_cache.get(sbi)
-        if ent is None:
-            tbl = ray.get(sb_refs[sbi])
-            ent = (tbl, tbl["cell"].to_numpy(zero_copy_only=False))
-            self._sb_cache = {sbi: ent}  # keep one superblock resident
-        tbl, cells = ent
-        row = int(np.searchsorted(cells, cell))
-        if row >= len(cells) or cells[row] != cell:
-            return None
-        return _decode_tile_row(tbl, row)
+        if self._reader is None:
+            # one resident superblock: a zonal cell group touches one cell
+            self._reader = TileRefmapReader(self.refmap_ref, max_resident=1)
+        return self._reader.lookup(cell)
 
     def __call__(self, group: pa.Table) -> pa.Table:
         if len(group) == 0:
@@ -1178,6 +1163,43 @@ def _decode_tile_row(block: pa.Table, row: int):
     buf = block["pixels"][row].as_buffer()
     arr = np.frombuffer(buf, dtype=dt).reshape(th, tw)
     return arr, block["row_off"][row].as_py(), block["col_off"][row].as_py()
+
+
+class TileRefmapReader:
+    """Worker-side consumer of a :func:`build_tile_refmap` handle: cell id
+    -> (zero-copy numpy tile view, row_off, col_off) | None via the
+    O(#superblocks) range map + searchsorted, keeping at most
+    ``max_resident`` superblocks resident (zonal cell groups touch one
+    superblock; a bilinear point window can straddle two)."""
+
+    def __init__(self, refmap_ref, max_resident: int = 1):
+        self.refmap_ref = refmap_ref
+        self.max_resident = max_resident
+        self._refmap = None
+        self._sb_cache: dict[int, tuple[pa.Table, np.ndarray]] = {}
+
+    def lookup(self, cell: int):
+        import ray
+
+        if self._refmap is None:
+            self._refmap = ray.get(self.refmap_ref)
+        lo, hi, sb_refs = self._refmap
+        sbi = int(np.searchsorted(lo, cell, side="right")) - 1
+        if sbi < 0 or cell > hi[sbi]:
+            return None
+        ent = self._sb_cache.get(sbi)
+        if ent is None:
+            tbl = ray.get(sb_refs[sbi])
+            ent = (tbl, tbl["cell"].to_numpy(zero_copy_only=False))
+            if len(self._sb_cache) >= self.max_resident:
+                # evict the oldest-inserted resident superblock
+                self._sb_cache.pop(next(iter(self._sb_cache)))
+            self._sb_cache[sbi] = ent
+        tbl, cells = ent
+        row = int(np.searchsorted(cells, cell))
+        if row >= len(cells) or cells[row] != cell:
+            return None
+        return _decode_tile_row(tbl, row)
 
 
 def build_tile_refmap(tiles_ds, superblock_tiles: int = 64):

@@ -88,3 +88,69 @@ def test_point_query_features_matches_oracle(ray_session):
         else:
             # single vertex flattened to scalar
             assert out.loc[i, "values_scalar"] == pytest.approx(expect, rel=1e-12)
+
+
+@pytest.mark.parametrize("tile_size", [32, 64])
+@pytest.mark.parametrize("interp", ["bilinear", "nearest"])
+def test_point_query_tiled_bit_identical_to_broadcast(ray_session, tile_size, interp):
+    """The non-broadcastable-raster plans (refmap cell-join AND the
+    write_tiles_bucketed store) must be BIT-identical to the broadcast
+    plan across tile layouts, both interpolation modes, nodata holes,
+    edge-straddling windows and far-off-extent points."""
+    import tempfile
+
+    import ray.data
+
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.focal import write_tiles_bucketed
+    from python_rasterstats_ray.stages.point_dist import (
+        point_query_broadcast,
+        point_query_from_store,
+        point_query_tiled,
+    )
+
+    arr, affine, nodata = generate_raster((120, 140), kind="holes", seed=31)
+    h, w = arr.shape
+    rng = np.random.default_rng(17)
+    # interior + just-off-extent + far-off-extent + exact pixel centers /
+    # corners (banker's-rounding edge cases land on .0/.5 fractions)
+    pts = np.concatenate(
+        [
+            rng.uniform(-5, 145, size=(300, 2)),
+            rng.uniform(-400, 600, size=(60, 2)),
+            np.array([[0.0, 0.0], [0.5, 0.5], [139.5, 119.5], [70.0, 60.5]]),
+        ]
+    )
+    n = len(pts)
+    tbl = pa.table(
+        {
+            "pt_id": pa.array(range(n), pa.int64()),
+            "x": pa.array(pts[:, 0]),
+            "y": pa.array(pts[:, 1]),
+        }
+    )
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=tile_size)
+    store = tempfile.mkdtemp(prefix="prsr_pqstore_", dir="/tmp")
+    write_tiles_bucketed(
+        ray.data.from_arrow(tiles), store, (h, w), tile_size, radius=1
+    )
+
+    def run(fn):
+        return (
+            fn().to_pandas().sort_values("pt_id").reset_index(drop=True)["value"]
+            .to_numpy()
+        )
+
+    a = run(lambda: point_query_broadcast(
+        ray.data.from_arrow(tbl), (arr, affine, nodata), interpolate=interp))
+    b = run(lambda: point_query_tiled(
+        ray.data.from_arrow(tbl), ray.data.from_arrow(tiles), affine, nodata,
+        interpolate=interp, tile_size=tile_size))
+    c = run(lambda: point_query_from_store(
+        ray.data.from_arrow(tbl), store, (h, w), affine, nodata,
+        interpolate=interp, tile_size=tile_size))
+    for name, o in (("tiled", b), ("store", c)):
+        same = (np.isnan(a) & np.isnan(o)) | (a == o)
+        assert same.all(), (name, np.nonzero(~same)[0][:5])
+    # the layout must actually exercise masking: some nulls, some values
+    assert np.isnan(a).any() and (~np.isnan(a)).any()
