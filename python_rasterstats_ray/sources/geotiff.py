@@ -1,8 +1,9 @@
 """Minimal pure-Python GeoTIFF reader (stdlib struct + numpy only).
 
 Supports the subset of baseline TIFF 6.0 needed for conformance fixtures:
-striped or tiled layout, uncompressed, PackBits, or LZW/deflate (with
-horizontal predictor),
+striped or tiled layout, uncompressed, PackBits, LZMA (comp 34925, xz
+container per libtiff tif_lzma.c), or LZW/deflate (with horizontal
+predictor),
 single- or multi-sample, uint8/16/32, int8/16/32, float32/64, plus the
 GeoTIFF georeferencing tags (ModelPixelScale + ModelTiepoint or
 ModelTransformation) and GDAL's ASCII nodata tag. Internal mask IFDs
@@ -186,7 +187,7 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
     planar = int(ifd.value(284, 1))
     if planar != 1 and spp > 1:
         raise NotImplementedError("planar configuration 2 not supported")
-    if compression not in (1, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946, 34925):
         raise NotImplementedError(f"TIFF compression {compression} not supported")
     if compression == 7 and bps != 8:
         raise NotImplementedError("JPEG-in-TIFF only supported at 8-bit depth")
@@ -204,6 +205,14 @@ def _decode_ifd_array(data: bytes, bo: str, ifd: _IFD) -> np.ndarray:
             return zlib.decompress(raw)
         if compression == 32773:
             return _packbits_decode(raw)
+        if compression == 34925:
+            # libtiff's tif_lzma.c wraps each strip/tile in a full .xz
+            # container stream (lzma_stream_encoder, CHECK_NONE); stdlib
+            # lzma auto-detects the container, so this reads both our own
+            # writer's output and GDAL/libtiff-produced LZMA TIFFs.
+            import lzma
+
+            return lzma.decompress(raw)
         if compression == 7:
             from .jpeg import jpeg_decode
 

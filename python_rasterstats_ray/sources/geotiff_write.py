@@ -1,7 +1,7 @@
 """From-scratch GeoTIFF WRITER (counterpart to sources/geotiff.py).
 
 Writes classic little-endian TIFF, single- or multi-band (contiguous),
-striped, deflate- or PackBits-compressed (or uncompressed), with GeoTIFF georeference
+striped, deflate-, PackBits- or LZMA-compressed (or uncompressed), with GeoTIFF georeference
 tags (ModelPixelScale + ModelTiepoint for north-up affines,
 ModelTransformation for general ones) and the GDAL_NODATA ascii tag —
 the subset our reader (and rasterio/GDAL) understands. Used to export
@@ -91,11 +91,17 @@ def write_geotiff(
     bands, h, w = arr.shape
     if arr.dtype.kind not in _SAMPLE_FORMAT:
         raise NotImplementedError(f"dtype {arr.dtype} not supported")
-    if compression not in ("deflate", "packbits", "jpeg", "none"):
+    if compression not in ("deflate", "packbits", "jpeg", "lzma", "none"):
         raise NotImplementedError(f"compression {compression!r} not supported")
     if compression == "jpeg" and (arr.dtype != np.uint8 or bands not in (1, 3)):
         raise NotImplementedError("jpeg compression needs uint8, 1 or 3 bands")
-    comp_code = {"deflate": 8, "packbits": 32773, "jpeg": 7, "none": 1}[compression]
+    comp_code = {
+        "deflate": 8,
+        "packbits": 32773,
+        "jpeg": 7,
+        "lzma": 34925,
+        "none": 1,
+    }[compression]
     bits = arr.dtype.itemsize * 8
     fmt_code = _SAMPLE_FORMAT[arr.dtype.kind]
 
@@ -121,6 +127,14 @@ def write_geotiff(
         raw = pix[r0 : r0 + rows_per_strip].tobytes()
         if comp_code == 8:
             strips.append(zlib.compress(raw, 6))
+        elif comp_code == 34925:
+            # Match libtiff tif_lzma.c: one .xz stream per strip, no
+            # integrity check (LZMA_CHECK_NONE) — GDAL reads this as-is.
+            import lzma
+
+            strips.append(
+                lzma.compress(raw, format=lzma.FORMAT_XZ, check=lzma.CHECK_NONE)
+            )
         elif comp_code == 32773:
             strips.append(
                 b"".join(

@@ -129,6 +129,59 @@ def test_roundtrip_packbits_multiband(tmp_path):
     assert (g.array == arr).all()
 
 
+@pytest.mark.parametrize("dtype", ["uint8", "int16", "uint16", "int32", "float32", "float64"])
+def test_roundtrip_lzma(tmp_path, dtype):
+    """TIFF compression 34925 (libtiff tif_lzma.c): bit-exact roundtrip."""
+    rng = np.random.RandomState(11)
+    arr = (rng.randint(0, 9, size=(53, 31)) * 13).astype(dtype)
+    aff = Affine(10.0, 0.0, 0.0, 0.0, -10.0, 530.0)
+    p = str(tmp_path / "xz.tif")
+    write_geotiff(p, arr, aff, nodata=0.0, compression="lzma")
+    g = read_geotiff(p)
+    assert g.array.dtype == arr.dtype
+    assert (g.array[0] == arr).all()
+    assert g.affine == aff
+    assert g.nodata == 0.0
+
+
+def test_roundtrip_lzma_multiband_and_container(tmp_path):
+    """Multiband LZMA roundtrip; the file must declare comp 34925 and each
+    strip must be a standalone .xz stream (libtiff-compatible container)."""
+    import lzma as _lzma
+    import struct as _s
+
+    arr = np.random.RandomState(7).randint(0, 4, size=(3, 40, 21)).astype(np.uint8)
+    aff = Affine(1.0, 0.0, 0.0, 0.0, -1.0, 40.0)
+    p = str(tmp_path / "xz3.tif")
+    write_geotiff(p, arr, aff, compression="lzma", rows_per_strip=16)
+    g = read_geotiff(p)
+    assert (g.array == arr).all()
+    data = open(p, "rb").read()
+    # locate the compression tag (259) in the first IFD and the strips
+    ifd_off = _s.unpack_from("<I", data, 4)[0]
+    n = _s.unpack_from("<H", data, ifd_off)[0]
+    tags = {}
+    for i in range(n):
+        t, typ, cnt, val = _s.unpack_from("<HHII", data, ifd_off + 2 + 12 * i)
+        tags[t] = (typ, cnt, val)
+    assert tags[259][2] == 34925
+    # strip offsets/counts: resolve inline or offset-stored arrays
+    def _vals(tag):
+        typ, cnt, val = tags[tag]
+        size = 2 if typ == 3 else 4
+        fmt = "H" if typ == 3 else "I"
+        if cnt * size <= 4:
+            return list(_s.unpack_from(f"<{cnt}{fmt}", data, ifd_off + 2 + 12 * list(tags).index(tag) + 8))
+        return list(_s.unpack_from(f"<{cnt}{fmt}", data, val))
+
+    offs, cnts = _vals(273), _vals(279)
+    assert len(offs) == 3  # ceil(40/16)
+    for o, c in zip(offs, cnts):
+        strip = data[o : o + c]
+        assert strip[:6] == b"\xfd7zXZ\x00"  # .xz magic
+        assert _lzma.decompress(strip)  # standalone decodable stream
+
+
 def _split_jpeg_tables(stream: bytes):
     """Split a complete JFIF stream into (tables_stream, abbreviated) the
     way GDAL's JPEGTables tag does: DQT/DHT segments move to an
