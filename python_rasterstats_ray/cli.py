@@ -459,21 +459,23 @@ def cmd_prep(args) -> int:
             }
         )
 
-    import pandas as pd
+    import pyarrow.compute as pc
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "shard_id": [int(group["shard_id"].iloc[0])],
-                "n_docs": [int(group["n"].sum())],
-                "digest": [xor_digest(group["digest"])],
+                "shard_id": group["shard_id"][:1],
+                "n_docs": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
+                "digest": pa.array(
+                    [xor_digest(group["digest"].to_pylist())], pa.string()
+                ),
             }
         )
 
     manifest = (
         back.map_batches(digest_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
         .to_pandas()
         .sort_values("shard_id")
     )

@@ -37,9 +37,23 @@ def _small_table(sf_dir: str, table: str, columns=None) -> pa.Table:
 
 def _partial_final_groupby(ds, partial_fn, keys: list[str], final_fn):
     """Pre-aggregate inside map_batches (zero-copy Arrow), then groupby
-    the tiny partials (pandas is fine there: a handful of rows)."""
+    the tiny partials; ``final_fn`` merges one group's pa.Table (a
+    handful of rows) — all-Arrow, no pandas conversion round-trip."""
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(keys).map_groups(final_fn, batch_format="pandas")
+    return partials.groupby(keys).map_groups(final_fn, batch_format="pyarrow")
+
+
+def _int_sum_merge(key_cols: list[str], sum_cols: list[str]):
+    """Group-merge kernel for the common partial shape: carry the key
+    columns through, int64-sum everything else. All-Arrow."""
+
+    def merge(g: pa.Table) -> pa.Table:
+        cols = {k: g[k][:1] for k in key_cols}
+        for s in sum_cols:
+            cols[s] = pa.array([int(pc.sum(g[s]).as_py())], pa.int64())
+        return pa.table(cols)
+
+    return merge
 
 
 # ------------------------------------------------------------------ TPC-H
@@ -108,23 +122,31 @@ def q_tpch_q1(sf_dir: str):
             ]
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["count_order"].sum())
-        row = {
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "l_linestatus": [g["l_linestatus"].iloc[0]],
-            "sum_qty": [g["sum_qty"].sum()],
-            "sum_base_price": [g["sum_price100"].sum() / 100.0],
-            "sum_disc_price": [g["sum_disc_price4"].sum() / 10000.0],
-            "avg_qty": [g["sum_qty"].sum() / n],
-            "avg_disc": [(g["sum_disc100"].sum() / 100.0) / n],
-            "count_order": [n],
-        }
-        return pd.DataFrame(row)
+    def final(g: pa.Table) -> pa.Table:
+        n = int(pc.sum(g["count_order"]).as_py())
+        sum_qty = float(pc.sum(g["sum_qty"]).as_py())
+        return pa.table(
+            {
+                "l_returnflag": g["l_returnflag"][:1],
+                "l_linestatus": g["l_linestatus"][:1],
+                "sum_qty": pa.array([sum_qty], pa.float64()),
+                "sum_base_price": pa.array(
+                    [int(pc.sum(g["sum_price100"]).as_py()) / 100.0], pa.float64()
+                ),
+                "sum_disc_price": pa.array(
+                    [int(pc.sum(g["sum_disc_price4"]).as_py()) / 10000.0], pa.float64()
+                ),
+                "avg_qty": pa.array([sum_qty / n], pa.float64()),
+                "avg_disc": pa.array(
+                    [(int(pc.sum(g["sum_disc100"]).as_py()) / 100.0) / n], pa.float64()
+                ),
+                "count_order": pa.array([n], pa.int64()),
+            }
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return partials.groupby(["l_returnflag", "l_linestatus"]).map_groups(
-        final, batch_format="pandas"
+        final, batch_format="pyarrow"
     )
 
 
@@ -439,12 +461,16 @@ def q_customer_segments(sf_dir: str):
             .rename_columns(["c_mktsegment", "n_customers", "bal100"])
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "c_mktsegment": [g["c_mktsegment"].iloc[0]],
-                "n_customers": [int(g["n_customers"].sum())],
-                "total_bal": [g["bal100"].sum() / 100.0],
+                "c_mktsegment": g["c_mktsegment"][:1],
+                "n_customers": pa.array(
+                    [int(pc.sum(g["n_customers"]).as_py())], pa.int64()
+                ),
+                "total_bal": pa.array(
+                    [int(pc.sum(g["bal100"]).as_py()) / 100.0], pa.float64()
+                ),
             }
         )
 
@@ -487,14 +513,20 @@ def q_events_by_type(sf_dir: str):
             )
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def final(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "event_type": [g["event_type"].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "total_value": [g["v100"].sum() / 100.0],
-                "min_value": [g["min_value"].min()],
-                "max_value": [g["max_value"].max()],
+                "event_type": g["event_type"][:1],
+                "n_events": pa.array([int(pc.sum(g["n_events"]).as_py())], pa.int64()),
+                "total_value": pa.array(
+                    [int(pc.sum(g["v100"]).as_py()) / 100.0], pa.float64()
+                ),
+                "min_value": pa.array(
+                    [pc.min(g["min_value"]).as_py()], g["min_value"].type
+                ),
+                "max_value": pa.array(
+                    [pc.max(g["max_value"]).as_py()], g["max_value"].type
+                ),
             }
         )
 
@@ -525,39 +557,47 @@ def q_events_running(sf_dir: str):
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
 
-    def running_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        users = g["user_id"].to_numpy()
-        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    def running_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        ).combine_chunks()
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            g["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
         n = len(g)
         new_user = np.concatenate([[True], users[1:] != users[:-1]])
         starts = np.nonzero(new_user)[0]
-        seg_len = np.diff(np.concatenate([starts, [n]]))
         seg_id = np.cumsum(new_user) - 1
         total = np.cumsum(cents)
         base = (total[starts] - cents[starts])[seg_id]
         rk = np.arange(n, dtype=np.int64) - starts[seg_id] + 1
         gap = np.empty(n, np.int64)
         gap[1:] = ts[1:] - ts[:-1]
-        gap[starts] = 0  # masked below
-        return pd.DataFrame(
+        gap[starts] = 0  # nulled below
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": users,
-                "rk": rk,
-                "run_sum_cents": total - base,
-                # float64 with NaN firsts: nullable BIGINT lands as
+                "event_id": g["event_id"],
+                "user_id": g["user_id"],
+                "rk": pa.array(rk, pa.int64()),
+                "run_sum_cents": pa.array(total - base, pa.int64()),
+                # float64 with null firsts: nullable BIGINT lands as
                 # float64 on the DuckDB->pandas side; gaps are exact
                 # integers well under 2^53
-                "gap_us": pd.Series(gap, dtype="float64").mask(new_user),
+                "gap_us": pa.array(gap.astype(np.float64), mask=new_user),
             }
         )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
-        .map_groups(running_bucket, batch_format="pandas")
+        .map_groups(running_bucket, batch_format="pyarrow")
     )
 
 
@@ -689,17 +729,13 @@ def q_events_pivot(sf_dir: str):
         cols["k_total"] = pa.array(ksum, pa.int64())
         return pa.table(cols)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        row = {"user_id": [int(g["user_id"].iloc[0])]}
-        for t in EVENT_TYPES:
-            row[f"n_{t}"] = [int(g[f"n_{t}"].sum())]
-        row["k_total"] = [int(g["k_total"].sum())]
-        return pd.DataFrame(row)
-
+    merge = _int_sum_merge(
+        ["user_id"], [f"n_{t}" for t in EVENT_TYPES] + ["k_total"]
+    )
     return (
         ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
-        .map_groups(merge, batch_format="pandas")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 
@@ -734,10 +770,15 @@ def q_events_retention(sf_dir: str):
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
 
-    def cohort_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
+    def cohort_bucket(g: pa.Table) -> pa.Table:
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         wk = ts // WEEK_US
-        users = g["user_id"].to_numpy()
+        users = g["user_id"].to_numpy(zero_copy_only=False)
         uw = np.unique(np.stack([users, wk], axis=1), axis=0)  # distinct (user, week)
         uniq, uidx = np.unique(uw[:, 0], return_inverse=True)
         first = np.full(len(uniq), np.iinfo(np.int64).max)
@@ -746,31 +787,31 @@ def q_events_retention(sf_dir: str):
         off = uw[:, 1] - cohort
         key = np.stack([cohort, off], axis=1)
         cells, cnt = np.unique(key, axis=0, return_counts=True)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "cohort_week": cells[:, 0],
-                "week_offset": cells[:, 1],
-                "n": cnt.astype(np.int64),
+                "cohort_week": pa.array(cells[:, 0], pa.int64()),
+                "week_offset": pa.array(cells[:, 1], pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
             }
         )
 
     partials = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
-        .map_groups(cohort_bucket, batch_format="pandas")
+        .map_groups(cohort_bucket, batch_format="pyarrow")
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge(g: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "cohort_week": [int(g["cohort_week"].iloc[0])],
-                "week_offset": [int(g["week_offset"].iloc[0])],
-                "n_users": [int(g["n"].sum())],
+                "cohort_week": g["cohort_week"][:1],
+                "week_offset": g["week_offset"][:1],
+                "n_users": pa.array([int(pc.sum(g["n"]).as_py())], pa.int64()),
             }
         )
 
     return partials.groupby(["cohort_week", "week_offset"]).map_groups(
-        merge, batch_format="pandas"
+        merge, batch_format="pyarrow"
     )
 
 
@@ -807,10 +848,15 @@ def q_events_funnel(sf_dir: str):
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
 
-    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        users = g["user_id"].to_numpy()
-        etype = g["event_type"].to_numpy()
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        users = g["user_id"].to_numpy(zero_copy_only=False)
+        etype = g["event_type"].to_numpy(zero_copy_only=False)
         uniq, uidx = np.unique(users, return_inverse=True)
         n = len(uniq)
         INF = np.iinfo(np.int64).max
@@ -830,12 +876,12 @@ def q_events_funnel(sf_dir: str):
         )
 
         def col(t):
-            return pd.Series(t.astype(np.float64)).mask(t >= INF)
+            return pa.array(t.astype(np.float64), mask=t >= INF)
 
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": uniq,
-                "step_reached": step_reached,
+                "user_id": pa.array(uniq, pa.int64()),
+                "step_reached": pa.array(step_reached, pa.int64()),
                 "t1_us": col(t1),
                 "t2_us": col(t2),
                 "t3_us": col(t3),
@@ -845,7 +891,7 @@ def q_events_funnel(sf_dir: str):
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
-        .map_groups(funnel_bucket, batch_format="pandas")
+        .map_groups(funnel_bucket, batch_format="pyarrow")
     )
 
 
@@ -888,29 +934,34 @@ def q_events_sessionize(sf_dir: str, gap_us: int = 1_800_000_000):
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("_kb", pc.shift_right(batch["user_id"], 6))
 
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy(dtype="datetime64[us]").view("int64")
-        users = g["user_id"].to_numpy()
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        ).combine_chunks()
+        ts = (
+            g["ts"]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        users = g["user_id"].to_numpy(zero_copy_only=False)
         new_user = np.concatenate([[True], users[1:] != users[:-1]])
         new_session = new_user | np.concatenate([[True], np.diff(ts) > gap_us])
         uidx = np.cumsum(new_user) - 1
         n_events = np.bincount(uidx)
         n_sessions = np.bincount(uidx, weights=new_session).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "user_id": users[new_user],
-                "n_events": n_events.astype(np.int64),
-                "n_sessions": n_sessions,
+                "user_id": pa.array(users[new_user], pa.int64()),
+                "n_events": pa.array(n_events.astype(np.int64), pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
             }
         )
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
-        .map_groups(
-            lambda g: sessions_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
-        )
+        .map_groups(sessions_bucket, batch_format="pyarrow")
     )
 
 
@@ -1317,16 +1368,7 @@ def q_docs_geocells(sf_dir: str):
             .rename_columns(["cell_row", "cell_col", "n_docs", "total_chars"])
         )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cell_row": [int(g["cell_row"].iloc[0])],
-                "cell_col": [int(g["cell_col"].iloc[0])],
-                "n_docs": [int(g["n_docs"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
-            }
-        )
-
+    final = _int_sum_merge(["cell_row", "cell_col"], ["n_docs", "total_chars"])
     return _partial_final_groupby(ds, partial, ["cell_row", "cell_col"], final)
 
 
@@ -1362,16 +1404,7 @@ def q_docs_quadkey_rollup(sf_dir: str):
             .rename_columns(["cell_row", "cell_col", "n_docs", "total_chars"])
         )
 
-    def merge6(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "cell_row": [int(g["cell_row"].iloc[0])],
-                "cell_col": [int(g["cell_col"].iloc[0])],
-                "n_docs": [int(g["n_docs"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
-            }
-        )
-
+    merge6 = _int_sum_merge(["cell_row", "cell_col"], ["n_docs", "total_chars"])
     lvl6 = _partial_final_groupby(ds, partial, ["cell_row", "cell_col"], merge6)
 
     def fan_levels(batch: pa.Table) -> pa.Table:
@@ -1395,20 +1428,13 @@ def q_docs_quadkey_rollup(sf_dir: str):
             }
         )
 
-    def merge_lvl(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "level": [int(g["level"].iloc[0])],
-                "cell_row": [int(g["cell_row"].iloc[0])],
-                "cell_col": [int(g["cell_col"].iloc[0])],
-                "n_docs": [int(g["n_docs"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
-            }
-        )
+    merge_lvl = _int_sum_merge(
+        ["level", "cell_row", "cell_col"], ["n_docs", "total_chars"]
+    )
 
     fanned = lvl6.map_batches(fan_levels, batch_format="pyarrow", zero_copy_batch=True)
     return fanned.groupby(["level", "cell_row", "cell_col"]).map_groups(
-        merge_lvl, batch_format="pandas"
+        merge_lvl, batch_format="pyarrow"
     )
 
 
@@ -2589,17 +2615,8 @@ def q_flagship_rect_zones(sf_dir: str):
 
     partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "zone_id": [int(g["zone_id"].iloc[0])],
-                "n_pages": [int(g["n_pages"].sum())],
-                "total_tokens": [int(g["total_tokens"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
-            }
-        )
-
-    return partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+    merge = _int_sum_merge(["zone_id"], ["n_pages", "total_tokens", "total_chars"])
+    return partials.groupby("zone_id").map_groups(merge, batch_format="pyarrow")
 
 
 SQL_FLAGSHIP_RECT_ZONES = """
@@ -3637,24 +3654,24 @@ def q_docs_pack_sequences(sf_dir: str):
     csum = tot["sum(c)"].cumsum().shift(fill_value=0)
     offsets = dict(zip(tot["bucket"].astype(int), csum.astype(int)))
 
-    def pack(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("doc_id")
-        n = group["n_tokens"].to_numpy(np.int64)
-        off = offsets[int(group["bucket"].iloc[0])] + np.concatenate(
+    def pack(group: pa.Table) -> pa.Table:
+        group = group.sort_by("doc_id").combine_chunks()
+        n = group["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets[int(group["bucket"][0].as_py())] + np.concatenate(
             ([0], np.cumsum(n)[:-1])
         )
         last = (off + np.maximum(n, 1) - 1) // PACK_SEQ_LEN
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": group["doc_id"].to_numpy(np.int64),
-                "n_tokens": n,
-                "tok_offset": off,
-                "seq_first": off // PACK_SEQ_LEN,
-                "seq_last": last,
+                "doc_id": group["doc_id"],
+                "n_tokens": pa.array(n, pa.int64()),
+                "tok_offset": pa.array(off, pa.int64()),
+                "seq_first": pa.array(off // PACK_SEQ_LEN, pa.int64()),
+                "seq_last": pa.array(last, pa.int64()),
             }
         )
 
-    return base.groupby("bucket").map_groups(pack, batch_format="pandas")
+    return base.groupby("bucket").map_groups(pack, batch_format="pyarrow")
 
 
 SQL_DOCS_PACK_SEQUENCES = rf"""
@@ -4545,16 +4562,18 @@ def q_docs_training_shards(sf_dir: str):
         shard_partials, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def merge(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge(group: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "shard_id": [int(group["shard_id"].iloc[0])],
-                "n_docs": [int(group["n"].sum())],
-                "digest": [xor_digest(group["digest"])],
+                "shard_id": group["shard_id"][:1],
+                "n_docs": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
+                "digest": pa.array(
+                    [xor_digest(group["digest"].to_pylist())], pa.string()
+                ),
             }
         )
 
-    return partials.groupby("shard_id").map_groups(merge, batch_format="pandas").sort(
+    return partials.groupby("shard_id").map_groups(merge, batch_format="pyarrow").sort(
         "shard_id"
     )
 

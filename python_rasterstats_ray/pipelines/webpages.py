@@ -201,19 +201,29 @@ def pages_pipeline(
 
     partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
             {
-                "zone_id": [int(g["zone_id"].iloc[0])],
-                "n_pages": [int(g["n_pages"].sum())],
-                "total_tokens": [int(g["total_tokens"].sum())],
-                "total_html_bytes": [int(g["total_html_bytes"].sum())],
-                "sha_xor": [xor_digest(g["sha_xor"])],
-                "n_identity_violations": [int(g["n_identity_violations"].sum())],
+                "zone_id": g["zone_id"][:1],
+                "n_pages": pa.array([int(pc.sum(g["n_pages"]).as_py())], pa.int64()),
+                "total_tokens": pa.array(
+                    [int(pc.sum(g["total_tokens"]).as_py())], pa.int64()
+                ),
+                "total_html_bytes": pa.array(
+                    [int(pc.sum(g["total_html_bytes"]).as_py())], pa.int64()
+                ),
+                "sha_xor": pa.array(
+                    [xor_digest(g["sha_xor"].to_pylist())], pa.string()
+                ),
+                "n_identity_violations": pa.array(
+                    [int(pc.sum(g["n_identity_violations"]).as_py())], pa.int64()
+                ),
             }
         )
 
-    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pyarrow")
     return enriched, zone_stats
 
 
@@ -275,16 +285,24 @@ def flagship_pipeline(
 
     partials = enriched.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
+    def merge(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
             {
-                "zone_id": [int(g["zone_id"].iloc[0])],
-                "n_pages": [int(g["n_pages"].sum())],
-                "total_tokens": [int(g["total_tokens"].sum())],
-                "total_chars": [int(g["total_chars"].sum())],
-                "sha_xor": [xor_digest(g["sha_xor"])],
+                "zone_id": g["zone_id"][:1],
+                "n_pages": pa.array([int(pc.sum(g["n_pages"]).as_py())], pa.int64()),
+                "total_tokens": pa.array(
+                    [int(pc.sum(g["total_tokens"]).as_py())], pa.int64()
+                ),
+                "total_chars": pa.array(
+                    [int(pc.sum(g["total_chars"]).as_py())], pa.int64()
+                ),
+                "sha_xor": pa.array(
+                    [xor_digest(g["sha_xor"].to_pylist())], pa.string()
+                ),
             }
         )
 
-    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pandas")
+    zone_stats = partials.groupby("zone_id").map_groups(merge, batch_format="pyarrow")
     return enriched, zone_stats

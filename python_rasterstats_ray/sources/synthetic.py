@@ -224,13 +224,13 @@ def pages_dataset(n: int, seed: int = 42, block_rows: int = 10_000, **kw):
 
     starts = list(range(0, n, block_rows))
 
-    def gen_block(batch):
-        s = int(batch["start"][0])
+    def gen_block(batch: pa.Table) -> pa.Table:
+        s = int(batch["start"][0].as_py())
         cnt = int(min(block_rows, n - s))
         return generate_pages(cnt, seed=seed, start_id=s, **kw)
 
     return (
         ray.data.from_items([{"start": s} for s in starts])
         .repartition(len(starts))
-        .map_batches(gen_block, batch_size=1, batch_format="pandas")
+        .map_batches(gen_block, batch_size=1, batch_format="pyarrow")
     )

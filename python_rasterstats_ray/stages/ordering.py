@@ -94,17 +94,19 @@ def epoch_shuffle(ds, seed: int = 0, id_col: str = "doc_id", n_buckets: int = EP
     csum = tot["sum(c)"].cumsum().shift(fill_value=0)
     offsets = dict(zip(tot["bucket"].astype(int), csum.astype(int)))
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values("skey")
-        off = offsets[int(group["bucket"].iloc[0])]
-        return pd.DataFrame(
+    def assign(group: pa.Table) -> pa.Table:
+        group = group.sort_by("skey")  # splitmix64 keys are distinct: total order
+        off = offsets[int(group["bucket"][0].as_py())]
+        return pa.table(
             {
-                id_col: group[id_col].to_numpy(np.int64),
-                "epoch_pos": off + np.arange(len(group), dtype=np.int64),
+                id_col: group[id_col],
+                "epoch_pos": pa.array(
+                    off + np.arange(len(group), dtype=np.int64), pa.int64()
+                ),
             }
         )
 
-    return base.groupby("bucket").map_groups(assign, batch_format="pandas").sort(id_col)
+    return base.groupby("bucket").map_groups(assign, batch_format="pyarrow").sort(id_col)
 
 
 def corpus_mix(
@@ -166,17 +168,14 @@ def corpus_mix(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group[group_col].iloc[0]
-        group = group.sort_values(["skey", id_col]).head(quotas[g])
-        return pd.DataFrame(
-            {
-                id_col: group[id_col].to_numpy(np.int64),
-                group_col: group[group_col],
-            }
-        )
+    def final_topk(group: pa.Table) -> pa.Table:
+        g = group[group_col][0].as_py()
+        group = group.sort_by(
+            [("skey", "ascending"), (id_col, "ascending")]
+        ).slice(0, quotas[g])
+        return pa.table({id_col: group[id_col], group_col: group[group_col]})
 
-    return partials.groupby(group_col).map_groups(final_topk, batch_format="pandas").sort(id_col)
+    return partials.groupby(group_col).map_groups(final_topk, batch_format="pyarrow").sort(id_col)
 
 
 def token_budget_fill(
@@ -268,22 +267,25 @@ def token_budget_fill(
     tot["off"] = tot.groupby("grp")["sum(c)"].cumsum() - tot["sum(c)"]
     offsets = dict(zip(tot["gb"], tot["off"].astype(int)))
 
-    def fill(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(["skey", id_col])
-        g = group[group_col].iloc[0]
-        n = group[size_col].to_numpy(np.int64)
-        before = offsets[group["gb"].iloc[0]] + np.concatenate(([0], np.cumsum(n)[:-1]))
-        keep = before + n <= budgets[g]
-        kept = group[keep]
-        return pd.DataFrame(
+    def fill(group: pa.Table) -> pa.Table:
+        group = group.sort_by(
+            [("skey", "ascending"), (id_col, "ascending")]
+        ).combine_chunks()
+        g = group[group_col][0].as_py()
+        n = group[size_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        before = offsets[group["gb"][0].as_py()] + np.concatenate(
+            ([0], np.cumsum(n)[:-1])
+        )
+        kept = group.filter(pa.array(before + n <= budgets[g]))
+        return pa.table(
             {
-                id_col: kept[id_col].to_numpy(np.int64),
+                id_col: kept[id_col],
                 group_col: kept[group_col],
-                size_col: kept[size_col].to_numpy(np.int64),
+                size_col: kept[size_col],
             }
         )
 
-    return base.groupby("gb").map_groups(fill, batch_format="pandas").sort(id_col)
+    return base.groupby("gb").map_groups(fill, batch_format="pyarrow").sort(id_col)
 
 
 def select_top_exact(

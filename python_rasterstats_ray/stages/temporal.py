@@ -66,22 +66,29 @@ def tumbling_window_agg(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        total = g["total_value"].sum()
+    return partials.groupby(["window_start", key_col]).map_groups(
+        _window_final(key_col, value_scale), batch_format="pyarrow"
+    )
+
+
+def _window_final(key_col: str, value_scale: int | None):
+    """All-Arrow merge of tumbling/hopping window partials."""
+    import pyarrow.compute as pc
+
+    def final(g: pa.Table) -> pa.Table:
+        total = pc.sum(g["total_value"]).as_py()
         if value_scale is not None:
             total = total / float(value_scale)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "window_start": [int(g["window_start"].iloc[0])],
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "total_value": [total],
+                "window_start": g["window_start"][:1],
+                key_col: g[key_col][:1],
+                "n_events": pa.array([int(pc.sum(g["n_events"]).as_py())], pa.int64()),
+                "total_value": pa.array([total]),
             }
         )
 
-    return partials.groupby(["window_start", key_col]).map_groups(
-        final, batch_format="pandas"
-    )
+    return final
 
 
 def hopping_window_agg(
@@ -136,21 +143,8 @@ def hopping_window_agg(
         partial, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        total = g["total_value"].sum()
-        if value_scale is not None:
-            total = total / float(value_scale)
-        return pd.DataFrame(
-            {
-                "window_start": [int(g["window_start"].iloc[0])],
-                key_col: [g[key_col].iloc[0]],
-                "n_events": [int(g["n_events"].sum())],
-                "total_value": [total],
-            }
-        )
-
     return partials.groupby(["window_start", key_col]).map_groups(
-        final, batch_format="pandas"
+        _window_final(key_col, value_scale), batch_format="pyarrow"
     )
 
 
@@ -177,14 +171,27 @@ def session_windows(
     def add_bucket(batch: pa.Table) -> pa.Table:
         return batch.append_column("_kb", pc.shift_right(batch[key_col], 6))
 
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, ts_col, id_col], kind="mergesort")
-        ts = g[ts_col].to_numpy(dtype="datetime64[us]").view("int64")
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        g = g.sort_by(
+            [(key_col, "ascending"), (ts_col, "ascending"), (id_col, "ascending")]
+        ).combine_chunks()
+        ts = (
+            g[ts_col]
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
         if len(ts) == 0:
-            return pd.DataFrame(
-                columns=[key_col, "session_idx", "n_events", "t_start", "t_end"]
+            return pa.table(
+                {
+                    key_col: pa.array([], g[key_col].type),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "t_start": pa.array([], pa.int64()),
+                    "t_end": pa.array([], pa.int64()),
+                }
             )
-        keys = g[key_col].to_numpy()
+        keys = g[key_col].to_numpy(zero_copy_only=False)
         new_key = np.concatenate([[True], keys[1:] != keys[:-1]])
         new_session = new_key | np.concatenate([[True], np.diff(ts) > gap_us])
         starts = np.nonzero(new_session)[0]
@@ -192,22 +199,22 @@ def session_windows(
         skey = keys[starts]
         key_first = np.nonzero(np.concatenate([[True], skey[1:] != skey[:-1]]))[0]
         kstart = np.repeat(key_first, np.diff(np.append(key_first, len(skey))))
-        return pd.DataFrame(
+        return pa.table(
             {
-                key_col: skey,
-                "session_idx": np.arange(len(skey), dtype=np.int64) - kstart,
-                "n_events": (ends - starts + 1).astype(np.int64),
-                "t_start": ts[starts],
-                "t_end": ts[ends],
+                key_col: pa.array(skey),
+                "session_idx": pa.array(
+                    np.arange(len(skey), dtype=np.int64) - kstart, pa.int64()
+                ),
+                "n_events": pa.array((ends - starts + 1).astype(np.int64), pa.int64()),
+                "t_start": pa.array(ts[starts], pa.int64()),
+                "t_end": pa.array(ts[ends], pa.int64()),
             }
         )
 
     return (
         events_ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_kb")
-        .map_groups(
-            lambda g: sessions_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
-        )
+        .map_groups(sessions_bucket, batch_format="pyarrow")
     )
 
 
@@ -361,18 +368,24 @@ def interval_join(
         tag_interval, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def join_bucket(g: pa.Table) -> pa.Table:
         # intervals sorted by (key, lo); each of the <= 2^bucket_bits keys
         # in the bucket gets one vectorized searchsorted over its slice
-        iv = g[g["kind"] == 1].sort_values(["key", "t"], kind="mergesort")
-        pr = g[g["kind"] == 0]
-        keys_iv = iv["key"].to_numpy()
-        lo = iv["t"].to_numpy()
-        hi = iv["b"].to_numpy()
-        ivid = iv["a"].to_numpy()
-        pk = pr["key"].to_numpy()
-        pt = pr["t"].to_numpy()
-        out_id = np.full(len(pr), -1, dtype=np.int64)
+        kind = g["kind"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        t = g["t"].to_numpy(zero_copy_only=False)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        ivm = kind == 1
+        order = np.lexsort((t[ivm], key[ivm]))  # stable (key, lo) sort
+        keys_iv = key[ivm][order]
+        lo = t[ivm][order]
+        hi = b[ivm][order]
+        ivid = a[ivm][order]
+        prm = ~ivm
+        pk = key[prm]
+        pt = t[prm]
+        out_id = np.full(len(pk), -1, dtype=np.int64)
         for k in np.unique(pk):
             s = np.searchsorted(keys_iv, k, side="left")
             e = np.searchsorted(keys_iv, k, side="right")
@@ -383,19 +396,17 @@ def interval_join(
             sel = np.nonzero(pos >= 0)[0]
             inwin = pt[m][sel] <= hi[s:e][pos[sel]]
             out_id[m[sel[inwin]]] = ivid[s:e][pos[sel[inwin]]]
-        return pd.DataFrame(
+        return pa.table(
             {
-                "key": pk,
-                "probe_id": pr["a"].to_numpy(),
-                "ts_us": pt,
-                "interval_id": out_id,
+                "key": pa.array(pk, pa.int64()),
+                "probe_id": pa.array(a[prm], pa.int64()),
+                "ts_us": pa.array(pt, pa.int64()),
+                "interval_id": pa.array(out_id, pa.int64()),
             }
         )
 
     return (
         probe_tagged.union(iv_tagged)
         .groupby("_kb")
-        .map_groups(
-            lambda g: join_bucket(g.drop(columns=["_kb"])), batch_format="pandas"
-        )
+        .map_groups(join_bucket, batch_format="pyarrow")
     )
