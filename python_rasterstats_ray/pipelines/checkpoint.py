@@ -200,3 +200,113 @@ def checkpointed_flagship(
     return run_partitioned(
         partitions, build, out_dir, text_col="text", max_partitions=max_partitions
     )
+
+
+# --------------------------------------------- zonal store plan, checkpointed
+
+
+def checkpointed_zonal_store(
+    zones_path: str,
+    tiles_ds,
+    affine,
+    nodata,
+    out_dir: str,
+    *,
+    raster_dtype: str = "float32",
+    stats=None,
+    all_touched: bool = False,
+    categorical: bool = False,
+    category_map=None,
+    tile_size: int | None = None,
+    n_parts: int = 8,
+    max_partitions: int | None = None,
+) -> dict:
+    """The storage-bucketed zonal plan (``zonal_stats_tiled_from_store``)
+    run as ``n_parts`` CELL-PARTITION ranges with lineage + skip-completed
+    resume: each partition computes and persists the per-(zone, cell)
+    partial rows for its contiguous slice of the store's cell buckets, so
+    a killed run restarts from the last completed cell partition — the
+    north rule's recovery unit for the headline zonal plan. Finish with
+    ``finalize_zonal_store_checkpoint`` once ``remaining`` is empty.
+
+    Partials (not final stats) are the checkpoint payload on purpose: a
+    zone spanning cells in two partitions must merge globally, and the
+    partial rows are the exact algebraic unit that merge consumes — the
+    finalize step is the same one exchange the un-checkpointed plan pays.
+    """
+    from ..stages.zonal_dist import (
+        DEFAULT_TILE_SIZE,
+        build_tile_refmap,
+        check_stats,
+        store_cells,
+        store_partials_ds,
+    )
+
+    tile_size = DEFAULT_TILE_SIZE if tile_size is None else tile_size
+    stats_list, run_count = check_stats(stats, categorical)
+    need_vals = run_count or any(
+        s.startswith("percentile_") or s == "median" for s in stats_list
+    )
+    cells = store_cells(zones_path)
+    step = (len(cells) + n_parts - 1) // n_parts
+    partitions = [
+        (f"{i:04d}", {"cells": cells[i * step : (i + 1) * step]})
+        for i in range(n_parts)
+        if cells[i * step : (i + 1) * step]
+    ]
+    # broadcast the tiles ONCE for every partition this call runs; the
+    # refs stay alive for the duration of the call
+    refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
+
+    def build(spec: dict):
+        return store_partials_ds(
+            zones_path,
+            spec["cells"],
+            refmap_ref,
+            affine=affine,
+            nodata=nodata,
+            tile_size=tile_size,
+            raster_dtype=raster_dtype,
+            all_touched=all_touched,
+            need_vals=need_vals,
+        )
+
+    return run_partitioned(
+        partitions, build, out_dir, text_col=None, max_partitions=max_partitions
+    )
+
+
+def finalize_zonal_store_checkpoint(
+    out_dir: str,
+    *,
+    stats=None,
+    categorical: bool = False,
+    category_map=None,
+    raster_dtype: str = "float32",
+):
+    """Merge the persisted per-(zone, cell) partials of a completed
+    ``checkpointed_zonal_store`` run into the final per-zone stats Dataset
+    (bit-identical to an uninterrupted ``zonal_stats_tiled_from_store``)."""
+    import ray.data
+
+    from ..stages.zonal_dist import finish_store_partials
+
+    names = completed_partitions(out_dir)
+    if not names:
+        raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    paths = []  # explicit files: read_parquet treats list entries as files
+    for n in names:
+        d = os.path.join(out_dir, f"part={n}")
+        paths.extend(
+            sorted(
+                os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+            )
+        )
+    partials = ray.data.read_parquet(paths)
+    return finish_store_partials(
+        partials,
+        stats=stats,
+        categorical=categorical,
+        category_map=category_map,
+        raster_dtype=raster_dtype,
+    )

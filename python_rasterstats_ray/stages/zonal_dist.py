@@ -1902,6 +1902,105 @@ def _store_cell_call(batch, *, token: str, path: str, ctor: dict):
     return kernel(batch)
 
 
+def store_cells(zones_path: str) -> list[int]:
+    """The sorted cell-bucket ids of a ``write_zones_bucketed`` layout."""
+    import os
+
+    cells = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(zones_path)
+        if d.startswith("cell=")
+    )
+    if not cells:
+        raise FileNotFoundError(f"no cell= buckets under {zones_path}")
+    return cells
+
+
+def store_partials_ds(
+    zones_path: str,
+    cells: list[int],
+    refmap_ref,
+    *,
+    affine: Affine,
+    nodata,
+    tile_size: int,
+    raster_dtype: str,
+    all_touched: bool,
+    need_vals: bool,
+    concurrency=None,
+):
+    """Per-(zone, cell) partial rows for the given cell buckets of a
+    bucketed zone store — the shuffle-free front half of
+    ``zonal_stats_tiled_from_store``, exposed separately so the
+    checkpointed runner (pipelines/checkpoint.py) can execute and
+    persist one cell-partition's partials at a time."""
+    import uuid
+
+    import ray.data
+
+    if concurrency is None:
+        from ._cluster import pool
+
+        concurrency = pool()
+    # one task per cell up to a few tasks per CPU; beyond that, group
+    # cells into blocks (a 100k-cell store must not become 100k 1-row
+    # blocks — each task then works several buckets, batch_size=1 keeps
+    # the per-call unit at one bucket)
+    from ._cluster import cluster_cpus
+
+    n_blocks = min(len(cells), max(cluster_cpus() * 16, 1))
+    cells_ds = ray.data.from_arrow(
+        pa.table({"cell": pa.array(cells, pa.int64())})
+    ).repartition(n_blocks)
+    ctor = dict(
+        refmap_ref=refmap_ref,
+        affine=affine,
+        nodata=nodata,
+        tile_size=tile_size,
+        raster_dtype=raster_dtype,
+        all_touched=all_touched,
+        need_vals=need_vals,
+        carry_px=False,
+    )
+    return cells_ds.map_batches(
+        _store_cell_call,
+        fn_kwargs=dict(token=uuid.uuid4().hex, path=zones_path, ctor=ctor),
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency[1] if isinstance(concurrency, tuple) else concurrency,
+    )
+
+
+def finish_store_partials(
+    partials,
+    *,
+    stats=None,
+    categorical: bool = False,
+    category_map=None,
+    raster_dtype: str = "float32",
+    checkpoint_before_shuffle: bool = True,
+):
+    """Per-(zone, cell) partial rows (``store_partials_ds`` output, live
+    or read back from a checkpoint sink) -> final per-zone stats Dataset
+    sorted by zone_id. The back half of ``zonal_stats_tiled_from_store``."""
+    stats_list, run_count = check_stats(stats, categorical)
+    need_vals = run_count or any(
+        s.startswith("percentile_") or s == "median" for s in stats_list
+    )
+    return _finish_tiled_partials(
+        partials,
+        merge_partials=None,
+        carry_px=False,
+        need_vals=need_vals,
+        stats=stats,
+        stats_list=stats_list,
+        categorical=categorical,
+        category_map=category_map,
+        raster_dtype=raster_dtype,
+        checkpoint_before_shuffle=checkpoint_before_shuffle,
+    )
+
+
 def zonal_stats_tiled_from_store(
     zones_path: str,
     tiles_ds,
@@ -1958,42 +2057,19 @@ def zonal_stats_tiled_from_store(
     need_vals = run_count or any(
         s.startswith("percentile_") or s == "median" for s in stats_list
     )
-    cells = sorted(
-        int(d.split("=", 1)[1])
-        for d in os.listdir(zones_path)
-        if d.startswith("cell=")
-    )
-    if not cells:
-        raise FileNotFoundError(f"no cell= buckets under {zones_path}")
+    cells = store_cells(zones_path)
     refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
-    # one task per cell up to a few tasks per CPU; beyond that, group
-    # cells into blocks (a 100k-cell store must not become 100k 1-row
-    # blocks — each task then works several buckets, batch_size=1 keeps
-    # the per-call unit at one bucket)
-    from ._cluster import cluster_cpus
-
-    n_blocks = min(len(cells), max(cluster_cpus() * 16, 1))
-    cells_ds = ray.data.from_arrow(
-        pa.table({"cell": pa.array(cells, pa.int64())})
-    ).repartition(n_blocks)
-    import uuid
-
-    ctor = dict(
-        refmap_ref=refmap_ref,
+    partials = store_partials_ds(
+        zones_path,
+        cells,
+        refmap_ref,
         affine=affine,
         nodata=nodata,
         tile_size=tile_size,
         raster_dtype=raster_dtype,
         all_touched=all_touched,
         need_vals=need_vals,
-        carry_px=False,
-    )
-    partials = cells_ds.map_batches(
-        _store_cell_call,
-        fn_kwargs=dict(token=uuid.uuid4().hex, path=zones_path, ctor=ctor),
-        batch_size=1,
-        batch_format="pyarrow",
-        concurrency=concurrency[1] if isinstance(concurrency, tuple) else concurrency,
+        concurrency=concurrency,
     )
     if checkpoint_before_shuffle:
         partials = partials.materialize()

@@ -117,6 +117,85 @@ def test_stale_uncommitted_partition_is_cleaned(ray_session, tmp_path):
     assert sorted(got["text"]) == [f"doc-{i}" for i in range(5)]
 
 
+def test_checkpointed_zonal_store_resume(ray_session, tmp_path):
+    """North rule on the headline zonal plan: a killed run restarts from
+    the last completed CELL partition, and the finalized result is
+    bit-identical to an uninterrupted zonal_stats_tiled_from_store."""
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.checkpoint import (
+        checkpointed_zonal_store,
+        completed_partitions,
+        finalize_zonal_store_checkpoint,
+    )
+    from python_rasterstats_ray.sources.synthetic import (
+        generate_raster,
+        generate_zones,
+    )
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.zonal_dist import (
+        write_zones_bucketed,
+        zonal_stats_tiled_from_store,
+    )
+
+    stats = "count min max mean sum std median nodata"
+    arr, affine, nodata = generate_raster((300, 400), kind="holes", seed=7)
+    zones = generate_zones(
+        40, extent=(-20.0, -30.0, 420.0, 310.0), seed=11, with_holes=True, mega_every=13
+    )
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    store = write_zones_bucketed(
+        ray.data.from_arrow(zones), str(tmp_path / "zstore"), affine, tile_size=128
+    )
+    out = str(tmp_path / "zckpt")
+    kw = dict(
+        affine=affine,
+        nodata=nodata,
+        raster_dtype=str(arr.dtype),
+        stats=stats,
+        tile_size=128,
+    )
+
+    # simulate a crash after 2 of 4 cell partitions
+    s1 = checkpointed_zonal_store(
+        store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4,
+        max_partitions=2, **kw
+    )
+    assert s1["ran"] == ["0000", "0001"]
+    assert completed_partitions(out) == ["0000", "0001"]
+    assert len(s1["remaining"]) == 2
+
+    # resume: completed cell partitions skip, the rest run
+    s2 = checkpointed_zonal_store(
+        store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw
+    )
+    assert s2["skipped"] == ["0000", "0001"]
+    assert s2["ran"] == ["0002", "0003"]
+    assert s2["remaining"] == []
+
+    got = (
+        finalize_zonal_store_checkpoint(out, stats=stats, raster_dtype=str(arr.dtype))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    want = (
+        zonal_stats_tiled_from_store(
+            store, ray.data.from_arrow(tiles), concurrency=(1, 2), **kw
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert list(got.columns) == list(want.columns)
+    order_dep = {"mean", "sum", "std"}  # float accumulation order may differ
+    import numpy as np
+
+    for c in got.columns:
+        if c in order_dep:
+            assert np.allclose(got[c], want[c], rtol=1e-9, atol=0.0, equal_nan=True), c
+        else:
+            assert got[c].equals(want[c]), c
+
+
 def test_session_windows_boundaries(ray_session):
     """Exact-gap events stay in the same session (strict > rule); the
     next microsecond starts a new one."""
