@@ -33,5 +33,26 @@ def pool_cap(divisor: int = 1, floor: int = 1, default: int = 4) -> int:
 
 
 def pool(divisor: int = 1, floor: int = 1, default: int = 4) -> tuple[int, int]:
-    """``(1, pool_cap(...))`` — the concurrency tuple for map_batches."""
+    """``(1, pool_cap(...))`` — the concurrency tuple for map_batches.
+
+    min stays 1: raising it engine-wide was tried (round 5) and STARVES
+    plans that chain several pools on small clusters — with eager min
+    actors from two or three stages holding every CPU slot, the read and
+    exchange tasks never schedule (observed: the PQ encode+scan chain
+    crawling at load 0.4 on num_cpus=4). Single-pool plans that are
+    measurably hurt by Ray's slow backlog-driven upscaling (the pool runs
+    ~1-3 actors on short stages regardless of width) should pass an
+    explicit ``(cap // 2, cap)`` instead — see ``half_pool``."""
     return (1, pool_cap(divisor, floor, default))
+
+
+def half_pool(default: int = 4) -> tuple[int, int]:
+    """``(cap // 2, cap)`` — for SINGLE-pool plans only: pre-starts half
+    the cluster's actors (Ray's autoscaler otherwise reacts to backlog
+    over seconds and short stages finish on 1-3 actors; profiled on the
+    minhash stage: 10.6 s of kernel work in 10.65 s wall at min=1) while
+    the reserved half can never starve the plan's own read/sort tasks.
+    Do NOT use on plans that chain pools — their min reservations add up
+    to the whole cluster and deadlock scheduling (see ``pool``)."""
+    cap = pool_cap(1, 1, default)
+    return (max(1, cap // 2), cap)

@@ -344,9 +344,14 @@ def minhash_lsh_pairs(
     instead of all pairs (see bucket_pairs) so one hot bucket cannot
     explode quadratically."""
     if concurrency is None:
-        from ._cluster import pool
+        # single-pool plan (MinHashKernel is the only actor stage): the
+        # half-the-cluster floor pre-starts actors — Ray's backlog-driven
+        # autoscaler otherwise leaves a (1, cap) pool at 1-3 actors for
+        # the whole stage (profiled round 5: 10.6 s of signature work in
+        # 10.65 s wall at min=1)
+        from ._cluster import half_pool
 
-        concurrency = pool()
+        concurrency = half_pool()
     banded = docs_ds.map_batches(
         MinHashKernel,
         fn_constructor_kwargs=dict(

@@ -19,11 +19,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-D = "/tmp/prsr_headroom_r3"
-H = 16384
+# Defaults = the 2.5x probe; override via env for the bigger notches
+# (e.g. HEADROOM_ZONES=2000000 HEADROOM_DIR=/tmp/prsr_headroom_2m for the
+# 5x / 2M-zone rerun). Layout positions scale with the zone count so zone
+# density per tile stays comparable.
+D = os.environ.get("HEADROOM_DIR", "/tmp/prsr_headroom_r3")
+H = int(os.environ.get("HEADROOM_H", 16384))
 TILE = 512
-N_ZONES = 1_000_000
-N_LAYOUT = 50_000
+N_ZONES = int(os.environ.get("HEADROOM_ZONES", 1_000_000))
+N_LAYOUT = max(50_000, N_ZONES // 20)
 MEGA_EVERY = 100_003
 N_VERTICES = 64
 
