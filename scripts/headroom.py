@@ -83,7 +83,9 @@ def stage() -> None:
         {
             "cell": pc.fill_null(tagged["cell"], -1),
             "zone_id": tagged["zone_id"],
-            "geom_wkb": tagged["geom_wkb"],
+            # large_binary: at 2M+ zones the tagged WKB exceeds 2 GB and a
+            # 32-bit-offset binary column overflows in the sort gather
+            "geom_wkb": tagged["geom_wkb"].cast(pa.large_binary()),
         }
     )
     order = pc.sort_indices(tagged["cell"])
