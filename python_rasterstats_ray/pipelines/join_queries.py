@@ -1004,9 +1004,9 @@ def q_tpch_q3_store(sf_dir: str, store_root: str | None = None,
             return empty
         return pa.concat_tables(outs, promote_options="default")
 
-    buckets = ray.data.from_arrow(
-        pa.table({"bucket": pa.array(range(n_buckets), pa.int64())})
-    ).repartition(n_buckets)
+    from ..stages._cluster import id_blocks_ds
+
+    buckets = id_blocks_ds(range(n_buckets), n_buckets, "bucket")
     top = buckets.map_batches(
         bucket_task, batch_size=1, batch_format="pyarrow", concurrency=pool_cap()
     )

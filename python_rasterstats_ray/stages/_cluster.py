@@ -56,3 +56,32 @@ def half_pool(default: int = 4) -> tuple[int, int]:
     to the whole cluster and deadlock scheduling (see ``pool``)."""
     cap = pool_cap(1, 1, default)
     return (max(1, cap // 2), cap)
+
+
+def id_blocks_ds(ids, n_blocks: int, col: str):
+    """A Dataset of int64 ids pre-split driver-side into ``n_blocks``
+    contiguous blocks — the barrier-free replacement for
+    ``from_arrow(one_table).repartition(n)`` on bucket/cell id lists.
+
+    Repartition is an AllToAllOperator: even on a few-KB id table it
+    holds the WHOLE plan at a barrier before the first downstream task
+    can start (measured: a parallelism-invariant second or two at the
+    head of every bucketed-store query — pure ramp, worst at small
+    cluster sizes). The id list is O(#buckets) and already lives on the
+    driver, so splitting it here costs nothing and the per-bucket tasks
+    start streaming immediately. Contiguous slices keep sorted cell ids
+    spatially clustered per block (tile-superblock reuse downstream).
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    arr = np.asarray(list(ids), dtype=np.int64)
+    n_blocks = max(1, min(int(n_blocks), max(len(arr), 1)))
+    return ray.data.from_arrow(
+        [
+            pa.table({col: pa.array(chunk, pa.int64())})
+            for chunk in np.array_split(arr, n_blocks)
+            if len(chunk)
+        ]
+    )

@@ -133,9 +133,9 @@ def bucketed_join(
 
         concurrency = pool()
 
-    buckets = ray.data.from_arrow(
-        pa.table({"bucket": pa.array(range(n_buckets), pa.int64())})
-    ).repartition(n_buckets)
+    from ._cluster import id_blocks_ds
+
+    buckets = id_blocks_ds(range(n_buckets), n_buckets, "bucket")
     return buckets.map_batches(
         _BucketJoin,
         fn_constructor_args=(path_a, path_b, key_a, key_b, join_type, columns_a, columns_b),

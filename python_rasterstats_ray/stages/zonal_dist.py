@@ -1945,13 +1945,11 @@ def store_partials_ds(
     # one task per cell up to a few tasks per CPU; beyond that, group
     # cells into blocks (a 100k-cell store must not become 100k 1-row
     # blocks — each task then works several buckets, batch_size=1 keeps
-    # the per-call unit at one bucket)
-    from ._cluster import cluster_cpus
+    # the per-call unit at one bucket); blocks are split driver-side
+    # (id_blocks_ds) so no AllToAll barrier precedes the first read
+    from ._cluster import cluster_cpus, id_blocks_ds
 
-    n_blocks = min(len(cells), max(cluster_cpus() * 16, 1))
-    cells_ds = ray.data.from_arrow(
-        pa.table({"cell": pa.array(cells, pa.int64())})
-    ).repartition(n_blocks)
+    cells_ds = id_blocks_ds(cells, max(cluster_cpus() * 16, 1), "cell")
     ctor = dict(
         refmap_ref=refmap_ref,
         affine=affine,
