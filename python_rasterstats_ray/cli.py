@@ -411,7 +411,7 @@ def cmd_prep(args) -> int:
     import pyarrow as pa
     import ray.data
 
-    from .pipelines.webpages import sha256_hex, xor_digest
+    from .pipelines.webpages import sha256_hex
     from .stages.dedup import exact_dedup_keep_first
     from .stages.joins import join_auto
     from .stages.ordering import epoch_shuffle
@@ -459,23 +459,12 @@ def cmd_prep(args) -> int:
             }
         )
 
-    import pyarrow.compute as pc
-
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "shard_id": group["shard_id"][:1],
-                "n_docs": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
-                "digest": pa.array(
-                    [xor_digest(group["digest"].to_pylist())], pa.string()
-                ),
-            }
-        )
+    from python_rasterstats_ray.pipelines.webpages import shard_digest_merge
 
     manifest = (
         back.map_batches(digest_partials, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("shard_id")
-        .map_groups(merge, batch_format="pyarrow")
+        .map_groups(shard_digest_merge, batch_format="pyarrow")
         .to_pandas()
         .sort_values("shard_id")
     )

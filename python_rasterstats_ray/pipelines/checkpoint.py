@@ -216,7 +216,6 @@ def checkpointed_zonal_store(
     stats=None,
     all_touched: bool = False,
     categorical: bool = False,
-    category_map=None,
     tile_size: int | None = None,
     n_parts: int = 8,
     max_partitions: int | None = None,
@@ -254,9 +253,50 @@ def checkpointed_zonal_store(
         for i in range(n_parts)
         if cells[i * step : (i + 1) * step]
     ]
+    # Plan manifest: partition NAMES alone don't identify their cell
+    # ranges — resuming with a different n_parts (or after the store's
+    # bucket set changed) would skip committed names whose meaning moved
+    # and finalize SILENTLY WRONG stats. Pin the plan on first run and
+    # refuse a mismatched resume.
+    import hashlib
+
+    plan = {
+        "kind": "zonal_store_partials",
+        "n_parts": n_parts,
+        "n_cells": len(cells),
+        "cells_sha": hashlib.sha256(
+            b"".join(int(c).to_bytes(8, "little", signed=True) for c in cells)
+        ).hexdigest(),
+        "partitions": [name for name, _ in partitions],
+        "tile_size": tile_size,
+        "all_touched": all_touched,
+        "need_vals": need_vals,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prev = json.load(f)
+        if prev != plan:
+            diff = {k: (prev.get(k), plan[k]) for k in plan if prev.get(k) != plan[k]}
+            raise ValueError(
+                f"checkpoint at {out_dir} was created with a different plan "
+                f"(changed: {sorted(diff)}); resume with the original "
+                "n_parts/store/options or start a fresh out_dir"
+            )
+    else:
+        with open(plan_path + ".tmp", "w") as f:
+            json.dump(plan, f, indent=2)
+        os.replace(plan_path + ".tmp", plan_path)
+
     # broadcast the tiles ONCE for every partition this call runs; the
-    # refs stay alive for the duration of the call
-    refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
+    # refs stay alive for the duration of the call. Skipped entirely on
+    # a pure-resume call with nothing left to run — pinning the whole
+    # tile dataset is the plan's most expensive fixed cost.
+    todo = [p for p in partitions if not partition_done(out_dir, p[0])]
+    refmap_ref = None
+    if todo:
+        refmap_ref, _block_refs = build_tile_refmap(tiles_ds)
 
     def build(spec: dict):
         return store_partials_ds(
@@ -294,6 +334,20 @@ def finalize_zonal_store_checkpoint(
     names = completed_partitions(out_dir)
     if not names:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
+    # completeness gate: merging a PARTIAL checkpoint would return
+    # plausible-looking stats with silently-short sums for zones that
+    # span uncommitted cell partitions
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            expected = json.load(f).get("partitions", [])
+        missing = [n for n in expected if n not in set(names)]
+        if missing:
+            raise RuntimeError(
+                f"checkpoint at {out_dir} is incomplete: partitions "
+                f"{missing} not committed — re-run checkpointed_zonal_store "
+                "to finish before finalizing"
+            )
     paths = []  # explicit files: read_parquet treats list entries as files
     for n in names:
         d = os.path.join(out_dir, f"part={n}")

@@ -4519,7 +4519,7 @@ def q_docs_training_shards(sf_dir: str):
     """
     import numpy as np
 
-    from python_rasterstats_ray.pipelines.webpages import sha256_hex, xor_digest
+    from python_rasterstats_ray.pipelines.webpages import sha256_hex
     from python_rasterstats_ray.stages.dedup import exact_dedup_keep_first
     from python_rasterstats_ray.stages.joins import join_auto
     from python_rasterstats_ray.stages.ordering import epoch_shuffle
@@ -4562,19 +4562,12 @@ def q_docs_training_shards(sf_dir: str):
         shard_partials, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def merge(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "shard_id": group["shard_id"][:1],
-                "n_docs": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
-                "digest": pa.array(
-                    [xor_digest(group["digest"].to_pylist())], pa.string()
-                ),
-            }
-        )
+    from python_rasterstats_ray.pipelines.webpages import shard_digest_merge
 
-    return partials.groupby("shard_id").map_groups(merge, batch_format="pyarrow").sort(
-        "shard_id"
+    return (
+        partials.groupby("shard_id")
+        .map_groups(shard_digest_merge, batch_format="pyarrow")
+        .sort("shard_id")
     )
 
 

@@ -45,6 +45,23 @@ def xor_digest(hex_hashes) -> str:
     return f"{acc:064x}"
 
 
+def shard_digest_merge(group: pa.Table) -> pa.Table:
+    """map_groups combiner for per-shard (shard_id, n, digest) partials ->
+    one (shard_id, n_docs, digest) manifest row; shared by the training
+    shard manifest query and the CLI prep sink."""
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "shard_id": group["shard_id"][:1],
+            "n_docs": pa.array([int(pc.sum(group["n"]).as_py())], pa.int64()),
+            "digest": pa.array(
+                [xor_digest(group["digest"].to_pylist())], pa.string()
+            ),
+        }
+    )
+
+
 def doc_geotag(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     ids = np.asarray(ids, dtype=np.int64)
     lon = ((ids * 2654435761) % 360000) / 1000.0 - 180.0

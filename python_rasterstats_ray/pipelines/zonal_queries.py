@@ -322,12 +322,20 @@ def q_point_query_tiled_store(sf_dir: str):
 
     ensure_fixtures()
     arr, affine, nodata = oracle_raster("holes")
+    # atomic staging (tmp dir + rename), same reason as ensure_fixtures:
+    # a kill mid-write must not leave a half-store that later runs reuse
+    # (missing partitions gather as nodata -> persistent oracle mismatch)
     store = os.path.join(ORACLE_DIR, "tiles_bucketed_holes_128")
     if not os.path.isdir(store):
+        import shutil
+
+        tmp = store + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
         tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
         write_tiles_bucketed(
-            ray.data.from_arrow(tiles), store, arr.shape, 128, radius=1
+            ray.data.from_arrow(tiles), tmp, arr.shape, 128, radius=1
         )
+        os.rename(tmp, store)
     out = point_query_from_store(
         _points_ds(), store, arr.shape, affine, nodata,
         interpolate="bilinear", tile_size=128,

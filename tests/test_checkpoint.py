@@ -196,6 +196,70 @@ def test_checkpointed_zonal_store_resume(ray_session, tmp_path):
             assert got[c].equals(want[c]), c
 
 
+def test_checkpointed_zonal_store_guards(ray_session, tmp_path):
+    """Resume with a different n_parts must refuse (partition NAMES no
+    longer mean the same cell ranges), and finalize on an incomplete
+    checkpoint must refuse (silently-short per-zone sums otherwise)."""
+    import pytest
+    import ray.data
+
+    from python_rasterstats_ray.pipelines.checkpoint import (
+        checkpointed_zonal_store,
+        finalize_zonal_store_checkpoint,
+    )
+    from python_rasterstats_ray.sources.synthetic import (
+        generate_raster,
+        generate_zones,
+    )
+    from python_rasterstats_ray.sources.tiles import raster_to_tiles_table
+    from python_rasterstats_ray.stages.zonal_dist import write_zones_bucketed
+
+    arr, affine, nodata = generate_raster((300, 400), kind="holes", seed=7)
+    zones = generate_zones(20, extent=(-20.0, -30.0, 420.0, 310.0), seed=11)
+    tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
+    store = write_zones_bucketed(
+        ray.data.from_arrow(zones), str(tmp_path / "zstore"), affine, tile_size=128
+    )
+    out = str(tmp_path / "zckpt")
+    kw = dict(
+        affine=affine, nodata=nodata, raster_dtype=str(arr.dtype),
+        stats="count sum", tile_size=128,
+    )
+    s1 = checkpointed_zonal_store(
+        store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4,
+        max_partitions=1, **kw
+    )
+    assert len(s1["ran"]) == 1 and len(s1["remaining"]) == 3
+
+    # incomplete finalize refuses with the missing partition names
+    with pytest.raises(RuntimeError, match="incomplete"):
+        finalize_zonal_store_checkpoint(out, stats="count sum",
+                                        raster_dtype=str(arr.dtype))
+
+    # mismatched-plan resume refuses
+    with pytest.raises(ValueError, match="different plan"):
+        checkpointed_zonal_store(
+            store, ray.data.from_arrow(tiles), out_dir=out, n_parts=2, **kw
+        )
+
+    # matching resume completes; finalize then succeeds
+    s2 = checkpointed_zonal_store(
+        store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw
+    )
+    assert s2["remaining"] == []
+    got = finalize_zonal_store_checkpoint(
+        out, stats="count sum", raster_dtype=str(arr.dtype)
+    )
+    assert got.count() == 20
+
+    # pure-resume call on a finished checkpoint runs nothing (and skips
+    # the refmap broadcast internally)
+    s3 = checkpointed_zonal_store(
+        store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw
+    )
+    assert s3["ran"] == [] and s3["remaining"] == []
+
+
 def test_session_windows_boundaries(ray_session):
     """Exact-gap events stay in the same session (strict > rule); the
     next microsecond starts a new one."""
