@@ -88,8 +88,46 @@ def run_partitioned(
 
     ``max_partitions`` bounds how many incomplete partitions run this call
     (used by the kill/resume tests to simulate a mid-run crash).
+
+    A ``_plan.json`` manifest pins the partitioning on first run:
+    partition NAMES alone don't identify their input ranges, so resuming
+    with a different n_parts (or against a changed input) would skip
+    committed names whose meaning moved and produce silently-wrong
+    output. A mismatched resume refuses instead.
     """
+    import hashlib
+
     os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
+    plan = {
+        "partitions": [name for name, _ in partitions],
+        "spec_sha": {
+            name: hashlib.sha256(
+                json.dumps(spec, sort_keys=True, default=str).encode()
+            ).hexdigest()
+            for name, spec in partitions
+        },
+    }
+    plan_path = os.path.join(out_dir, "_plan.json")
+    if os.path.exists(plan_path):
+        with open(plan_path) as f:
+            prev = json.load(f)
+        if prev != plan:
+            changed = sorted(
+                set(prev.get("partitions", [])) ^ set(plan["partitions"])
+            ) or sorted(
+                n
+                for n in plan["spec_sha"]
+                if prev.get("spec_sha", {}).get(n) != plan["spec_sha"][n]
+            )
+            raise ValueError(
+                f"checkpoint at {out_dir} was created with a different plan "
+                f"(partitions changed: {changed[:8]}); resume with the "
+                "original partitioning or start a fresh out_dir"
+            )
+    else:
+        with open(plan_path + ".tmp", "w") as f:
+            json.dump(plan, f, indent=2)
+        os.replace(plan_path + ".tmp", plan_path)
     ran, skipped = [], []
     for name, spec in partitions:
         if partition_done(out_dir, name):
@@ -253,41 +291,9 @@ def checkpointed_zonal_store(
         for i in range(n_parts)
         if cells[i * step : (i + 1) * step]
     ]
-    # Plan manifest: partition NAMES alone don't identify their cell
-    # ranges — resuming with a different n_parts (or after the store's
-    # bucket set changed) would skip committed names whose meaning moved
-    # and finalize SILENTLY WRONG stats. Pin the plan on first run and
-    # refuse a mismatched resume.
-    import hashlib
-
-    plan = {
-        "kind": "zonal_store_partials",
-        "n_parts": n_parts,
-        "n_cells": len(cells),
-        "cells_sha": hashlib.sha256(
-            b"".join(int(c).to_bytes(8, "little", signed=True) for c in cells)
-        ).hexdigest(),
-        "partitions": [name for name, _ in partitions],
-        "tile_size": tile_size,
-        "all_touched": all_touched,
-        "need_vals": need_vals,
-    }
-    os.makedirs(out_dir, exist_ok=True)
-    plan_path = os.path.join(out_dir, "_plan.json")
-    if os.path.exists(plan_path):
-        with open(plan_path) as f:
-            prev = json.load(f)
-        if prev != plan:
-            diff = {k: (prev.get(k), plan[k]) for k in plan if prev.get(k) != plan[k]}
-            raise ValueError(
-                f"checkpoint at {out_dir} was created with a different plan "
-                f"(changed: {sorted(diff)}); resume with the original "
-                "n_parts/store/options or start a fresh out_dir"
-            )
-    else:
-        with open(plan_path + ".tmp", "w") as f:
-            json.dump(plan, f, indent=2)
-        os.replace(plan_path + ".tmp", plan_path)
+    # run_partitioned's _plan.json manifest guards the n_parts / changed-
+    # store resume case (the cell lists are in each partition's spec, so
+    # their sha pins them) and powers finalize's completeness check.
 
     # broadcast the tiles ONCE for every partition this call runs; the
     # refs stay alive for the duration of the call. Skipped entirely on
