@@ -796,7 +796,10 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
         line = out.stdout.strip().splitlines()[-1]
         results[n] = json.loads(line)
     lo, hi = results[cpus_lo], results[cpus_hi]
-    eff = (hi["zones_per_sec"] / lo["zones_per_sec"]) / (cpus_hi / cpus_lo)
+    eff = (hi["items_per_sec"] / lo["items_per_sec"]) / (cpus_hi / cpus_lo)
+    # neutral "items" keys: zones for zonal_tiled, LSH candidate pairs
+    # for minhash — labeling pairs/s as zones/s misleads readers of the
+    # recorded JSON even though the efficiency ratio is unit-free
     return {
         "metric": f"{workload} scaling efficiency",
         "value": round(eff, 4),
@@ -807,8 +810,8 @@ def run_scaling(sf_dir: str, cpus_lo: int | None = None, cpus_hi: int | None = N
         },
         "sf": _sf_from_dir(sf_dir),
         "num_cpus": cpus_hi,
-        "throughput_lo_zones_per_sec": lo["zones_per_sec"],
-        "throughput_hi_zones_per_sec": hi["zones_per_sec"],
+        "throughput_lo_items_per_sec": lo["items_per_sec"],
+        "throughput_hi_items_per_sec": hi["items_per_sec"],
         "cpus": [cpus_lo, cpus_hi],
         **probes,
     }
@@ -910,7 +913,9 @@ def scaling_worker(sf_dir: str, num_cpus: int):
         n = bench_zonal_tiled()
     dt = time.time() - t0
     ray.shutdown()
-    print(json.dumps({"sec": round(dt, 3), "zones_per_sec": round(n / dt, 2)}))
+    # "items" = zones for the zonal workload, LSH candidate pairs for
+    # minhash — the efficiency ratio is unit-free either way
+    print(json.dumps({"sec": round(dt, 3), "items_per_sec": round(n / dt, 2)}))
 
 
 def main():

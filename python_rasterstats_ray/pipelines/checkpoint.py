@@ -75,29 +75,18 @@ def text_digest_of(ds, text_col: str) -> tuple[str, int]:
     return xor_digest(p["xor"] for p in parts), sum(p["n"] for p in parts)
 
 
-def run_partitioned(
-    partitions: list[tuple[str, dict]],
-    build: Callable[[dict], "object"],
-    out_dir: str,
-    *,
-    text_col: str | None = "text",
-    max_partitions: int | None = None,
-) -> dict:
-    """Execute ``build(spec) -> Dataset`` per partition with skip-completed
-    resume semantics. Returns a summary dict.
+def check_or_pin_plan(out_dir: str, partitions: list[tuple[str, dict]]) -> None:
+    """Pin (first run) or validate (resume) the ``_plan.json`` manifest.
 
-    ``max_partitions`` bounds how many incomplete partitions run this call
-    (used by the kill/resume tests to simulate a mid-run crash).
-
-    A ``_plan.json`` manifest pins the partitioning on first run:
-    partition NAMES alone don't identify their input ranges, so resuming
-    with a different n_parts (or against a changed input) would skip
-    committed names whose meaning moved and produce silently-wrong
-    output. A mismatched resume refuses instead.
-    """
+    Idempotent — callers that need to refuse BEFORE paying an expensive
+    setup step (e.g. the zonal tile broadcast) call it first;
+    ``run_partitioned`` calls it again at entry for free. Refuses three
+    unsafe resumes: a changed partitioning (names or per-partition spec
+    hashes differ), changed partition-invariant params (they live inside
+    each spec, so the sha pins them too), and a legacy checkpoint that
+    has commit markers but no manifest (its names cannot be validated)."""
     import hashlib
 
-    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     plan = {
         "partitions": [name for name, _ in partitions],
         "spec_sha": {
@@ -124,10 +113,42 @@ def run_partitioned(
                 f"(partitions changed: {changed[:8]}); resume with the "
                 "original partitioning or start a fresh out_dir"
             )
-    else:
-        with open(plan_path + ".tmp", "w") as f:
-            json.dump(plan, f, indent=2)
-        os.replace(plan_path + ".tmp", plan_path)
+        return
+    if completed_partitions(out_dir):
+        raise ValueError(
+            f"checkpoint at {out_dir} has commit markers but no _plan.json "
+            "(created before the plan manifest existed) — its partition "
+            "names cannot be validated against the current plan; start a "
+            "fresh out_dir"
+        )
+    os.makedirs(out_dir, exist_ok=True)
+    with open(plan_path + ".tmp", "w") as f:
+        json.dump(plan, f, indent=2)
+    os.replace(plan_path + ".tmp", plan_path)
+
+
+def run_partitioned(
+    partitions: list[tuple[str, dict]],
+    build: Callable[[dict], "object"],
+    out_dir: str,
+    *,
+    text_col: str | None = "text",
+    max_partitions: int | None = None,
+) -> dict:
+    """Execute ``build(spec) -> Dataset`` per partition with skip-completed
+    resume semantics. Returns a summary dict.
+
+    ``max_partitions`` bounds how many incomplete partitions run this call
+    (used by the kill/resume tests to simulate a mid-run crash).
+
+    A ``_plan.json`` manifest pins the partitioning on first run:
+    partition NAMES alone don't identify their input ranges, so resuming
+    with a different n_parts (or against a changed input) would skip
+    committed names whose meaning moved and produce silently-wrong
+    output. A mismatched resume refuses instead.
+    """
+    check_or_pin_plan(out_dir, partitions)
+    os.makedirs(os.path.join(out_dir, "_lineage"), exist_ok=True)
     ran, skipped = [], []
     for name, spec in partitions:
         if partition_done(out_dir, name):
@@ -208,8 +229,13 @@ def checkpointed_flagship(
     meta = pq.read_metadata(f"{sf_dir}/documents.parquet")
     n = meta.num_rows
     step = (n + n_parts - 1) // n_parts
+    # sf_dir rides in every spec so the _plan.json sha refuses a resume
+    # against a different input table
     partitions = [
-        (f"{i:04d}", {"lo": i * step, "hi": min((i + 1) * step, n)})
+        (
+            f"{i:04d}",
+            {"lo": i * step, "hi": min((i + 1) * step, n), "params": {"sf_dir": sf_dir}},
+        )
         for i in range(n_parts)
     ]
 
@@ -285,20 +311,31 @@ def checkpointed_zonal_store(
         s.startswith("percentile_") or s == "median" for s in stats_list
     )
     cells = store_cells(zones_path)
+    # kernel params ride in every spec so the _plan.json sha pins THEM
+    # too: resuming with a different all_touched / nodata / affine would
+    # otherwise merge partials computed under different semantics
+    params = {
+        "zones_path": zones_path,
+        "affine": str(affine),
+        "nodata": None if nodata is None else float(nodata),
+        "tile_size": tile_size,
+        "raster_dtype": raster_dtype,
+        "all_touched": all_touched,
+        "need_vals": need_vals,
+    }
     step = (len(cells) + n_parts - 1) // n_parts
     partitions = [
-        (f"{i:04d}", {"cells": cells[i * step : (i + 1) * step]})
+        (f"{i:04d}", {"cells": cells[i * step : (i + 1) * step], "params": params})
         for i in range(n_parts)
         if cells[i * step : (i + 1) * step]
     ]
-    # run_partitioned's _plan.json manifest guards the n_parts / changed-
-    # store resume case (the cell lists are in each partition's spec, so
-    # their sha pins them) and powers finalize's completeness check.
+    # validate/pin the plan BEFORE the tile broadcast: a refused resume
+    # must not pay the plan's most expensive fixed cost first
+    check_or_pin_plan(out_dir, partitions)
 
     # broadcast the tiles ONCE for every partition this call runs; the
     # refs stay alive for the duration of the call. Skipped entirely on
-    # a pure-resume call with nothing left to run — pinning the whole
-    # tile dataset is the plan's most expensive fixed cost.
+    # a pure-resume call with nothing left to run.
     todo = [p for p in partitions if not partition_done(out_dir, p[0])]
     refmap_ref = None
     if todo:
@@ -340,9 +377,9 @@ def finalize_zonal_store_checkpoint(
     names = completed_partitions(out_dir)
     if not names:
         raise FileNotFoundError(f"no committed partitions under {out_dir}")
-    # completeness gate: merging a PARTIAL checkpoint would return
-    # plausible-looking stats with silently-short sums for zones that
-    # span uncommitted cell partitions
+    # completeness gate BOTH ways: missing partitions would merge
+    # silently-short sums; EXTRA committed partitions (a reused dir from
+    # a different plan) would double-count every zone they cover
     plan_path = os.path.join(out_dir, "_plan.json")
     if os.path.exists(plan_path):
         with open(plan_path) as f:
@@ -354,6 +391,14 @@ def finalize_zonal_store_checkpoint(
                 f"{missing} not committed — re-run checkpointed_zonal_store "
                 "to finish before finalizing"
             )
+        extras = [n for n in names if n not in set(expected)]
+        if extras:
+            raise RuntimeError(
+                f"checkpoint at {out_dir} has committed partitions outside "
+                f"its plan ({extras[:8]}) — the out_dir was reused across "
+                "plans; start fresh"
+            )
+        names = expected
     paths = []  # explicit files: read_parquet treats list entries as files
     for n in names:
         d = os.path.join(out_dir, f"part={n}")

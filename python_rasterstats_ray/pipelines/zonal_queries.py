@@ -328,14 +328,20 @@ def q_point_query_tiled_store(sf_dir: str):
     store = os.path.join(ORACLE_DIR, "tiles_bucketed_holes_128")
     if not os.path.isdir(store):
         import shutil
+        import tempfile
 
-        tmp = store + ".tmp"
-        shutil.rmtree(tmp, ignore_errors=True)
+        # UNIQUE tmp dir per process: a shared ".tmp" path lets two
+        # concurrent stagers rmtree/write over each other and publish a
+        # mixed-content store
+        tmp = tempfile.mkdtemp(prefix="tiles_bucketed_holes_128.", dir=ORACLE_DIR)
         tiles = raster_to_tiles_table(arr, affine, nodata, tile_size=128)
         write_tiles_bucketed(
             ray.data.from_arrow(tiles), tmp, arr.shape, 128, radius=1
         )
-        os.rename(tmp, store)
+        try:
+            os.rename(tmp, store)
+        except OSError:  # another process published first; theirs is whole
+            shutil.rmtree(tmp, ignore_errors=True)
     out = point_query_from_store(
         _points_ds(), store, arr.shape, affine, nodata,
         interpolate="bilinear", tile_size=128,

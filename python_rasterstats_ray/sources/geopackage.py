@@ -50,7 +50,19 @@ def gpb_decode(blob: bytes | None) -> Geom | None:
         wkb = blob[8 + env_len :]
         if not wkb:  # writer omitted the mandatory WKB — only then NULL
             return None
-        return from_wkb(wkb)
+        g = from_wkb(wkb)
+        # the GPKG spec encodes POINT EMPTY as POINT(NaN NaN): strip
+        # all-NaN vertices so is_empty reflects the flag — otherwise a
+        # one-NaN-vertex Point passes is_empty guards and poisons bounds
+        # (NaN windows) and GeoJSON emission (bare NaN is invalid JSON)
+        if g is not None and g.pts is not None and len(g.pts):
+            import numpy as np
+
+            if np.isnan(np.asarray(g.pts, dtype=np.float64)).all():
+                from ..functions.geometry import Geom
+
+                g = Geom(g.gtype, pts=np.empty((0, 2), dtype=np.float64))
+        return g
     return from_wkb(blob[8 + env_len :])
 
 

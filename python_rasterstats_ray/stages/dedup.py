@@ -344,14 +344,18 @@ def minhash_lsh_pairs(
     instead of all pairs (see bucket_pairs) so one hot bucket cannot
     explode quadratically."""
     if concurrency is None:
-        # single-pool plan (MinHashKernel is the only actor stage): the
-        # half-the-cluster floor pre-starts actors — Ray's backlog-driven
-        # autoscaler otherwise leaves a (1, cap) pool at 1-3 actors for
-        # the whole stage (profiled round 5: 10.6 s of signature work in
-        # 10.65 s wall at min=1)
-        from ._cluster import half_pool
+        # SAFE default (min=1): several callers chain a second actor pool
+        # after this one (md5-verify, components) — an eager half-cluster
+        # floor here plus theirs would reserve every CPU slot and starve
+        # the read/sort tasks on small clusters (the pool() docstring's
+        # starvation mode). Single-pool plans that want the pre-started
+        # half-cluster floor (Ray's backlog autoscaler otherwise runs 1-3
+        # actors for a whole short stage; profiled round 5: 10.6 s of
+        # signature work in 10.65 s wall at min=1) pass half_pool()
+        # explicitly — bench.py's minhash workloads do.
+        from ._cluster import pool
 
-        concurrency = half_pool()
+        concurrency = pool()
     banded = docs_ds.map_batches(
         MinHashKernel,
         fn_constructor_kwargs=dict(

@@ -242,6 +242,13 @@ def test_checkpointed_zonal_store_guards(ray_session, tmp_path):
             store, ray.data.from_arrow(tiles), out_dir=out, n_parts=2, **kw
         )
 
+    # changed kernel params refuse too (same cells, different semantics)
+    kw_at = dict(kw, all_touched=True)
+    with pytest.raises(ValueError, match="different plan"):
+        checkpointed_zonal_store(
+            store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw_at
+        )
+
     # matching resume completes; finalize then succeeds
     s2 = checkpointed_zonal_store(
         store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw
@@ -258,6 +265,26 @@ def test_checkpointed_zonal_store_guards(ray_session, tmp_path):
         store, ray.data.from_arrow(tiles), out_dir=out, n_parts=4, **kw
     )
     assert s3["ran"] == [] and s3["remaining"] == []
+
+    # a stray committed partition outside the plan refuses finalize
+    # (reused dir across plans would double-count zones)
+    open(os.path.join(out, "_SUCCESS.9999"), "w").write("ok")
+    os.makedirs(os.path.join(out, "part=9999"), exist_ok=True)
+    with pytest.raises(RuntimeError, match="outside its plan"):
+        finalize_zonal_store_checkpoint(
+            out, stats="count sum", raster_dtype=str(arr.dtype)
+        )
+    os.remove(os.path.join(out, "_SUCCESS.9999"))
+
+    # legacy checkpoint (markers, no manifest) refuses rather than
+    # trusting names whose ranges it cannot validate
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy, exist_ok=True)
+    open(os.path.join(legacy, "_SUCCESS.0000"), "w").write("ok")
+    with pytest.raises(ValueError, match="no _plan.json"):
+        checkpointed_zonal_store(
+            store, ray.data.from_arrow(tiles), out_dir=legacy, n_parts=4, **kw
+        )
 
 
 def test_session_windows_boundaries(ray_session):

@@ -122,3 +122,21 @@ def test_zonal_stats_gpkg_matches_shp(tmp_path):
     a = zonal_stats(p, D + "slope.tif")
     b = zonal_stats(D + "polygons.shp", D + "slope.tif")
     assert a == b
+
+
+def test_gpb_empty_point_decodes_as_empty():
+    """The GPKG spec encodes POINT EMPTY as POINT(NaN NaN) under the
+    empty-geometry flag; the decoded Geom must report is_empty (a
+    one-NaN-vertex Point would pass is_empty guards and poison bounds
+    and GeoJSON emission)."""
+    import struct
+
+    from python_rasterstats_ray.sources.geopackage import gpb_decode
+
+    wkb = b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", float("nan"), float("nan"))
+    # flags: little-endian (bit0) + empty-geometry (bit4), no envelope
+    blob = b"GP\x00" + bytes([0b10001]) + struct.pack("<i", 0) + wkb
+    g = gpb_decode(blob)
+    assert g is not None and g.geom_type == "Point" and g.is_empty
+    # NULL blob stays None (strictly reserved)
+    assert gpb_decode(None) is None
